@@ -1,0 +1,212 @@
+"""MapReduce compatibility layer: run reference-style
+mapper/combiner/reducer jobs on Spark's RDD API.
+
+This is the engine's only imperative surface, mirroring the reference's
+user contract exactly (SURVEY.md section 4 lowering):
+
+- ``mapper(key, value) -> list[(k, v)]``   (reference count_functions.py:1-6;
+  value is a chunk of input text, key an opaque source id)
+- ``combiner(key, values) -> (key, value)`` run once per key per map
+  task on *fully grouped* map output (reference tasktracker.py:140-141,
+  209-226)
+- ``reducer(key, values) -> (key, value)`` with the *complete* value
+  iterable for its key (reference tasktracker.py:228-271)
+
+Two execution modes:
+
+- ``faithful``: per-partition group + combiner (mapPartitions), then
+  groupByKey, then reducer over the full list — byte-for-byte reference
+  semantics for arbitrary (even non-associative) user functions.
+- ``fast``: the shuffle merges combined values pairwise through the
+  reducer (reduceByKey — map-side combine + constant-memory merge).
+  Valid when the reducer is associative/mergeable (true of every shipped
+  reference example); the property test asserts mode agreement.
+
+Functions arrive as Python callables or as a ``functions.py`` file that
+is dynamically imported — the reference ships the file to workers and
+imports it per job (tasktracker.py:86-109); Spark serializes the
+closures natively, so the import happens once, driver-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import sys
+from collections.abc import Callable, Iterable, Iterator
+from pathlib import Path
+from typing import Any
+
+from pyspark import RDD
+from pyspark.sql import DataFrame, SparkSession
+
+Pair = tuple[Any, Any]
+Mapper = Callable[[Any, str], list[Pair]]
+Combiner = Callable[[Any, Iterable[Any]], Pair]
+Reducer = Callable[[Any, Iterable[Any]], Pair]
+
+
+def load_functions(path: str | Path) -> tuple[Mapper, Reducer | None, Combiner | None]:
+    """Dynamically import mapper/reducer/combiner from a user .py file
+    (the reference's functions-file contract, client.py:16-23; import
+    mechanics mirror tasktracker.py:86-109 without the file-shipping
+    dance — Spark pickles the closures to executors itself)."""
+    path = Path(path)
+    mod_name = f"_smrf_job_{hashlib.sha1(str(path).encode()).hexdigest()[:12]}"
+    spec = importlib.util.spec_from_file_location(mod_name, path)
+    if spec is None or spec.loader is None:
+        raise ImportError(f"cannot import functions file: {path}")
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = module
+    spec.loader.exec_module(module)
+    # Executors don't have this synthetic module on their import path;
+    # force cloudpickle to serialize the functions by value (this is the
+    # Spark-native replacement for the reference shipping the .py file
+    # to every worker, tasktracker.py:86-109 / worker.py:34-39).
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(module)
+    except (ImportError, AttributeError):
+        import cloudpickle  # type: ignore[no-redef]
+
+        cloudpickle.register_pickle_by_value(module)
+    mapper = getattr(module, "mapper", None)
+    if mapper is None:
+        raise ValueError(f"{path} must define mapper(key, value)")
+    return mapper, getattr(module, "reducer", None), getattr(module, "combiner", None)
+
+
+class MapReduceJob:
+    """One reference-style job: map -> (combine) -> shuffle -> reduce.
+
+    The dataflow is the reference's O1-O9 pipeline (SURVEY.md section
+    2.1) on Spark primitives: textFile/partitions replace slices/blocks,
+    the hash shuffle replaces the sha1-per-key FS files
+    (tasktracker.py:287-296), and collect() replaces result-file
+    concatenation (jobtracker.py:384-390).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        mapper: Mapper,
+        reducer: Reducer | None = None,
+        combiner: Combiner | None = None,
+        mode: str = "faithful",
+        num_partitions: int | None = None,
+    ) -> None:
+        if mode not in ("faithful", "fast"):
+            raise ValueError(f"mode must be 'faithful' or 'fast', got {mode!r}")
+        if mode == "fast" and reducer is None:
+            raise ValueError("fast mode requires a reducer")
+        self.spark = spark
+        self.mapper = mapper
+        self.reducer = reducer
+        self.combiner = combiner
+        self.mode = mode
+        self.num_partitions = num_partitions
+
+    # -- dataflow stages ------------------------------------------------
+
+    def _map_and_combine(self, lines: RDD) -> RDD:
+        """Map + per-partition group + combiner: the reference's map
+        task (O4 flatMap, O5 dict grouping, O6 combiner) as one
+        mapPartitions pass — no shuffle yet."""
+        mapper = self.mapper
+        combiner = self.combiner
+
+        def run_partition(part: Iterator[str]) -> Iterator[Pair]:
+            groups: dict[Any, list[Any]] = {}
+            for line in part:
+                for k, v in mapper(None, line):
+                    groups.setdefault(k, []).append(v)
+            if combiner is None:
+                for k, vs in groups.items():
+                    for v in vs:
+                        yield (k, v)
+            else:
+                for k, vs in groups.items():
+                    yield combiner(k, vs)
+
+        return lines.mapPartitions(run_partition)
+
+    def run_rdd(self, lines: RDD) -> RDD:
+        """Execute on an RDD of input lines; returns RDD[(k, v)]."""
+        combined = self._map_and_combine(lines)
+        reducer = self.reducer
+        if reducer is None:
+            return combined
+        parts = self.num_partitions or lines.getNumPartitions()
+        if self.mode == "faithful":
+            # Exact reference semantics: reducer sees the complete value
+            # list per key (one shuffle file per key there; one shuffle
+            # partition group here).
+            return combined.groupByKey(parts).map(
+                lambda kv: reducer(kv[0], list(kv[1]))
+            )
+        # fast: pairwise merge through the reducer — map-side combine +
+        # constant memory per key during the shuffle merge.
+        return combined.reduceByKey(
+            lambda a, b: reducer(None, [a, b])[1], parts
+        ).map(lambda kv: (kv[0], kv[1]))
+
+    def run(self, lines: RDD | DataFrame | list[str]) -> list[Pair]:
+        """Run and collect, returning list[(k, v)] like the reference
+        client (client.py:439-441 pickle.loads of the result file)."""
+        if isinstance(lines, DataFrame):
+            lines = lines.rdd.map(lambda r: r[0])
+        elif isinstance(lines, list):
+            lines = self.spark.sparkContext.parallelize(lines)
+        return self.run_rdd(lines).collect()
+
+
+class LocalClient:
+    """API-parity facade for the reference ``Client`` (client.py:12-30):
+    submit a (data file, functions file) job, get list[(k, v)] back.
+
+    Implements the reference's job-dedup/result-cache (O11): the job id
+    is a content hash of both files (client.py:57-69, worker.py:41-57),
+    and a finished job's result is returned without re-execution
+    (jobtracker.py:157-167).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_path: str,
+        functions_path: str,
+        data_type: str = "text",
+        mode: str = "faithful",
+    ) -> None:
+        if data_type not in ("text", "table"):
+            raise ValueError("data_type must be 'text' or 'table'")
+        self.spark = spark
+        self.data_path = str(data_path)
+        self.functions_path = str(functions_path)
+        self.data_type = data_type
+        self.mode = mode
+        self._result_cache: dict[str, list[Pair]] = {}
+
+    def _job_id(self) -> str:
+        h = hashlib.sha1()
+        for p in (self.functions_path, self.data_path):
+            h.update(Path(p).read_bytes())
+        h.update(self.data_type.encode())
+        h.update(self.mode.encode())
+        return h.hexdigest()
+
+    def execute(self) -> list[Pair]:
+        job_id = self._job_id()
+        if job_id in self._result_cache:
+            return self._result_cache[job_id]
+        mapper, reducer, combiner = load_functions(self.functions_path)
+        # 'table' is the reference's CSV-with-header-stripped mode: still
+        # line-oriented, the mapper indexes columns itself (README.md:30-33).
+        lines = self.spark.sparkContext.textFile(self.data_path)
+        job = MapReduceJob(
+            self.spark, mapper, reducer, combiner, mode=self.mode
+        )
+        result = job.run_rdd(lines).collect()
+        self._result_cache[job_id] = result
+        return result

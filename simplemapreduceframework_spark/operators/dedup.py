@@ -1,0 +1,385 @@
+"""Deduplication operators for the training-data pipeline tier
+(BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Everything here is a *composition of relational operators* — explode /
+distinct / groupBy / self-join — so Catalyst plans it and the same
+algorithm is expressible verbatim in the DuckDB oracle. The only
+engine-shared primitive is the deterministic 32-bit string hash
+(first 8 hex chars of md5, functions/columns.py:hex32).
+
+Scale design (100 TB):
+- exact dedup: hash-groupBy on a 16-byte key; partial agg collapses each
+  partition before the exchange.
+- n-gram Jaccard is the *exact baseline*: its shingle self-join is
+  quadratic in bucket size, so it exists to validate the scale path.
+- MinHash+LSH is the scale path: signatures are fixed-size (K ints per
+  doc), band buckets bound the candidate set, and the exact verify runs
+  only on candidates. All joins are key-equi on (band, signature) —
+  shuffle-friendly, no cross join anywhere.
+- SimHash: one 32-bit signature per doc; exact-match grouping finds
+  near-dup clusters with a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cosine_sim, hex32
+from ..registry import query
+from ..sources import load_table
+
+# MinHash family: hv_i = (A[i] * h32 + B[i]) mod P. A[i] < 2^29 keeps
+# A*h below 2^61 (no int64 overflow in either engine).
+_P = 2147483647
+_A = [
+    95781911, 179424673, 15485863, 32452843,
+    49979687, 67867967, 86028121, 104395301,
+    122949823, 141650939, 160481183, 179424997,
+    198491317, 217645177, 236887691, 256203161,
+]
+_B = [i * 7919 + 13 for i in range(16)]
+_K = len(_A)
+_BAND_ROWS = 4  # 4 bands x 4 rows
+
+_HASH_VALUES_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_A, _B))
+)
+
+# Shared shingle SQL (DuckDB): word 3-grams over lowercased \w+ tokens.
+_SHINGLES_CTE = r"""
+toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(list_transform(range(1, GREATEST(LEN(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, word-3-gram) pairs — Spark twin of _SHINGLES_CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT MD5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep the min doc_id as
+    canonical. One shuffle on a 16-byte key; at 100 TB the partial agg
+    means each executor ships one row per distinct hash it holds.
+    (Reference analog: content-hash job dedup, client.py:57-69.)"""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM shingles sa JOIN shingles sb
+      ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5).
+
+    The inverted-index self-join on shingle is the exact baseline: cost
+    is sum over shingles of bucket^2. Fine at validation scale, and it's
+    the ground truth the MinHash path is tested against; at 100 TB use
+    dedup_minhash_lsh. Jaccard divides identical integers -> the double
+    is engine-exact.
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, shingle,
+           CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+    FROM shingles
+),
+sig AS (
+    SELECT doc_id, hp.i AS i, MIN((hp.a * h + hp.b) % {_P}) AS mh
+    FROM hashed CROSS JOIN (VALUES {_HASH_VALUES_SQL}) AS hp(i, a, b)
+    GROUP BY doc_id, hp.i
+),
+bands AS (
+    SELECT doc_id, CAST(FLOOR(i / {_BAND_ROWS}.0) AS INT) AS band,
+           STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig_key
+    FROM sig GROUP BY doc_id, CAST(FLOOR(i / {_BAND_ROWS}.0) AS INT)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig_key = b.sig_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT v.doc_a, v.doc_b,
+       CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+FROM verified v
+JOIN sizes za ON za.doc_id = v.doc_a
+JOIN sizes zb ON zb.doc_id = v.doc_b
+WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection — the 100 TB dedup path.
+
+    shingle -> 32-bit hash -> K=16 permutation mins -> 4 bands of 4 ->
+    bucket-join on (band, band-signature) -> exact-Jaccard verify of
+    candidates only. Every stage is a key-equi groupBy/join; signature
+    state is K ints per doc regardless of doc length; candidate volume
+    is bounded by band-bucket collisions rather than corpus^2. The
+    band-signature string and the hash family are shared with the DuckDB
+    oracle, so candidates (and therefore output) match exactly.
+    """
+    sh = _shingles(spark, sf_dir)
+    hashed = sh.select("doc_id", "shingle", hex32(F.col("shingle")).alias("h"))
+    hp = F.broadcast(
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(zip(_A, _B))],
+            "i int, a long, b long",
+        )
+    )
+    sig = (
+        hashed.crossJoin(hp)
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _P).alias("mh"))
+    )
+    bands = (
+        sig.groupBy(
+            "doc_id",
+            F.floor(F.col("i") / float(_BAND_ROWS)).cast("int").alias("band"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("sig_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig_key") == F.col("b.sig_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    verified = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
+    )
+    return (
+        verified.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\w+')) AS word
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS cnt,
+           CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS h
+    FROM tok GROUP BY doc_id, word
+),
+bits AS (
+    SELECT doc_id, b.b AS b,
+           SUM(cnt * (2 * ((h >> b.b) & 1) - 1)) AS s
+    FROM tf CROSS JOIN (SELECT UNNEST(range(0, 32)) AS b) b
+    GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (token-frequency weighted).
+
+    Constant-size signature, two key-equi shuffles ((doc,word) then
+    (doc,bit)); near-dup clusters are then exact-match groups on the
+    signature — at 100 TB this is a single groupBy on an int32. All
+    integer arithmetic -> engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
+        ).alias("word"),
+    )
+    tf = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", hex32(F.col("word")))
+    )
+    bits = (
+        tf.select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        )
+        .withColumn(
+            "contrib",
+            F.col("cnt")
+            * (F.lit(2) * F.expr("(h >> b) & 1") - F.lit(1)),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH n AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings)
+)
+SELECT id_a, id_b, cos_sim
+FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+WHERE cos_sim >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force all-pairs baseline).
+
+    Quadratic by construction — kept as the exactness baseline at
+    validation scale; the 100 TB path is LSH bucketing first
+    (similarity.ann_lsh_bucketed) so only same-bucket pairs are scored.
+    Dot products fold left-to-right over the array in both engines ->
+    bit-identical doubles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = cosine_sim(F.col("a.e"), F.col("b.e"))
+    return pairs.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cos.alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.4)

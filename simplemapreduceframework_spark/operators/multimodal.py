@@ -1,0 +1,118 @@
+"""Multimodal columns (BASELINE.json north star): image/audio/video as
+opaque binary columns with typed metadata, processed by Arrow-batched
+mapInPandas decoders.
+
+The container has no image/audio libraries, so the *decode* step is
+stubbed (deterministic fake features, or NotImplementedError for real
+codecs) — but the Spark-side plumbing is real and tested: binary
+payload column, metadata struct, mapInPandas batch shape, and the
+partitioning story (payloads never shuffle; feature extraction is
+row-local so it scales linearly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# Schema produced by the fake decoder: keep in sync with decode_features.
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, checksum bigint, "
+    "width int, height int, format string"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    Stand-in for reading real media bytes: payload = utf-8 bytes of the
+    text (deterministic). The metadata struct mirrors what an image
+    source would carry (format/width/height nullable until decode).
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.octet_length(F.col("text")).cast("int").alias("n_bytes"),
+            F.col("source").alias("uri"),
+        ).alias("meta"),
+    )
+
+
+def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched fake decoder (mapInPandas body).
+
+    Deterministic per-payload features: byte length, additive checksum,
+    and fake width/height derived from the checksum. A real deployment
+    swaps the body for PIL/ffmpeg calls; the batch shape, schema, and
+    partitioning are exactly what that real decoder would use.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        checksum = payloads.map(lambda b: sum(b) % (2**32))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int64"),
+                "checksum": checksum.astype("int64"),
+                "width": (checksum % 1920).astype("int32"),
+                "height": (checksum % 1080).astype("int32"),
+                "format": "fake/raw",
+            }
+        )
+
+
+def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real-codec decode path — requires media libraries not present in
+    this environment. Kept as the documented integration point."""
+    raise NotImplementedError(
+        "real image/audio decode requires PIL/ffmpeg; use decode_features "
+        "(deterministic fake) for plumbing tests"
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       MD5(text) AS content_md5,
+       source
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction (byte length + content hash) —
+    pure JVM expressions over the payload, no Python, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        "source",
+    )
+
+
+@query("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads via mapInPandas.
+
+    Rows-only (the decoder is Python-side by nature). Scale: row-local
+    Arrow batches, no shuffle, linear in corpus bytes; on a cluster the
+    payload column stays columnar end-to-end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_payload(docs)
+    return with_payload.mapInPandas(decode_features, FEATURE_SCHEMA)

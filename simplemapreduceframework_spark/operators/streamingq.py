@@ -1,0 +1,166 @@
+"""Streaming-tier queries over the `events` table.
+
+Batch-equivalence mode: each windowed aggregation is declared as a batch
+DataFrame query (window / session_window work identically on batch
+inputs) with a DuckDB oracle, which is how the driver's correctness gate
+can check streaming semantics. The *live* Structured Streaming variant
+(readStream + watermark + availableNow) registers as a rows-only query
+and is additionally asserted equal to the batch result in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "events_tumbling_1h",
+    oracle="""
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows by event type (batch-equivalence form of
+    the streaming job, streaming/jobs.py:tumbling_counts_stream).
+
+    window() is epoch-aligned in a UTC session = date_trunc('hour').
+    Values are 2-decimal doubles -> the DECIMAL(18,2) cast is exact and
+    the sum order-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("tv"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "n_users",
+            F.col("tv").cast("double").alias("total_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_1h_30m",
+    oracle="""
+WITH w AS (
+    SELECT e.value,
+           make_timestamp(CAST((FLOOR(epoch(ts) / 1800) * 1800 - off) * 1000000 AS BIGINT)) AS wstart,
+           ts
+    FROM events e CROSS JOIN (SELECT UNNEST([0, 1800]) AS off) o
+)
+SELECT STRFTIME(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM w
+GROUP BY wstart
+""",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour long, every 30 minutes — each event lands
+    in exactly two windows (the oracle materializes both memberships via
+    the 0/-30min offset trick)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("tv"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            F.col("tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_session_10m",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sess_id
+""",
+)
+def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 10-minute gap per user (batch form of the
+    stateful streaming operator).
+
+    Spark's session_window merges an event into the current session iff
+    ts < previous_end (= prev_ts + gap), i.e. a gap of exactly 10:00
+    starts a new session — the oracle's gaps-and-islands uses `>=`
+    accordingly. Session end = last event + gap in both.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+@query("streaming_tumbling_live")
+def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *actual* Structured Streaming pipeline: readStream(parquet)
+    -> watermark -> tumbling window agg -> availableNow -> memory sink.
+
+    Rows-only for the driver; tests assert it row-matches the batch
+    query events_tumbling_1h restricted to the same columns.
+    """
+    from ..streaming import read_events_stream, run_available_now, tumbling_counts_stream
+
+    events = read_events_stream(spark, sf_dir)
+    result = tumbling_counts_stream(events)
+    return run_available_now(result, spark)

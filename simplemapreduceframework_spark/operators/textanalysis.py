@@ -1,0 +1,199 @@
+"""Text-analysis operators for the training-data pipeline tier
+(BASELINE.json north star: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+All row-level metrics are built-in-function expressions (JVM-side,
+whole-stage codegen, no Python in the hot path); the language classifier
+is a broadcast lexicon join. Every formula is duplicated verbatim in the
+DuckDB oracle so results are bit-identical: integer counts, divisions of
+identical integers, and md5 fingerprints only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens_regex
+from ..registry import query
+from ..sources import load_table
+
+# Tiny per-language lexicons for the n-gram/stopword language heuristic.
+# Deterministic + identical in the SQL oracle; accuracy on the synthetic
+# corpus is secondary to the operator shape (broadcast join + argmax).
+_LEXICON: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "value", "table", "row"],
+    "es": ["el", "la", "de", "y", "que", "en", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein"],
+    "zh": ["de5", "shi4", "zai4", "le5", "wo3", "you3", "he2", "ren2"],
+}
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LEN(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+       CAST(LEN(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+       CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Token counting: whitespace-free \w+ tokens plus digit/punct
+    tallies, all as codegen'd regexp expressions — zero shuffles, scales
+    linearly with input bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(tokens_regex("text")).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+        .cast("bigint")
+        .alias("n_digits"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0))
+        .cast("bigint")
+        .alias("n_punct"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+SELECT doc_id,
+       CAST(n_tok AS DOUBLE) / GREATEST(n_chars, 1) AS token_density,
+       CAST(n_stop AS DOUBLE) / GREATEST(n_tok, 1) AS stopword_ratio,
+       CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1) AS alpha_ratio,
+       (CAST(n_stop AS DOUBLE) / GREATEST(n_tok, 1)
+        + CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1)) / 2 AS quality
+FROM (
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tok,
+           CAST(LEN(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS BIGINT) AS n_stop,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
+    FROM documents
+)
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword ratio + alphabetic ratio,
+    averaged. Ratios divide identical integers, so the doubles match any
+    engine bit-for-bit. Row-local -> no shuffle, embarrassingly parallel
+    at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(tokens_regex("text")).cast("bigint").alias("n_tok"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b(the|a|of|and|to)\b"), 0))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), 0))
+        .cast("bigint")
+        .alias("n_alpha"),
+    )
+    tok_d = F.col("n_tok").cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+    stop_r = F.col("n_stop").cast("double") / F.greatest(F.col("n_tok"), F.lit(1))
+    alpha_r = F.col("n_alpha").cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+    return base.select(
+        "doc_id",
+        tok_d.alias("token_density"),
+        stop_r.alias("stopword_ratio"),
+        alpha_r.alias("alpha_ratio"),
+        ((stop_r + alpha_r) / 2).alias("quality"),
+    )
+
+
+def _lexicon_sql_values() -> str:
+    rows = []
+    for lang, words in sorted(_LEXICON.items()):
+        for w in words:
+            rows.append(f"('{lang}', '{w}')")
+    return ", ".join(rows)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH lex(lex_lang, lex_word) AS (VALUES {_lexicon_sql_values()}),
+tok AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\w+')) AS word
+    FROM documents
+),
+scores AS (
+    SELECT t.doc_id, l.lex_lang, COUNT(*) AS hits
+    FROM tok t JOIN lex l ON t.word = l.lex_word
+    GROUP BY t.doc_id, l.lex_lang
+),
+best AS (
+    SELECT doc_id, lex_lang, hits,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lex_lang ASC) AS rn
+    FROM scores
+)
+SELECT d.doc_id,
+       COALESCE(b.lex_lang, 'und') AS pred_lang,
+       COALESCE(b.hits, 0) AS lex_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-lexicon scoring: tokens join a broadcast
+    lexicon, argmax per doc (ties alphabetical), 'und' when no hits.
+
+    Scale: the lexicon is a few hundred rows -> broadcast hash join, so
+    the only shuffle is the per-(doc, lang) count, whose cardinality is
+    bounded by docs x languages.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(_LEXICON.items()) for w in words],
+        "lex_lang string, lex_word string",
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens_regex(F.lower(F.col("text")))).alias("word")
+    )
+    scores = (
+        tok.join(F.broadcast(lex), tok.word == lex.lex_word)
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("lex_lang").asc()
+    )
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("lex_hits"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       MD5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       CAST(LENGTH(regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized, lowercased
+    text — the exact-dedup key (see dedup_exact). Row-local, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(norm)).alias("fingerprint"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )

@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference framework hand-rolls parallelism (blocks sized to the
+worker count, reference message_tools.py:290-302) and scheduling
+(capacity max-heap, reference jobtracker.py:583-647). On Spark all of
+that is platform-provided; what we own is the *configuration*: AQE for
+runtime re-planning and skew handling, shuffle partition sizing, Arrow
+for the Python boundary, and a UTC session so timestamp semantics are
+deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "smrf-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Defaults are chosen for local[] testing but express the knobs that
+    matter on a 1000-executor cluster:
+
+    - AQE on (runtime partition coalescing + skew-join splitting) so the
+      shuffle partition count self-corrects at any scale factor.
+    - ``spark.sql.shuffle.partitions`` ~ 2x cores locally; on a real
+      cluster this is overridden upward and AQE coalesces back down.
+    - Arrow enabled so every pandas_udf / mapInPandas boundary is
+      columnar-batched, never row-pickled.
+    - UTC session timezone: timestamps behave as naive/UTC, matching
+      the oracle engine and avoiding DST-dependent window boundaries.
+    """
+    cpus = cpus or _default_parallelism()
+    parts = shuffle_partitions or max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

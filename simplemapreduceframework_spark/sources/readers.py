@@ -1,0 +1,96 @@
+"""Sources: the engine's scan layer.
+
+The reference supports two data types — ``'text'`` (line-by-line) and
+``'table'`` (CSV, header stripped, positional columns) — plus a pickled
+binary scan for shuffle input (reference client.py:24-27,
+data_handler.py:13-62, data_handler.py:271-298). Here those map to
+``spark.read.text`` / ``spark.read.csv`` / ``spark.read.parquet``;
+splitting into partitions is automatic (the reference's 500-char slices,
+client.py:167, become ``spark.sql.files.maxPartitionBytes``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated star schema + pipeline tables (TESTDATA.md).
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """Convert a nanosecond `ts` read as bigint back to a timestamp.
+
+    The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
+    rejects natively; with spark.sql.legacy.parquet.nanosAsLong the
+    column arrives as int64 nanoseconds and is converted here (the data
+    carries no sub-microsecond precision, so `div 1000` is lossless and
+    matches engines that read nanos directly).
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one testdata table.
+
+    Parquet + DataFrame gives predicate pushdown and column pruning for
+    free; callers should filter/select as early as possible so the scan
+    node shows PushedFilters / a narrow ReadSchema.
+    """
+    # Pin UTC at query time so timestamp formatting/windowing matches
+    # the (naive-timestamp) oracle even under a driver-built session
+    # that didn't set it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _normalize_events(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's 'text' data type: one row per line, column `value`.
+
+    Mirrors reference data_handler.py:13-55 (line-by-line record reader);
+    Spark handles splitting/line alignment natively.
+    """
+    return spark.read.text(path)
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = False,
+) -> DataFrame:
+    """The reference's 'table' data type (CSV, positional columns).
+
+    The reference requires the header row pre-stripped and columns
+    addressed by index (reference README.md:30-33); here the schema can
+    be declared, or inferred with header=True for the ergonomic path.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

@@ -1,0 +1,7 @@
+from .jobs import (  # noqa: F401
+    read_events_stream,
+    run_available_now,
+    sessionized_stream,
+    sliding_counts_stream,
+    tumbling_counts_stream,
+)

@@ -1,0 +1,119 @@
+"""Structured Streaming tier (SURVEY.md section 2.4: absent in the
+reference — batch-only, two fixed phases, jobtracker.py:48-49 — and
+green-field here).
+
+The `events` table doubles as a stream source: `readStream` over its
+parquet files with `availableNow` gives exactly-once batch-equivalent
+processing, which is how the streaming tier is validated (the DuckDB
+oracle can only see the batch semantics). Watermarks bound state for
+late data; windowed aggs use the same tumbling/sliding/session
+definitions as the batch queries in operators/streamingq.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-scan the events table (schema pinned from the batch read;
+    maxFilesPerTrigger keeps micro-batches bounded). Nanosecond `ts`
+    arrives as int64 under nanosAsLong and is normalized to timestamp
+    exactly like the batch reader."""
+    from ..sources.readers import _normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file-stream source lists a *directory*; select just the events
+    # table out of it with a glob filter.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_events(raw)
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour tumbling windows with a watermark: state for a window is
+    dropped once the watermark passes its end — bounded memory at any
+    scale. Late events beyond the watermark are discarded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour windows sliding every 30 minutes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows (gap-based) per user — Spark's native stateful
+    session operator; state per open session, closed by watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, spark: SparkSession, table_prefix: str = "stream_out"
+) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into a
+    memory sink, wait for completion, return the materialized table.
+
+    This is the batch-equivalence harness: process *all* currently
+    available input exactly once, then stop — output equals the batch
+    query over the same data (modulo watermark-dropped rows, which with
+    a static complete file set means none).
+    """
+    name = f"{table_prefix}_{uuid.uuid4().hex[:8]}"
+    q: StreamingQuery = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if result.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
