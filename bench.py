@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to a noop sink (full computation, no driver
+serialization cost). A short warmup absorbs JVM/codegen startup so the
+per-query numbers reflect steady-state engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simplemapreduceframework_spark import get_spark, registry
+
+# Representative coverage: relational (scan/filter/join/agg/window/
+# sort), reference workloads, dedup suite, similarity, text analysis,
+# streaming-tier windows, and the MapReduce compat path.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "q6_selective_agg",
+    "q8_window_topn_per_group",
+    "q13_distinct_agg",
+    "q17_multisort_limit",
+    "wordcount",
+    "grouped_avg",
+    "mr_wordcount_compat",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "events_tumbling_1h",
+    "events_session_10m",
+]
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("smrf-bench")
+    queries = registry.all_queries()
+
+    # Warmup: absorb session/codegen/Arrow startup.
+    run_query(queries["q6_selective_agg"](spark, sf_dir))
+    run_query(queries["ann_lsh_bucketed"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run_query(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+                ),
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -105,5 +105,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity with a fixed evaluation order (see `dot`)."""
+    """Cosine similarity with a fixed evaluation order (see `dot`).
+
+    Suitable for occasional scoring. For all-pairs workloads use the
+    Arrow-batched sequential-fold UDF in operators/similarity.py
+    (dot_seq): the HOF fold is interpreted (slow per-pair), and the
+    unrolled-chain alternative triggers exponential commutative-
+    expression canonicalization in Catalyst (planning hangs / driver
+    OOM) for chains past ~50 terms.
+    """
     return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -26,9 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import cosine_sim, hex32
+from ..functions import hex32
 from ..registry import query
 from ..sources import load_table
+
+EMBED_DIM = 64  # embeddings.embedding is a fixed 64-dim float vector
 
 # MinHash family: hv_i = (A[i] * h32 + B[i]) mod P. A[i] < 2^29 keeps
 # A*h below 2^61 (no int64 overflow in either engine).
@@ -213,33 +215,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, so candidates (and therefore output) match exactly.
     """
     sh = _shingles(spark, sf_dir)
-    hashed = sh.select("doc_id", "shingle", hex32(F.col("shingle")).alias("h"))
-    hp = F.broadcast(
-        spark.createDataFrame(
-            [(i, a, b) for i, (a, b) in enumerate(zip(_A, _B))],
-            "i int, a long, b long",
-        )
+    hashed = sh.select("doc_id", hex32(F.col("shingle")).alias("h"))
+    # All K mins in ONE partial-aggregating groupBy (no K-fold row
+    # explosion): each executor ships one K-int row per doc it holds.
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(zip(_A, _B))
+        ]
     )
-    sig = (
-        hashed.crossJoin(hp)
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _P).alias("mh"))
-    )
-    bands = (
-        sig.groupBy(
-            "doc_id",
-            F.floor(F.col("i") / float(_BAND_ROWS)).cast("int").alias("band"),
-        )
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("sig_key")
-        )
-    )
+    n_bands = _K // _BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{band * _BAND_ROWS + j}").cast("string")
+                                for j in range(_BAND_ROWS)
+                            ],
+                        ).alias("sig_key"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig_key").alias("sig_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -368,18 +373,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quadratic by construction — kept as the exactness baseline at
     validation scale; the 100 TB path is LSH bucketing first
     (similarity.ann_lsh_bucketed) so only same-bucket pairs are scored.
-    Dot products fold left-to-right over the array in both engines ->
-    bit-identical doubles.
+    Norms are computed once per vector; per-pair dots run in the
+    Arrow-batched sequential-fold UDF (see operators/similarity.py for
+    why not a JVM expression chain), so cosines stay bit-identical to
+    the oracle's list_dot_product.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("e")
+    from .similarity import dot_seq, with_norm
+
+    emb = with_norm(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("e")
+        )
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    cos = cosine_sim(F.col("a.e"), F.col("b.e"))
-    return pairs.select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        cos.alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= 0.4)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = dot_seq(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.4
+    )

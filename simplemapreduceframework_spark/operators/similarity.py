@@ -2,26 +2,56 @@
 star): brute-force cosine top-k as the exact baseline, and a
 random-hyperplane LSH bucketed variant as the 100 TB scale path.
 
-The embedding column is array<float>; all distance math is JVM-side
-(zip_with/aggregate with a fixed fold order) so results are
-deterministic and, for the brute-force query, bit-identical to the
-DuckDB oracle's list_dot_product.
+Implementation note (why a Pandas UDF and not pure expressions): a
+64-term JVM Add chain (element_at products or flattened columns)
+triggers exponential behavior in Catalyst's commutative-expression
+canonicalization (gatherCommutative during subexpression elimination /
+AQE stage dedup) — observed as multi-minute planning hangs and driver
+OOM on Spark 4.1. An Arrow-batched pandas_udf sidesteps the pathological
+plan shape entirely while staying vectorized. Exactness is preserved:
+`np.cumsum` accumulates float64 left-to-right, the same fold order as
+DuckDB's list_dot_product, so cosines remain bit-identical to the
+oracle.
 """
 
 from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
 from pyspark.sql.window import Window
 
-from ..functions import cosine_sim
 from ..registry import query
 from ..sources import load_table
 
 _N_QUERIES = 10
 _TOP_K = 5
+_DIM = 64  # embeddings.embedding is a fixed 64-dim float vector
+
+
+@pandas_udf(DoubleType())
+def dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Sequential-fold dot product of two vector columns (Arrow batch).
+
+    Elementwise float64 products then np.cumsum along the vector axis —
+    a C-speed loop with strict left-to-right accumulation, bit-identical
+    to DuckDB's list_dot_product over double lists.
+    """
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    return pd.Series(np.cumsum(A * B, axis=1)[:, -1])
+
+
+def with_norm(emb: DataFrame) -> DataFrame:
+    """Attach the L2 norm (computed once per vector, same fold order as
+    the oracle's sqrt(list_dot_product(e, e)))."""
+    return emb.withColumn("nrm", F.sqrt(dot_seq(F.col("e"), F.col("e"))))
 
 
 @query(
@@ -50,22 +80,28 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the exact-recall baseline.
 
-    The query set ({_N_QUERIES} vectors) broadcasts; the corpus is
-    scanned once, and the per-query top-k is a WindowGroupLimit (heap
-    per partition), so driver traffic is k rows per query. At 100 TB
-    the corpus scan dominates -> use ann_lsh_bucketed.
+    The query set broadcasts; the corpus is scanned once; scoring is one
+    Arrow-batched UDF over the candidate pairs; the per-query top-k is a
+    window rank (per-partition heaps). At 100 TB the corpus scan
+    dominates -> use ann_lsh_bucketed.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("e")
+    emb = with_norm(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("e")
+        )
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = F.broadcast(q).join(emb, F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_sim(F.col("qe"), F.col("e")).alias("cos_sim"),
+        (dot_seq(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -89,53 +125,82 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_column(vec: F.Column, planes: list[list[float]]) -> F.Column:
-    """Random-hyperplane LSH bucket id: one sign bit per plane."""
-    bucket = F.lit(0).cast("long")
-    for bit, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(c) for c in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(
-            dot >= 0, F.shiftleft(F.lit(1).cast("long"), bit)
-        ).otherwise(F.lit(0).cast("long"))
-    return bucket
+# Multi-table LSH (OR-construction): L independent tables of k sign
+# bits each. P(candidate | angle θ) = 1 - (1 - (1-θ/π)^k)^L — k trades
+# precision, L trades recall.
+_LSH_TABLES = 4
+_LSH_BITS = 4
+
+
+def make_bucket_udf(n_tables: int, n_bits: int, dim: int):
+    """Arrow-batched multi-table bucketer: per vector, one bucket id per
+    table (sign bits of V @ P_t^T packed into a long, table index mixed
+    into the key)."""
+    planes = _hyperplanes(n_tables * n_bits, dim)
+    P = np.asarray(planes, dtype=np.float64)  # (L*k, dim)
+
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(e: pd.Series) -> pd.Series:
+        V = np.vstack(e.to_numpy()).astype(np.float64)
+        bits = ((V @ P.T) >= 0).astype(np.int64)  # (n, L*k)
+        out = []
+        for t in range(n_tables):
+            chunk = bits[:, t * n_bits : (t + 1) * n_bits]
+            weights = (1 << np.arange(n_bits)).astype(np.int64)
+            # disjoint key space per table: high bits carry the table id
+            out.append((chunk @ weights) + (t << 32))
+        stacked = np.stack(out, axis=1)  # (n, L)
+        return pd.Series(list(stacked))
+
+    return buckets
 
 
 @query("ann_lsh_bucketed")
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH — the scale path.
+    """Approximate top-k via multi-table random-hyperplane LSH — the
+    100 TB scale path.
 
-    8 sign-bit hyperplanes put each vector in one of 256 buckets;
-    queries only score candidates in their own bucket, so the pairwise
-    work drops by ~the bucket count, and the candidate join is a
-    key-equi join on the bucket id (shuffle-friendly, no cross join; on
-    a cluster the corpus can be bucketed once and reused). Rows-only:
-    approximation quality is asserted in tests as recall vs
-    ann_cosine_topk, not via the SQL oracle.
+    Each vector lands in L=4 buckets (one per 4-bit hash table);
+    query/candidate pairs are generated by a key-equi join on the bucket
+    id and deduped — no cross join anywhere, so pairwise work scales
+    with bucket occupancy, not corpus^2. On a cluster the exploded
+    (bucket, vec) index is computed once, partitioned by bucket, and
+    reused across query batches. Rows-only: approximation quality is
+    asserted in tests as recall vs ann_cosine_topk.
     """
-    planes = _hyperplanes(8, 64)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("e")
+    bucket_udf = make_bucket_udf(_LSH_TABLES, _LSH_BITS, _DIM)
+    emb = with_norm(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("e")
+        )
+    ).withColumn("buckets", bucket_udf(F.col("e")))
+    index = emb.select(
+        "vec_id", "e", "nrm", F.explode("buckets").alias("bucket")
     )
-    bucketed = emb.withColumn("bucket", lsh_bucket_column(F.col("e"), planes))
-    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = index.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = F.broadcast(q).join(
-        bucketed,
-        (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vec_id") != F.col("query_id")),
+    cand = (
+        F.broadcast(q)
+        .join(
+            index,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qe", "qnrm", "vec_id", "e", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_sim(F.col("qe"), F.col("e")).alias("cos_sim"),
+        (dot_seq(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

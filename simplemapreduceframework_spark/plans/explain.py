@@ -49,6 +49,6 @@ def n_exchanges(df: DataFrame) -> int:
     """Count shuffle exchanges in the physical plan (broadcast
     exchanges excluded) — the scale-limiting resource."""
     text = explain_str(df)
-    return len(re.findall(r"\bExchange hashpartitioning", text)) + len(
-        re.findall(r"\bExchange rangepartitioning", text)
-    )
+    # formatted mode prints shuffle nodes as "(N) Exchange" and
+    # broadcasts as "(N) BroadcastExchange"
+    return len(re.findall(r"\(\d+\) Exchange\b", text))

@@ -1,0 +1,69 @@
+"""Oracle-comparison harness shared by scripts/check_parity.py and the
+pytest suite — a local replica of the driver's correctness gate
+(row count + column names + order-insensitive value fingerprint).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+
+from pyspark.sql import SparkSession
+
+from .sources import TABLES
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def fingerprint(rows: list[dict], cols: list[str]) -> list[str]:
+    """Order-insensitive table fingerprint: rows rendered with columns
+    sorted by name, then sorted."""
+    return sorted(",".join(norm_cell(r[c]) for c in cols) for r in rows)
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def compare_query(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    fn,
+    oracle: str | None,
+    sf_dir: str,
+) -> list[str]:
+    """Run one query on Spark (and its oracle on DuckDB if given);
+    return a list of mismatch descriptions (empty = pass)."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [r.asDict() for r in sdf.collect()]
+    if oracle is None:
+        return []  # rows-only query: success = it ran
+    orc = con.execute(oracle)
+    ocols = [d[0] for d in orc.description]
+    orows = [dict(zip(ocols, row)) for row in orc.fetchall()]
+    if sorted(scols) != sorted(ocols):
+        return [f"columns differ: spark={sorted(scols)} duckdb={sorted(ocols)}"]
+    if len(srows) != len(orows):
+        return [f"row counts differ: spark={len(srows)} duckdb={len(orows)}"]
+    cols = sorted(scols)
+    sfp = fingerprint(srows, cols)
+    ofp = fingerprint(orows, cols)
+    if sfp != ofp:
+        diffs = [(a, b) for a, b in zip(sfp, ofp) if a != b][:3]
+        return [f"values differ, e.g. {diffs}"]
+    return []

@@ -1,0 +1,144 @@
+"""MapReduce compatibility layer tests: the reference's user contract
+(mapper -> list[(k,v)], combiner/reducer see full value iterables,
+reference count_functions.py:1-17, tasktracker.py:209-271) plus the
+dual-mode agreement property from SURVEY.md section 7."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simplemapreduceframework_spark.compat import (
+    LocalClient,
+    MapReduceJob,
+    load_functions,
+)
+
+FUNCTIONS_SRC = """
+def mapper(key, value):
+    return [(w, 1) for w in value.split()]
+
+def combiner(key, values):
+    return key, sum(values)
+
+def reducer(key, values):
+    return key, sum(values)
+"""
+
+DATA = "hello world hello\n\nspark spark spark\nhello\n"
+
+
+@pytest.fixture(scope="module")
+def job_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mrjob")
+    (d / "functions.py").write_text(FUNCTIONS_SRC)
+    (d / "data.txt").write_text(DATA)
+    return str(d / "data.txt"), str(d / "functions.py")
+
+
+def test_local_client_end_to_end(spark, job_files):
+    data, functions = job_files
+    client = LocalClient(spark, data, functions)
+    result = sorted(client.execute())
+    assert result == [("hello", 3), ("spark", 3), ("world", 1)]
+
+
+def test_local_client_result_cache(spark, job_files):
+    """Job dedup (O11): identical (data, functions) short-circuits
+    (reference client.py:57-69, jobtracker.py:157-167)."""
+    data, functions = job_files
+    client = LocalClient(spark, data, functions)
+    first = client.execute()
+    assert client.execute() is first  # same cached object, no recompute
+
+
+def test_modes_agree_for_associative_functions(spark, job_files):
+    data, functions = job_files
+    mapper, reducer, combiner = load_functions(functions)
+    lines = spark.sparkContext.textFile(data)
+    faithful = sorted(
+        MapReduceJob(spark, mapper, reducer, combiner, mode="faithful").run_rdd(lines).collect()
+    )
+    fast = sorted(
+        MapReduceJob(spark, mapper, reducer, combiner, mode="fast").run_rdd(lines).collect()
+    )
+    assert faithful == fast
+
+
+def test_mapper_only_job(spark, job_files):
+    _, functions = job_files
+    mapper, _, _ = load_functions(functions)
+    out = sorted(MapReduceJob(spark, mapper).run(["a b a"]))
+    assert out == [("a", 1), ("a", 1), ("b", 1)]
+
+
+def test_invalid_modes_rejected(spark, job_files):
+    _, functions = job_files
+    mapper, _, _ = load_functions(functions)
+    with pytest.raises(ValueError):
+        MapReduceJob(spark, mapper, mode="turbo")
+    with pytest.raises(ValueError):
+        MapReduceJob(spark, mapper, mode="fast")  # fast requires reducer
+
+
+def test_empty_input(spark, job_files):
+    _, functions = job_files
+    mapper, reducer, combiner = load_functions(functions)
+    assert MapReduceJob(spark, mapper, reducer, combiner).run([]) == []
+
+
+def test_non_associative_reducer_faithful_semantics(spark):
+    """Faithful mode must give the reducer the COMPLETE value list per
+    key (reference tasktracker.py:237-255: one shuffle file per key,
+    reducer sees every value) — demonstrated with a non-associative
+    reducer (count of values) that fast mode could not honor."""
+
+    def mapper(key, value):
+        return [(w, 1) for w in value.split()]
+
+    def reducer(key, values):
+        return key, len(list(values))  # count of distinct map emissions
+
+    lines = ["a a b", "a b b", "c"]
+    out = dict(MapReduceJob(spark, mapper, reducer, mode="faithful").run(lines))
+    # no combiner: reducer sees every (k, 1) emission
+    assert out == {"a": 3, "b": 3, "c": 1}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8).map(" ".join),
+        min_size=0,
+        max_size=10,
+    )
+)
+def test_wordcount_property_vs_python_oracle(spark_global, lines):
+    """Property: compat wordcount == collections.Counter oracle for any
+    input corpus (the reference's oracle pattern, counting_words.py:15-36)."""
+
+    def mapper(key, value):
+        return [(w, 1) for w in value.split()]
+
+    def combiner(key, values):
+        return key, sum(values)
+
+    def reducer(key, values):
+        return key, sum(values)
+
+    expected = Counter(w for line in lines for w in line.split())
+    got = dict(
+        MapReduceJob(spark_global, mapper, reducer, combiner, mode="faithful").run(
+            list(lines)
+        )
+    )
+    assert got == dict(expected)
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    # hypothesis can't use function-scoped fixtures; alias the session one
+    return spark

@@ -1,0 +1,58 @@
+"""Multimodal column plumbing: binary payloads + typed metadata +
+Arrow-batched decode — the decode body is a deterministic fake (no
+media libs in this environment) but the schema/batching/partitioning
+are the real integration surface."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from simplemapreduceframework_spark import registry
+from simplemapreduceframework_spark.operators.multimodal import (
+    attach_payload,
+    decode_features,
+    decode_real,
+)
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_payload_schema(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wp = attach_payload(docs)
+    dtypes = dict(wp.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["meta"].startswith("struct<")
+
+
+def test_decode_is_deterministic(spark, sf_dir):
+    a = sorted(r.asDict().items() for r in Q["multimodal_decode"](spark, sf_dir).collect())
+    b = sorted(r.asDict().items() for r in Q["multimodal_decode"](spark, sf_dir).collect())
+    assert a == b
+
+
+def test_decode_features_batch_contract():
+    """The mapInPandas body honors the declared FEATURE_SCHEMA on a
+    plain pandas batch (what each Arrow batch looks like)."""
+    batch = pd.DataFrame({"doc_id": [1, 2], "payload": [b"abc", b"\x00\xff"]})
+    out = pd.concat(list(decode_features(iter([batch]))))
+    assert list(out.columns) == [
+        "doc_id", "n_bytes", "checksum", "width", "height", "format",
+    ]
+    assert out["n_bytes"].tolist() == [3, 2]
+    assert out["checksum"].tolist() == [ord("a") + ord("b") + ord("c"), 255]
+
+
+def test_decode_matches_payload_bytes(spark, sf_dir):
+    feats = {r["doc_id"]: r for r in Q["multimodal_decode"](spark, sf_dir).collect()}
+    meta = {r["doc_id"]: r for r in Q["multimodal_meta"](spark, sf_dir).collect()}
+    assert feats.keys() == meta.keys()
+    for doc_id, f in feats.items():
+        assert f["n_bytes"] == meta[doc_id]["n_bytes"]
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        next(decode_real(iter([])))

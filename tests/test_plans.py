@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the engine's scale claims, checked the way
+the reference checked result values. Pushdown reached the scan, dims
+broadcast, top-k avoided a global sort (SURVEY.md section 4: all of
+this is Catalyst's job — these tests pin that it actually happens)."""
+
+from __future__ import annotations
+
+from simplemapreduceframework_spark import registry
+from simplemapreduceframework_spark.plans import (
+    explain_str,
+    has_broadcast_hash_join,
+    n_exchanges,
+    pushed_filters,
+    read_schema_columns,
+)
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = Q["q2_filter_project"](spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_quantity" in f for f in filters), filters
+    assert any("l_discount" in f for f in filters), filters
+
+
+def test_column_pruning_narrow_read_schema(spark, sf_dir):
+    df = Q["q2_filter_project"](spark, sf_dir)
+    schemas = read_schema_columns(df)
+    assert schemas, "no ReadSchema found"
+    # 5 projected + 2 filter columns at most; never the full 11-col table
+    assert all(len(cols) <= 7 for cols in schemas), schemas
+
+
+def test_selective_agg_prunes_columns(spark, sf_dir):
+    df = Q["q6_selective_agg"](spark, sf_dir)
+    schemas = read_schema_columns(df)
+    assert all(len(cols) <= 4 for cols in schemas), schemas
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = Q["q5_region_revenue"](spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    """Partial/final hash agg => exactly one exchange for the groupBy."""
+    df = Q["q1_pricing_summary"](spark, sf_dir)
+    assert n_exchanges(df) == 1, explain_str(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    heaps), not a global sort."""
+    df = Q["q17_multisort_limit"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_semijoin_plans_left_semi(spark, sf_dir):
+    df = Q["q4_order_priority_semijoin"](spark, sf_dir)
+    assert "LeftSemi" in explain_str(df)

@@ -1,0 +1,73 @@
+"""Streaming tier: the live Structured Streaming pipelines must agree
+with their batch-equivalence forms (same windows, same data, availableNow
+processes everything exactly once)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplemapreduceframework_spark import registry
+from simplemapreduceframework_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    sessionized_stream,
+    sliding_counts_stream,
+    tumbling_counts_stream,
+)
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    live = Q["streaming_tumbling_live"](spark, sf_dir)
+    batch = Q["events_tumbling_1h"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(live, cols) == _rows(batch, cols)
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    live = run_available_now(sliding_counts_stream(events), spark)
+    batch = Q["events_sliding_1h_30m"](spark, sf_dir)
+    cols = ["window_start", "n_events"]
+    assert _rows(live, cols) == _rows(batch, cols)
+
+
+def test_streaming_sessions_equal_batch(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    live = run_available_now(sessionized_stream(events), spark)
+    batch = Q["events_session_10m"](spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(live, cols) == _rows(batch, cols)
+
+
+def test_watermark_present_in_stream(spark, sf_dir):
+    """The streaming agg must carry an event-time watermark (bounded
+    state for late data)."""
+    events = read_events_stream(spark, sf_dir)
+    result = tumbling_counts_stream(events, watermark="30 minutes")
+    assert result.isStreaming
+    out = run_available_now(result, spark)
+    # static complete input => watermark drops nothing vs batch
+    batch = Q["events_tumbling_1h"](spark, sf_dir)
+    assert out.count() == batch.count()
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark) — the
+    streaming twin of dedup_exact."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .select("event_id", "ts")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_available_now(deduped.groupBy().count(), spark)
+    n = out.collect()[0]["count"]
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n == expected  # event_id is unique => dedup is a no-op pass-through
