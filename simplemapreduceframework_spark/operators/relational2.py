@@ -1,0 +1,194 @@
+"""Advanced relational coverage: full window-function suite, JSON
+extraction, explicit null ordering, and the as-of join — the
+"capability class is anything expressible as map -> group -> reduce"
+surface (SURVEY.md section 2.4) pushed past what the reference's
+hand-written jobs ever did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dec2
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "q20_window_suite",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice) OVER wt AS prev_price,
+       LEAD(o_totalprice) OVER wt AS next_price,
+       CAST(RANK() OVER wp AS BIGINT) AS price_rank,
+       CAST(DENSE_RANK() OVER wp AS BIGINT) AS price_dense_rank,
+       CAST(NTILE(4) OVER wt AS BIGINT) AS quartile,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3
+FROM orders
+WHERE o_custkey % 20 = 0
+WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q20_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / rank / dense_rank / ntile / rolling frame — the full
+    window-function family over one shuffle on the partition key.
+
+    All windows share the o_custkey partitioning, so Spark evaluates
+    them in a single exchange + sort (check: one Exchange in the plan).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    rolling = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(wt).alias("prev_price"),
+        F.lead("o_totalprice").over(wt).alias("next_price"),
+        F.rank().over(wp).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(wp).cast("bigint").alias("price_dense_rank"),
+        F.ntile(4).over(wt).cast("bigint").alias("quartile"),
+        F.sum(dec2("o_totalprice")).over(rolling).cast("double").alias("rolling3"),
+    )
+
+
+@query(
+    "q21_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column and
+    aggregate a field — JVM-side get_json_object, no UDF. At scale the
+    JSON parse is the per-row cost; everything after is a 5-group agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+@query(
+    "q22_null_ordering",
+    oracle="""
+SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null
+FROM orders
+WHERE o_orderkey % 50 = 0
+ORDER BY status_or_null ASC NULLS FIRST, o_orderkey
+LIMIT 50
+""",
+)
+def q22_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering + LIMIT. Engines disagree on the
+    default null position (Spark: first ASC; DuckDB: last), so the
+    operator surface must — and does — support declaring it."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(), F.col("o_orderkey").asc()
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+),
+errors AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id,
+       STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       p.purchase_value
+FROM errors e ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively, composed from a
+    union + window (SURVEY.md custom-operator path (a)): for each error
+    event, the user's most recent purchase at-or-before it.
+
+    Scale shape: one shuffle on user_id, one sort per partition, then a
+    running last_value(ignore nulls) — the classic distributed as-of
+    plan. No cross join, no per-row subquery; state is one row per
+    (user, time) stream position. DuckDB's native ASOF JOIN is the
+    oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select(
+            "user_id",
+            "ts",
+            "purchase_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("is_error"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("purchase_value"),
+        "event_id",
+        F.lit(1).alias("is_error"),
+    )
+    # At equal ts the purchase row sorts first (is_error 0 < 1), so an
+    # error at the same instant sees it — matching ASOF's e.ts >= p.ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_error")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(errors).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_error",
+        F.last(
+            F.when(F.col("is_error") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("p_ts"),
+        F.last(
+            F.when(F.col("is_error") == 0, F.col("purchase_value")),
+            ignorenulls=True,
+        ).over(w).alias("p_value"),
+    )
+    return merged.filter(F.col("is_error") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("p_value").alias("purchase_value"),
+    )

@@ -45,9 +45,11 @@ def load_all() -> None:
         multimodal,
         referenceq,
         relational,
+        relational2,
         similarity,
         streamingq,
         textanalysis,
+        udfs,
     )
     from .compat import compatq  # noqa: F401
 

@@ -1,0 +1,80 @@
+"""Sink layer: partitioned parquet (with pruning), CSV/JSON roundtrips,
+and the streaming foreachBatch sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplemapreduceframework_spark.plans import explain_str
+from simplemapreduceframework_spark.sources import load_table, read_csv_table
+from simplemapreduceframework_spark.sources.writers import (
+    stream_foreach_batch_parquet,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == expected
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = read_csv_table(
+        spark, out, schema="n_nationkey int, n_name string, n_regionkey int", header=True
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_json")
+    write_json(region, out)
+    back = spark.read.json(out).select("r_regionkey", "r_name")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
+
+
+def test_streaming_foreach_batch_sink(spark, sf_dir, tmp_path):
+    from simplemapreduceframework_spark.streaming import (
+        read_events_stream,
+        tumbling_counts_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    result = tumbling_counts_stream(events)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_foreach_batch_parquet(result, out, ckpt)
+    q.awaitTermination()
+
+    from simplemapreduceframework_spark import registry
+
+    registry.load_all()
+    batch = registry.QUERIES["events_tumbling_1h"](spark, sf_dir)
+    written = spark.read.parquet(out)
+    # update-mode micro-batches may rewrite windows; final state per
+    # window must match the batch result
+    final = written.groupBy("window_start", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
+    lhs = sorted(map(tuple, final.collect()))
+    rhs = sorted(
+        map(tuple, batch.select("window_start", "event_type", "n_events").collect())
+    )
+    assert lhs == rhs
