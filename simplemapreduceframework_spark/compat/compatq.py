@@ -98,3 +98,7 @@ def mr_grouped_avg_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     finished = job.run_rdd(lines).map(lambda kv: (kv[0], kv[1][0] / kv[1][1]))
     return spark.createDataFrame(finished, "grp string, avg_value double")
+
+
+from .._serde import pickle_by_value as _pbv  # noqa: E402
+_pbv(__name__)

@@ -116,3 +116,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = attach_payload(docs)
     return with_payload.mapInPandas(decode_features, FEATURE_SCHEMA)
+
+
+from .._serde import pickle_by_value as _pbv  # noqa: E402
+_pbv(__name__)

@@ -116,6 +116,55 @@ def q22_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q23_pivot",
+    oracle="""
+SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY date_trunc('day', ts)
+""",
+)
+def q23_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type. With the
+    pivot values declared, Spark plans a single pass of conditional
+    aggregates — no second job to discover values, and only (days x 1)
+    rows cross the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@query("stats_numeric")
+def stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/covar/skew/kurt).
+
+    Rows-only: these reduce floats in engine-specific orders, so exact
+    hash-equality with another engine is not defined; a unit test
+    asserts agreement with DuckDB to 1e-9 relative tolerance instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("qty_stddev"),
+        F.var_samp("l_quantity").alias("qty_var"),
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+        F.skewness("l_quantity").alias("qty_skew"),
+        F.kurtosis("l_quantity").alias("qty_kurt"),
+    )
+
+
+@query(
     "asof_join_events",
     oracle="""
 WITH purchases AS (

@@ -209,3 +209,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
     )
+
+
+from .._serde import pickle_by_value as _pbv  # noqa: E402
+_pbv(__name__)

@@ -30,26 +30,37 @@ _LEXICON: dict[str, list[str]] = {
 }
 
 
+# GPT2-style pre-tokenizer shape (contractions | space+word |
+# space+punct run) — shared verbatim with the oracle; avoids
+# lookaheads so Java and RE2 agree.
+_BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\w+| ?[^\s\w]+"
+
+
 @query(
     "text_token_stats",
-    oracle=r"""
+    oracle=rf"""
 SELECT doc_id,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        CAST(LEN(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+       CAST(LEN(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
        CAST(LEN(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
 FROM documents
 """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r"""Token counting: whitespace-free \w+ tokens plus digit/punct
-    tallies, all as codegen'd regexp expressions — zero shuffles, scales
-    linearly with input bytes."""
+    r"""Token counting: whitespace-free \w+ tokens, a BPE-ish
+    pre-tokenizer count (GPT2-style regex), and digit/punct tallies —
+    all codegen'd regexp expressions, zero shuffles, linear in input
+    bytes."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
         F.size(tokens_regex("text")).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
         .cast("bigint")
         .alias("n_digits"),
@@ -175,6 +186,80 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),
             F.coalesce("hits", F.lit(0)).alias("lex_hits"),
         )
+    )
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=r"""
+WITH norm AS (
+    SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, p,
+           CAST('0x' || substr(md5(substr(t, CAST(p AS INT), 8)), 1, 8) AS BIGINT) AS h
+    FROM (SELECT doc_id, t, UNNEST(range(1, GREATEST(LENGTH(t) - 6, 1))) AS p
+          FROM norm)
+),
+windowed AS (
+    SELECT doc_id, p,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+    FROM grams
+)
+SELECT DISTINCT doc_id, wmin AS fp
+FROM windowed
+WHERE p <= n_grams - 3
+""",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash k-grams, window
+    minimum selection — the classic local-fingerprinting algorithm):
+    k=8 char grams hashed with the engine-shared 32-bit md5 hash, then
+    the minimum hash of every w=4 window, deduplicated.
+
+    Guarantees at least one fingerprint per w consecutive grams, so
+    matching substrings of length >= k+w-1 always share a fingerprint —
+    the substring-plagiarism/near-dup primitive. Shape at scale: explode
+    to one row per char position, one window sort per doc, distinct —
+    all single-shuffle-per-stage on doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import hex32
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("t"),
+    )
+    grams = norm.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("t") >= 8, F.sequence(F.lit(1), F.length("t") - 7)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+        "t",
+    ).select(
+        "doc_id", "p", hex32(F.expr("substring(t, p, 8)")).alias("h")
+    )
+    wmin = (
+        Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    )
+    wcnt = Window.partitionBy("doc_id")
+    return (
+        grams.select(
+            "doc_id",
+            "p",
+            F.min("h").over(wmin).alias("wmin"),
+            F.count(F.lit(1)).over(wcnt).alias("n_grams"),
+        )
+        .filter(F.col("p") <= F.col("n_grams") - 3)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
     )
 
 

@@ -119,3 +119,7 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapper contract vectorized; oracle = SQL UNNEST."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(_tokenize_batches, "doc_id bigint, token string")
+
+
+from .._serde import pickle_by_value as _pbv  # noqa: E402
+_pbv(__name__)

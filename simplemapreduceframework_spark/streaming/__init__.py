@@ -5,3 +5,4 @@ from .jobs import (  # noqa: F401
     sliding_counts_stream,
     tumbling_counts_stream,
 )
+from .stateful import running_user_totals  # noqa: F401

@@ -97,7 +97,10 @@ def sessionized_stream(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
 
 
 def run_available_now(
-    result: DataFrame, spark: SparkSession, table_prefix: str = "stream_out"
+    result: DataFrame,
+    spark: SparkSession,
+    table_prefix: str = "stream_out",
+    output_mode: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into a
     memory sink, wait for completion, return the materialized table.
@@ -108,10 +111,11 @@ def run_available_now(
     a static complete file set means none).
     """
     name = f"{table_prefix}_{uuid.uuid4().hex[:8]}"
+    mode = output_mode or ("complete" if result.isStreaming else "append")
     q: StreamingQuery = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if result.isStreaming else "append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

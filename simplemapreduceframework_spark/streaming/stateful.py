@@ -1,0 +1,66 @@
+"""Custom stateful streaming operators via applyInPandasWithState —
+the Spark-native form of "arbitrary per-key state", which the
+reference could only express as a full re-run of its two-phase
+pipeline (no streaming exists there, SURVEY.md section 2.4).
+
+State shape and scale: one small state row per active key, stored in
+the state store, evicted by timeout/watermark. The update function
+sees Arrow batches per key per micro-batch — never per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_user_totals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Running per-user totals: fold each micro-batch into (count, sum)
+    state and emit the updated row."""
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Stateful running (count, sum) per user over the event stream.
+
+    Each micro-batch updates per-user state and emits the new totals
+    (output mode: update). State is two numbers per user — bounded by
+    the active-user cardinality, not the stream length.
+    """
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+from .._serde import pickle_by_value as _pbv  # noqa: E402
+_pbv(__name__)

@@ -103,3 +103,59 @@ def test_cosine_values_match_python(spark, sf_dir):
             a, b = emb[qid], emb[nid]
             expect = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
             assert cos == expect, (qid, nid, cos, expect)
+
+
+def test_stats_numeric_matches_duckdb_approximately(spark, duck, sf_dir):
+    """Float-order-sensitive aggregates: assert 1e-9 relative agreement
+    with DuckDB (exact hash equality is undefined for these)."""
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in Q["stats_numeric"](spark, sf_dir).collect()
+    }
+    exp = duck.execute(
+        """
+        SELECT l_returnflag,
+               stddev_samp(l_quantity) AS qty_stddev,
+               var_samp(l_quantity) AS qty_var,
+               corr(l_quantity, l_extendedprice) AS qty_price_corr,
+               covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+               skewness(l_quantity) AS qty_skew,
+               kurtosis(l_quantity) AS qty_kurt
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchall()
+    cols = ["qty_stddev", "qty_var", "qty_price_corr", "qty_price_covar", "qty_skew", "qty_kurt"]
+    counts = dict(
+        duck.execute(
+            "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    for row in exp:
+        flag, vals = row[0], dict(zip(cols, row[1:]))
+        n = counts[flag]
+        for c, v in vals.items():
+            g = got[flag][c]
+            if c == "qty_skew":
+                # DuckDB reports sample-adjusted G1; Spark reports g1.
+                v = v * (n - 2) / math.sqrt(n * (n - 1))
+            elif c == "qty_kurt":
+                # DuckDB: sample excess kurtosis G2; Spark: g2.
+                # G2 = ((n+1)*g2 + 6) * (n-1)/((n-2)(n-3))  =>  invert.
+                v = v * (n - 2) * (n - 3) / ((n + 1) * (n - 1)) - 6.0 / (n + 1)
+            assert abs(g - v) <= 1e-6 * max(abs(v), 1.0), (flag, c, g, v)
+
+
+def test_winnow_fingerprints_guarantee(spark, sf_dir):
+    """Winnowing guarantee: identical documents share identical
+    fingerprint sets."""
+    fps: dict[int, set] = {}
+    for r in Q["text_winnow_fingerprints"](spark, sf_dir).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    by_text: dict[str, list[int]] = {}
+    for r in docs.select("doc_id", "text").collect():
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    for ids in by_text.values():
+        if len(ids) > 1:
+            sets = [fps[i] for i in ids]
+            assert all(s == sets[0] for s in sets)

@@ -71,3 +71,34 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     n = out.collect()[0]["count"]
     expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n == expected  # event_id is unique => dedup is a no-op pass-through
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    """applyInPandasWithState custom operator: final per-user state
+    must equal the batch aggregate (counts exact; float totals to
+    1e-9 relative, since accumulation order differs)."""
+    from simplemapreduceframework_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        running_user_totals,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    out = run_available_now(running_user_totals(events), spark, output_mode="update")
+    # update mode: last emitted row per user is the final state
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.orderBy("n_events").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert final.keys() == batch.keys()
+    for u, (n, t) in batch.items():
+        fn, ft = final[u]
+        assert fn == n, (u, fn, n)
+        assert abs(ft - t) <= 1e-9 * max(abs(t), 1.0), (u, ft, t)
