@@ -64,23 +64,31 @@ shingles AS (
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, word-3-gram) pairs — Spark twin of _SHINGLES_CTE."""
+    """Distinct (doc_id, word-3-gram) pairs — Spark twin of _SHINGLES_CTE.
+
+    Built with posexplode + window lead instead of a higher-order
+    ``transform`` lambda: HOFs run interpreted (~10x slower here), while
+    posexplode/lead/concat_ws stay in codegen; the only shuffle is the
+    per-doc window sort. Shingle strings are identical to the oracle's
+    t[i] || ' ' || t[i+1] || ' ' || t[i+2].
+    """
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+        tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "word", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+            ).alias("shingle"),
+            F.lead("word", 2).over(w).alias("_w2"),
+        )
+        .filter(F.col("_w2").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
     )
 
 
@@ -134,8 +142,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ground truth the MinHash path is tested against; at 100 TB use
     dedup_minhash_lsh. Jaccard divides identical integers -> the double
     is engine-exact.
+
+    The shingle index is cached: it feeds the pair join twice and the
+    size table once (on a cluster the same index would be a persisted
+    / bucketed table shared across dedup runs).
     """
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")
@@ -212,9 +224,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is K ints per doc regardless of doc length; candidate volume
     is bounded by band-bucket collisions rather than corpus^2. The
     band-signature string and the hash family are shared with the DuckDB
-    oracle, so candidates (and therefore output) match exactly.
+    oracle, so candidates (and therefore output) match exactly. The
+    shingle index is cached — signatures, sizes, and the verify join
+    all read it.
     """
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).persist()
     hashed = sh.select("doc_id", hex32(F.col("shingle")).alias("h"))
     # All K mins in ONE partial-aggregating groupBy (no K-fold row
     # explosion): each executor ships one K-int row per doc it holds.
@@ -348,6 +362,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+@query("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the
+    verified near-dup pairs (label propagation to the minimum doc_id).
+
+    Iterative algorithm (rows-only — not SQL-expressible): each round
+    every doc takes the min label among itself and its neighbors;
+    converges in O(component diameter) rounds — near-dup clusters are
+    tiny, so 2-3 shuffles in practice, each a key-equi join + min-agg.
+    The convergence check is a driver-side count of changed labels (one
+    scalar per round, not a collect of data).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 @query(

@@ -1,0 +1,119 @@
+"""Scale tooling: bucketed co-located joins (no exchange), salting for
+skew, and the iterative dedup-cluster operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from simplemapreduceframework_spark import registry
+from simplemapreduceframework_spark.functions.skew import (
+    explode_salted_join,
+    salted_agg_sum,
+)
+from simplemapreduceframework_spark.plans import explain_str, n_exchanges
+from simplemapreduceframework_spark.sources import load_table
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key co-locates the join: the
+    plan must contain zero shuffle exchanges — at 100 TB this is the
+    difference between a full reshuffle of the fact table per join and
+    none at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", str(tmp_path / "orders_bkt"))
+        .saveAsTable("orders_bkt")
+    )
+    (
+        cust.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", str(tmp_path / "customer_bkt"))
+        .saveAsTable("customer_bkt")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert n_exchanges(joined) == 0, explain_str(joined)
+        expected = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_salted_agg_sum_correct(spark):
+    """Salted two-stage sum == plain sum, with a pathologically skewed
+    key (90% of rows on one key)."""
+    rows = [("hot", 1)] * 9000 + [(f"k{i}", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, v int")
+    got = {
+        r["key"]: r["total"]
+        for r in salted_agg_sum(df, "key", F.col("v"), 16, "total").collect()
+    }
+    exp = {
+        r["key"]: r["s"]
+        for r in df.groupBy("key").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == exp
+
+
+def test_explode_salted_join_correct(spark):
+    facts = spark.createDataFrame(
+        [("hot", i) for i in range(2000)] + [("cold", i) for i in range(10)],
+        "key string, v int",
+    )
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], "key string, label string")
+    out = explode_salted_join(facts, dim, "key", 8)
+    assert out.count() == facts.count()
+    assert out.filter(F.col("label") == "H").count() == 2000
+
+
+def test_dedup_clusters_match_union_find(spark, sf_dir):
+    """Distributed label propagation == driver-side union-find over the
+    same pair set."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in Q["dedup_minhash_lsh"](spark, sf_dir).collect()
+    ]
+    labels = {
+        r["doc_id"]: r["cluster_id"] for r in Q["dedup_clusters"](spark, sf_dir).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    for doc, lbl in labels.items():
+        expected = find(doc) if doc in parent else doc
+        assert lbl == expected, (doc, lbl, expected)
+    # docs in no pair keep themselves as cluster id
+    assert all(labels[d] <= d for d in labels)
