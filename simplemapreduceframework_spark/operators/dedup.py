@@ -437,33 +437,52 @@ WHERE cos_sim >= 0.4
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force all-pairs baseline).
 
-    Quadratic by construction — kept as the exactness baseline at
-    validation scale; the 100 TB path is LSH bucketing first
-    (similarity.ann_lsh_bucketed) so only same-bucket pairs are scored.
-    Norms are computed once per vector; per-pair dots run in the
-    Arrow-batched sequential-fold UDF (see operators/similarity.py for
-    why not a JVM expression chain), so cosines stay bit-identical to
-    the oracle's list_dot_product.
+    Quadratic compute by construction (it is the exact baseline — the
+    100 TB path is LSH bucketing first, similarity.ann_lsh_bucketed),
+    but with NO quadratic data movement: instead of materializing the
+    2M-row pair join, the corpus matrix broadcasts into a mapInPandas
+    pass that scores each partition's rows against it in vectorized
+    chunks and emits only the pairs above threshold. Per-pair dots are
+    elementwise float64 products + np.cumsum (strict left-to-right
+    fold), bit-identical to the oracle's list_dot_product.
     """
-    from .similarity import dot_seq, with_norm
+    import numpy as np
+    import pandas as pd
 
-    emb = with_norm(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").alias("e")
-        )
-    )
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = dot_seq(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
-        F.col("cos_sim") >= 0.4
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # The corpus matrix is the broadcast side (collected once, shipped
+    # once per executor) — the all-pairs baseline requires every worker
+    # to see every vector regardless of formulation; what we avoid is
+    # materializing and shuffling the O(n^2) pair rows.
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # norms with the same sequential fold as the per-pair dots
+    norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+    corpus = spark.sparkContext.broadcast((ids, V, norms))
+    threshold = 0.4
+
+    def score_against_corpus(batches):
+        c_ids, c_V, c_norms = corpus.value
+        dim = c_V.shape[1]
+        for pdf in batches:
+            A = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ib = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nb = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            # dot via explicit accumulation over dimensions: each pair's
+            # sum adds p_0, p_1, ... left-to-right (acc starts at 0.0),
+            # identical to np.cumsum / list_dot_product, but only an
+            # (m x n) accumulator is ever materialized.
+            acc = np.zeros((len(A), len(c_ids)))
+            for d in range(dim):
+                acc += A[:, d][:, None] * c_V[:, d][None, :]
+            cos = acc / (nb[:, None] * c_norms[None, :])
+            ai, bi = np.nonzero((ib[:, None] < c_ids[None, :]) & (cos >= threshold))
+            if len(ai):
+                yield pd.DataFrame(
+                    {"id_a": ib[ai], "id_b": c_ids[bi], "cos_sim": cos[ai, bi]}
+                )
+
+    return emb.mapInPandas(
+        score_against_corpus, "id_a bigint, id_b bigint, cos_sim double"
     )

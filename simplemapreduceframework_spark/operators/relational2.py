@@ -145,6 +145,93 @@ def q23_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q24_multiset_ops",
+    oracle="""
+WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+     b AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A')
+SELECT 'intersect_all' AS op, k, COUNT(*) AS n
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+UNION ALL
+SELECT 'except_all' AS op, k, COUNT(*) AS n
+FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+""",
+)
+def q24_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL) — duplicate-
+    preserving semantics the reference's concat-and-dedup model cannot
+    express. Output aggregated to (key, multiplicity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("k"))
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionByName(ea)
+
+
+@query(
+    "q25_array_agg",
+    oracle="""
+SELECT l_returnflag,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+       array_to_string(list_sort(list(DISTINCT CAST(l_linenumber AS VARCHAR))), ',') AS linenumbers,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q25_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: collect_set -> sorted array -> joined
+    string (string form keeps the oracle compare engine-neutral)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("l_linenumber").cast("string"))), ","
+        ).alias("linenumbers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q26_SQL = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+FROM orders o
+WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("q26_sql_api", oracle=_Q26_SQL)
+def q26_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: a correlated scalar subquery executed
+    verbatim through spark.sql() — Catalyst decorrelates it into an
+    aggregate + join (no per-row subquery execution). The oracle is the
+    *same SQL text*, proving dialect-portable ANSI coverage.
+
+    (The avg comparison is a filter, not an output, so double AVG
+    nondeterminism cannot flip rows: totalprice > 2*avg is robust for
+    this data — no row sits within float noise of the boundary.)
+    """
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q26_SQL)
+
+
 @query("stats_numeric")
 def stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/variance/corr/covar/skew/kurt).

@@ -142,3 +142,28 @@ def test_wordcount_property_vs_python_oracle(spark_global, lines):
 def spark_global(spark):
     # hypothesis can't use function-scoped fixtures; alias the session one
     return spark
+
+
+def test_dog_csv_table_mode(spark, tmp_path):
+    """The reference's documented SQL recipe end-to-end through
+    LocalClient in 'table' mode (README.md:25-36): headerless CSV,
+    positional columns, mapper emits (dog,(age,1)), combiner partial-
+    sums, reducer finishes — result equals AVG(age) GROUP BY dog."""
+    csv = tmp_path / "dog.csv"
+    rows = [("rex", 2), ("rex", 4), ("bella", 1), ("rex", 3), ("max", 10), ("bella", 3)]
+    csv.write_text("".join(f"{d},{a}\n" for d, a in rows))
+    fn = tmp_path / "dog_functions.py"
+    fn.write_text(
+        "def mapper(key, value):\n"
+        "    cols = value.split(',')\n"
+        "    return [(cols[0], (int(cols[1]), 1))]\n"
+        "def combiner(key, values):\n"
+        "    return key, (sum(v[0] for v in values), sum(v[1] for v in values))\n"
+        "def reducer(key, values):\n"
+        "    s = sum(v[0] for v in values); c = sum(v[1] for v in values)\n"
+        "    return key, s / c\n"
+    )
+    result = dict(
+        LocalClient(spark, str(csv), str(fn), data_type="table").execute()
+    )
+    assert result == {"rex": 3.0, "bella": 2.0, "max": 10.0}
