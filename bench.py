@@ -31,11 +31,20 @@ HEADLINE = [
     "q8_window_topn_per_group",
     "q13_distinct_agg",
     "q17_multisort_limit",
+    "q20_window_suite",
+    "q21_json_extract",
+    "q23_pivot",
+    "q26_sql_api",
+    "q27_promo_revenue",
+    "q28_hierarchical_rollup",
+    "asof_join_events",
     "wordcount",
     "grouped_avg",
     "mr_wordcount_compat",
+    "udtf_tokenize",
     "text_quality_score",
     "text_lang_id",
+    "text_winnow_fingerprints",
     "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",

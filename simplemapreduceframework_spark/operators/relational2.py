@@ -232,6 +232,89 @@ def q26_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q26_SQL)
 
 
+@query(
+    "q27_promo_revenue",
+    oracle=f"""
+SELECT p_type,
+       COUNT(*) AS n_items,
+       CAST(SUM({{dp}}) AS DOUBLE) AS revenue,
+       CAST(SUM(CASE WHEN p_size >= 25 THEN {{dp}} END) AS DOUBLE) AS large_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY p_type
+""".format(
+        dp="CAST(l_extendedprice AS DECIMAL(12,2)) * "
+        "CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))"
+    ),
+)
+def q27_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dimension join on the part table (TPC-H Q14 shape): revenue
+    by part type with a conditional slice. part broadcasts; lineitem
+    never shuffles — single exchange for the 6-group aggregate."""
+    from ..functions import money, one_minus_rate
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    dp = money("l_extendedprice") * one_minus_rate("l_discount")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dp).cast("double").alias("revenue"),
+            F.sum(F.when(F.col("p_size") >= 25, dp)).cast("double").alias(
+                "large_revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q28_hierarchical_rollup",
+    oracle="""
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+)
+def q28_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: raw events roll to
+    1-minute partials (count / decimal sum / max), and the 1-hour level
+    is computed FROM the partials — never re-reading raw data.
+
+    This is the pattern that makes 100 TB time-series rollups cheap:
+    the minute-level pre-aggregate shrinks the data ~raw/minute-count
+    before the coarser levels, and every level is derivable from the
+    previous (counts add, decimal sums add, maxes max). The oracle
+    computes the hour level straight from raw — exact-equality proves
+    the partial-reuse decomposition is lossless.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(F.window("ts", "1 minute").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("tv"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("w.start")).alias("h")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("tv").alias("tv"),
+        F.max("mx").alias("max_value"),
+    )
+    return hour.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        F.col("tv").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
 @query("stats_numeric")
 def stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/variance/corr/covar/skew/kurt).

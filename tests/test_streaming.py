@@ -102,3 +102,52 @@ def test_stateful_running_totals(spark, sf_dir):
         fn, ft = final[u]
         assert fn == n, (u, fn, n)
         assert abs(ft - t) <= 1e-9 * max(abs(t), 1.0), (u, ft, t)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """True late-data semantics: an event far older than the watermark
+    is dropped once the late-record filter has engaged.
+
+    Spark's late-drop watermark lags one micro-batch behind the state-
+    eviction watermark (empirically pinned here): a late row in batch 1
+    may still be absorbed, but by batch 2 the filter holds — hence
+    three ordered micro-batches (on-time, on-time, late). The file
+    source orders batches by file modification time."""
+    import datetime as dt
+    import os
+    import time
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    b1 = [(i, base + dt.timedelta(minutes=i), 1.0) for i in range(0, 60, 10)]
+    b2 = [(100 + i, base + dt.timedelta(minutes=60 + i), 1.0) for i in range(0, 60, 10)]
+    b3 = [(999, base - dt.timedelta(hours=3), 100.0)]  # far behind watermark
+    schema = "event_id long, ts timestamp, value double"
+    src = tmp_path / "late_src"
+    src.mkdir()
+    now = time.time()
+    for name, data, off in [("a", b1, -120), ("b", b2, -60), ("c", b3, 0)]:
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+            str(src / f"{name}.parquet")
+        )
+        for root, _, files in os.walk(src / f"{name}.parquet"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + off, now + off))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n")
+    )
+    from simplemapreduceframework_spark.streaming import run_available_now
+
+    out = run_available_now(agg, spark, output_mode="append")
+    rows = {r["ws"]: r["n"] for r in out.collect()}
+    # the late event's 09:00 window must NOT appear; the finalized
+    # 12:00 window appears exactly once with only on-time rows
+    assert "2024-06-01 09:00:00" not in rows, rows
+    assert rows.get("2024-06-01 12:00:00") == 6, rows
