@@ -41,6 +41,7 @@ from pyspark import RDD
 from pyspark.sql import DataFrame, SparkSession
 
 Pair = tuple[Any, Any]
+_NO_KEY = object()  # sentinel distinct from any user key
 Mapper = Callable[[Any, str], list[Pair]]
 Combiner = Callable[[Any, Iterable[Any]], Pair]
 Reducer = Callable[[Any, Iterable[Any]], Pair]
@@ -95,17 +96,21 @@ class MapReduceJob:
         combiner: Combiner | None = None,
         mode: str = "faithful",
         num_partitions: int | None = None,
+        sort_values: bool = False,
     ) -> None:
         if mode not in ("faithful", "fast"):
             raise ValueError(f"mode must be 'faithful' or 'fast', got {mode!r}")
         if mode == "fast" and reducer is None:
             raise ValueError("fast mode requires a reducer")
+        if sort_values and mode != "faithful":
+            raise ValueError("sort_values (secondary sort) requires faithful mode")
         self.spark = spark
         self.mapper = mapper
         self.reducer = reducer
         self.combiner = combiner
         self.mode = mode
         self.num_partitions = num_partitions
+        self.sort_values = sort_values
 
     # -- dataflow stages ------------------------------------------------
 
@@ -138,6 +143,8 @@ class MapReduceJob:
         if reducer is None:
             return combined
         parts = self.num_partitions or lines.getNumPartitions()
+        if self.sort_values:
+            return self._run_secondary_sort(combined, parts)
         if self.mode == "faithful":
             # Exact reference semantics: reducer sees the complete value
             # list per key (one shuffle file per key there; one shuffle
@@ -150,6 +157,38 @@ class MapReduceJob:
         return combined.reduceByKey(
             lambda a, b: reducer(None, [a, b])[1], parts
         ).map(lambda kv: (kv[0], kv[1]))
+
+    def _run_secondary_sort(self, combined: RDD, parts: int) -> RDD:
+        """Secondary sort: the reducer receives its key's values in
+        sorted order WITHOUT an in-memory per-key sort — the classic
+        MapReduce pattern the reference's dict-grouping cannot offer
+        (tasktracker.py:273-278 preserves first-seen order only).
+
+        repartitionAndSortWithinPartitions shuffles on hash(key) and
+        sorts each partition by the full (key, value) composite, so a
+        streaming pass over the partition yields each key's values
+        already ordered — spill-friendly at any values-per-key size.
+        """
+        reducer = self.reducer
+
+        def reduce_sorted_runs(part: Iterator[tuple[Pair, None]]) -> Iterator[Pair]:
+            current_key: Any = _NO_KEY
+            values: list[Any] = []
+            for (k, v), _ in part:
+                if k != current_key:
+                    if current_key is not _NO_KEY:
+                        yield reducer(current_key, values)
+                    current_key, values = k, [v]
+                else:
+                    values.append(v)
+            if current_key is not _NO_KEY:
+                yield reducer(current_key, values)
+
+        keyed = combined.map(lambda kv: (kv, None))
+        sorted_parts = keyed.repartitionAndSortWithinPartitions(
+            numPartitions=parts, partitionFunc=lambda kv: hash(kv[0])
+        )
+        return sorted_parts.mapPartitions(reduce_sorted_runs)
 
     def run(self, lines: RDD | DataFrame | list[str]) -> list[Pair]:
         """Run and collect, returning list[(k, v)] like the reference

@@ -167,3 +167,43 @@ def test_dog_csv_table_mode(spark, tmp_path):
         LocalClient(spark, str(csv), str(fn), data_type="table").execute()
     )
     assert result == {"rex": 3.0, "bella": 2.0, "max": 10.0}
+
+
+def test_secondary_sort(spark):
+    """Secondary sort: reducer sees values in sorted order without an
+    in-memory per-key sort (repartitionAndSortWithinPartitions)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"k{i % 5}", rng.randint(0, 1000)) for i in range(500)]
+
+    def mapper(key, value):
+        k, v = value.split(",")
+        return [(k, int(v))]
+
+    def reducer(key, values):
+        vals = list(values)
+        assert vals == sorted(vals), f"values not sorted for {key}"
+        return key, (vals[0], vals[-1], len(vals))
+
+    lines = [f"{k},{v}" for k, v in rows]
+    got = dict(
+        MapReduceJob(spark, mapper, reducer, sort_values=True).run(lines)
+    )
+    expected = {}
+    for k, v in rows:
+        expected.setdefault(k, []).append(v)
+    for k, vals in expected.items():
+        vals.sort()
+        assert got[k] == (vals[0], vals[-1], len(vals))
+
+
+def test_secondary_sort_requires_faithful(spark):
+    def mapper(key, value):
+        return [(value, 1)]
+
+    def reducer(key, values):
+        return key, sum(values)
+
+    with pytest.raises(ValueError):
+        MapReduceJob(spark, mapper, reducer, mode="fast", sort_values=True)

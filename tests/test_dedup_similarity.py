@@ -159,3 +159,18 @@ def test_winnow_fingerprints_guarantee(spark, sf_dir):
         if len(ids) > 1:
             sets = [fps[i] for i in ids]
             assert all(s == sets[0] for s in sets)
+
+
+def test_approx_distinct_error_bounds(spark, duck, sf_dir):
+    """HyperLogLog++ and approximate quantiles: assert bounded error vs
+    exact values (approximation differs by engine by design)."""
+    got = {r["l_returnflag"]: r.asDict() for r in Q["approx_distinct"](spark, sf_dir).collect()}
+    exact = duck.execute(
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey), "
+        "quantile_cont(l_quantity, 0.5) FROM lineitem GROUP BY l_returnflag"
+    ).fetchall()
+    for flag, nd, med in exact:
+        approx = got[flag]["approx_parts"]
+        assert abs(approx - nd) <= 0.1 * nd, (flag, approx, nd)
+        q50 = got[flag]["qty_quantiles"][0]
+        assert abs(q50 - med) <= 3.0, (flag, q50, med)
