@@ -220,6 +220,9 @@ class LocalClient:
     ) -> None:
         if data_type not in ("text", "table"):
             raise ValueError("data_type must be 'text' or 'table'")
+        for p, what in ((data_path, "data file"), (functions_path, "functions file")):
+            if not Path(p).exists():
+                raise FileNotFoundError(f"{what} not found: {p}")
         self.spark = spark
         self.data_path = str(data_path)
         self.functions_path = str(functions_path)

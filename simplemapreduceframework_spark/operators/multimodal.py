@@ -81,6 +81,65 @@ def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     )
 
 
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, payload binary"
+
+
+def make_resize(target_w: int, target_h: int):
+    """Image-resize stage (mapInPandas body factory).
+
+    Deterministic fake: "resizing" truncates/zero-pads the payload to
+    target_w*target_h bytes — the real implementation swaps in
+    PIL.Image.resize; batch shape, schema, and the row-local/no-shuffle
+    contract are identical.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_w * target_h
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:n]) + b"\x00" * max(0, n - len(b))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": resized,
+                }
+            )
+
+    return resize
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def make_frame_sampler(n_frames: int, frame_bytes: int = 16):
+    """Video frame-sampling stage (1 row -> n_frames rows).
+
+    Deterministic fake: evenly spaced byte-slices of the payload stand
+    in for decoded frames (real impl: ffmpeg keyframe extraction). The
+    1->N fan-out shape matches the UDTF contract, so downstream
+    per-frame feature extraction composes unchanged.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_frame = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                total = len(payload)
+                for i in range(n_frames):
+                    start = (i * max(total - frame_bytes, 0)) // max(n_frames - 1, 1)
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_frame.append(bytes(payload[start : start + frame_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame": out_frame}
+            )
+
+    return sample
+
+
 @query(
     "multimodal_meta",
     oracle="""

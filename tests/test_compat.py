@@ -207,3 +207,8 @@ def test_secondary_sort_requires_faithful(spark):
 
     with pytest.raises(ValueError):
         MapReduceJob(spark, mapper, reducer, mode="fast", sort_values=True)
+
+
+def test_local_client_missing_files(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        LocalClient(spark, str(tmp_path / "nope.txt"), str(tmp_path / "f.py"))

@@ -56,3 +56,46 @@ def test_decode_matches_payload_bytes(spark, sf_dir):
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         next(decode_real(iter([])))
+
+
+def test_resize_stage(spark, sf_dir):
+    """Resize plumbing: fixed output dims, payload truncated/padded to
+    exactly w*h bytes, row count preserved, no shuffle in the plan."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        RESIZE_SCHEMA,
+        attach_payload,
+        make_resize,
+    )
+    from simplemapreduceframework_spark.plans import n_exchanges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wp = attach_payload(docs)
+    resized = wp.mapInPandas(make_resize(16, 8), RESIZE_SCHEMA)
+    assert n_exchanges(resized) == 0
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["payload"]) == 16 * 8 for r in rows)
+    assert all((r["width"], r["height"]) == (16, 8) for r in rows)
+
+
+def test_frame_sampler_fanout(spark, sf_dir):
+    """Frame sampling: 1 row -> n_frames rows, deterministic slices."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        attach_payload,
+        make_frame_sampler,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    wp = attach_payload(docs)
+    frames = wp.mapInPandas(make_frame_sampler(4), FRAME_SCHEMA)
+    rows = frames.collect()
+    assert len(rows) == 20 * 4
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+    # deterministic across runs
+    again = sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect())
+    first = sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in rows)
+    assert again == first
