@@ -13,7 +13,6 @@ row-local so it scales linearly).
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 

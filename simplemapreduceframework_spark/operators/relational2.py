@@ -315,6 +315,101 @@ def q28_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_exact_moments",
+    oracle="""
+WITH sums AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS sx,
+           SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0))) AS sy,
+           SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0))
+                    * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS syy,
+           SUM(CAST(CAST(l_quantity AS BIGINT)
+                    * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS qty_var,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 100 AS qty_price_covar,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS qty_price_corr
+FROM sums
+""",
+)
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed moment statistics with a *bit-exact* oracle.
+
+    Built-in stddev/corr reduce floats in engine-specific order (see
+    stats_numeric, rows-only). Here the moments are accumulated EXACTLY
+    — quantities as int64, prices as integer cents in DECIMAL(38,0) —
+    and the variance/covariance/correlation formulas run on those exact
+    sums with a fixed double-arithmetic order, so any engine computes
+    the same bits. This is the pattern for auditable statistics at
+    100 TB: exact single-pass partial-aggregable sums, float math only
+    at the final scalar step.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(cents).alias("sy"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("syy"),
+        F.sum((qty * cents).cast("decimal(38,0)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return sums.select(
+        "l_returnflag",
+        "n",
+        ((n * sxx - sx * sx) / (n * (n - F.lit(1).cast("double")))).alias("qty_var"),
+        (
+            (n * sxy - sx * sy) / (n * (n - F.lit(1).cast("double"))) / F.lit(100.0)
+        ).alias("qty_price_covar"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("qty_price_corr"),
+    )
+
+
+_Q29_SQL = """
+SELECT c_custkey, o_orderkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+GROUP BY c_custkey, o_orderkey
+"""
+
+
+@query("q29_large_orders", oracle=_Q29_SQL)
+def q29_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over an aggregated subquery (large-volume
+    orders), executed as portable SQL text in both engines. Catalyst
+    turns the IN into a left-semi join against the HAVING aggregate —
+    no per-row subquery."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q29_SQL)
+
+
 @query("stats_numeric")
 def stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/variance/corr/covar/skew/kurt).

@@ -174,3 +174,15 @@ def test_approx_distinct_error_bounds(spark, duck, sf_dir):
         assert abs(approx - nd) <= 0.1 * nd, (flag, approx, nd)
         q50 = got[flag]["qty_quantiles"][0]
         assert abs(q50 - med) <= 3.0, (flag, q50, med)
+
+
+def test_exact_moments_agree_with_builtin_stats(spark, sf_dir):
+    """The exact-sum formulation must agree with Spark's builtin
+    var/corr to float tolerance (they estimate the same quantities)."""
+    exact = {r["l_returnflag"]: r.asDict() for r in Q["stats_exact_moments"](spark, sf_dir).collect()}
+    builtin = {r["l_returnflag"]: r.asDict() for r in Q["stats_numeric"](spark, sf_dir).collect()}
+    for flag, e in exact.items():
+        b = builtin[flag]
+        assert abs(e["qty_var"] - b["qty_var"]) <= 1e-6 * abs(b["qty_var"])
+        assert abs(e["qty_price_corr"] - b["qty_price_corr"]) <= 1e-6
+        assert abs(e["qty_price_covar"] - b["qty_price_covar"]) <= 1e-6 * abs(b["qty_price_covar"])
