@@ -151,6 +151,63 @@ def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_range_join",
+    oracle="""
+SELECT e.event_id AS error_id,
+       p.event_id AS purchase_id,
+       e.user_id,
+       CAST(EXTRACT(EPOCH FROM e.ts - p.ts) AS DOUBLE) AS seconds_before_error,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts >= e.ts - INTERVAL 30 MINUTE
+ AND p.ts <= e.ts
+""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every purchase within the 30 minutes before each
+    error, per user (the batch form of a stream-stream interval join).
+
+    Plan shape: equi-join on user_id carries the shuffle; the interval
+    predicate evaluates as a post-join filter within each user's
+    co-partitioned rows — no cross join. At 100 TB add a coarse time-
+    bucket to the join key so each side co-partitions by (user, hour)
+    and the range only scans adjacent buckets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("ets"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pts") >= F.col("ets") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("pts") <= F.col("ets")),
+    )
+    # integer microsecond subtraction first, ONE float division after —
+    # the same op order as the oracle's EXTRACT(EPOCH FROM interval)
+    secs = (
+        (F.unix_micros("ets") - F.unix_micros("pts")).cast("double") / 1_000_000.0
+    )
+    return joined.select(
+        "error_id",
+        "purchase_id",
+        "user_id",
+        secs.alias("seconds_before_error"),
+        "purchase_value",
+    )
+
+
 @query("streaming_tumbling_live")
 def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *actual* Structured Streaming pipeline: readStream(parquet)

@@ -190,6 +190,50 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_vocab",
+    oracle=r"""
+WITH counts AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT UNNEST(regexp_extract_all(lower(text), '\w+')) AS word
+          FROM documents)
+    GROUP BY word
+    HAVING COUNT(*) >= 5
+)
+SELECT word,
+       freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS BIGINT) AS vocab_id
+FROM counts
+""",
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary builder: corpus token frequencies with a
+    min-count cutoff and deterministic id assignment (frequency-ranked,
+    ties alphabetical) — the "build vocab" step of a training pipeline.
+
+    Scale: the frequency table is a partial-aggregated groupBy (corpus
+    tokens collapse per partition first); only the surviving vocab
+    (bounded by the cutoff) reaches the single-partition ranking
+    window, which is fine because vocabularies are small by
+    construction.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(tokens_regex(F.lower(F.col("text")))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return counts.select(
+        "word", "freq", F.row_number().over(w).cast("bigint").alias("vocab_id")
+    )
+
+
+@query(
     "text_winnow_fingerprints",
     oracle=r"""
 WITH norm AS (
