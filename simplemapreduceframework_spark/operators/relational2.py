@@ -410,6 +410,31 @@ def q29_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q29_SQL)
 
 
+@query(
+    "exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS qty_median,
+       quantile_cont(l_quantity, 0.9) AS qty_p90,
+       quantile_cont(l_quantity, 0.99) AS qty_p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics): both
+    engines sort the group and linearly interpolate at the same rank,
+    and quantities are integral, so the interpolated doubles match
+    bit-for-bit. The exact twin of approx_distinct's
+    percentile_approx (the 100 TB sketch path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("qty_median"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("qty_p90"),
+        F.percentile("l_quantity", F.lit(0.99)).alias("qty_p99"),
+    )
+
+
 @query("stats_numeric")
 def stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/variance/corr/covar/skew/kurt).
