@@ -7,6 +7,9 @@ hand-written jobs ever did.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -432,6 +435,84 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).alias("qty_median"),
         F.percentile("l_quantity", F.lit(0.9)).alias("qty_p90"),
         F.percentile("l_quantity", F.lit(0.99)).alias("qty_p99"),
+    )
+
+
+def build_bloom(keys, n_bits: int = 1 << 20, n_hashes: int = 5):
+    """Build a Bloom bit array over int64 keys (numpy, splitmix64-style
+    double hashing). Returns (bits, n_bits, n_hashes)."""
+    k = np.asarray(keys, dtype=np.uint64)
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    # two independent 64-bit mixes -> k_i = h1 + i*h2 (Kirsch-Mitzenmacher)
+    x = k.copy()
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h1 = x ^ (x >> np.uint64(31))
+    y = k + np.uint64(0x9E3779B97F4A7C15)
+    y = (y ^ (y >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h2 = (y ^ (y >> np.uint64(27))) | np.uint64(1)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         (np.uint8(1) << (pos & np.uint64(7))).astype(np.uint8))
+    return bits, n_bits, n_hashes
+
+
+def make_might_contain(bits, n_bits: int, n_hashes: int):
+    """Vectorized membership probe (pandas UDF) over the broadcast bit
+    array — never a false negative."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def might_contain(col: pd.Series) -> pd.Series:
+        k = col.to_numpy(dtype=np.int64).astype(np.uint64)
+        x = k.copy()
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h1 = x ^ (x >> np.uint64(31))
+        y = k + np.uint64(0x9E3779B97F4A7C15)
+        y = (y ^ (y >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h2 = (y ^ (y >> np.uint64(27))) | np.uint64(1)
+        out = np.ones(len(k), dtype=bool)
+        for i in range(n_hashes):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            out &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return pd.Series(out)
+
+    return might_contain
+
+
+@query("bloom_semi_filter")
+def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning — the 100 TB join-reduction
+    pattern: build a Bloom sketch over the (filtered) orders keys, push
+    a `might_contain` probe into the lineitem side as a cheap row
+    filter, THEN do the real join on the survivors.
+
+    At scale this turns "shuffle 100 TB of lineitem to discover 1%
+    joins" into "ship a ~100 KB bit array to every task and shuffle
+    only candidates". No false negatives (results identical to the
+    plain join — pinned by test); false positives only cost the shuffle
+    of a few extra rows. Rows-only: the sketch layout is
+    engine-internal, not SQL-portable.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    keys = [r["o_orderkey"] for r in orders.select("o_orderkey").collect()]
+    bits, n_bits, n_hashes = build_bloom(keys)
+    probe = make_might_contain(bits, n_bits, n_hashes)
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = li.filter(probe(F.col("l_orderkey")))
+    return (
+        pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec2("l_quantity")).cast("double").alias("total_qty"),
+        )
     )
 
 

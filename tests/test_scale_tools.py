@@ -117,3 +117,41 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
         assert lbl == expected, (doc, lbl, expected)
     # docs in no pair keep themselves as cluster id
     assert all(labels[d] <= d for d in labels)
+
+
+def test_bloom_semi_filter_no_false_negatives(spark, sf_dir):
+    """Bloom pre-filtering must not change join results (no false
+    negatives), and must actually prune the probe side."""
+    from pyspark.sql import functions as F2
+
+    out = {
+        r["o_orderpriority"]: (r["n_items"], r["total_qty"])
+        for r in Q["bloom_semi_filter"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").filter(F2.col("o_totalprice") > 400000)
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r["o_orderpriority"]: (r["n"], r["t"])
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum(F2.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("t"),
+        )
+        .collect()
+    }
+    assert out == plain
+    # pruning actually happens: surviving rows well below the full table
+    from simplemapreduceframework_spark.operators.relational2 import (
+        build_bloom,
+        make_might_contain,
+    )
+
+    keys = [r["o_orderkey"] for r in orders.select("o_orderkey").collect()]
+    probe = make_might_contain(*build_bloom(keys))
+    survivors = li.filter(probe(F2.col("l_orderkey"))).count()
+    true_matches = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_semi"
+    ).count()
+    assert survivors >= true_matches  # no false negatives
+    assert survivors < li.count() * 0.5, (survivors, li.count())
