@@ -54,6 +54,12 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "events_tumbling_1h",
     "events_session_10m",
+    "events_range_join",
+    "q29_large_orders",
+    "stats_exact_moments",
+    "exact_percentiles",
+    "text_vocab",
+    "bloom_semi_filter",
 ]
 
 
