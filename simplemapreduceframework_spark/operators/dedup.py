@@ -175,10 +175,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {_SHINGLES_CTE},
+# Full MinHash->LSH->verify pipeline as a reusable CTE chain (shared by
+# the dedup_minhash_lsh oracle and the dedup_clusters connected-
+# components oracle).
+_MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
 hashed AS (
     SELECT doc_id, shingle,
            CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
@@ -206,13 +206,22 @@ verified AS (
     JOIN shingles sa ON sa.doc_id = c.doc_a
     JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
     GROUP BY c.doc_a, c.doc_b
-)
-SELECT v.doc_a, v.doc_b,
-       CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
-FROM verified v
-JOIN sizes za ON za.doc_id = v.doc_a
-JOIN sizes zb ON zb.doc_id = v.doc_b
-WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+),
+pairs AS (
+    SELECT v.doc_a, v.doc_b,
+           CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+    FROM verified v
+    JOIN sizes za ON za.doc_id = v.doc_a
+    JOIN sizes zb ON zb.doc_id = v.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,7 +325,7 @@ bits AS (
     GROUP BY doc_id, b.b
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
 )
@@ -364,17 +373,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_clusters")
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the
     verified near-dup pairs (label propagation to the minimum doc_id).
 
-    Iterative algorithm (rows-only — not SQL-expressible): each round
-    every doc takes the min label among itself and its neighbors;
-    converges in O(component diameter) rounds — near-dup clusters are
-    tiny, so 2-3 shuffles in practice, each a key-equi join + min-agg.
-    The convergence check is a driver-side count of changed labels (one
-    scalar per round, not a collect of data).
+    Iterative algorithm: each round every doc takes the min label among
+    itself and its neighbors; converges in O(component diameter)
+    rounds — near-dup clusters are tiny, so 2-3 shuffles in practice,
+    each a key-equi join + min-agg. The convergence check is a
+    driver-side count of changed labels (one scalar per round, not a
+    collect of data). Oracle: DuckDB recursive-CTE transitive closure
+    (exact at validation scale; quadratic in component size, which is
+    why the engine side iterates instead).
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -450,13 +478,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # The corpus matrix is the broadcast side (collected once, shipped
+    # The corpus matrix is the broadcast side (materialized once, shipped
     # once per executor) — the all-pairs baseline requires every worker
     # to see every vector regardless of formulation; what we avoid is
-    # materializing and shuffling the O(n^2) pair rows.
-    rows = emb.orderBy("vec_id").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # materializing and shuffling the O(n^2) pair rows. The matrix
+    # transits as Arrow columnar batches (toPandas), never as Python
+    # Row objects.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     # norms with the same sequential fold as the per-pair dots
     norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
     corpus = spark.sparkContext.broadcast((ids, V, norms))

@@ -735,13 +735,23 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB alternative to q13's exact
     distinct (HyperLogLog++ sketch, constant memory per group). Rows-only
     check: approximation differs across engines by design; a unit test
-    asserts relative error vs the exact count.
+    asserts relative error vs the exact count. Quantiles come out as
+    scalar columns (not an array) so the driver's canonicalizer can
+    sort/hash the result.
     """
+    q = F.percentile_approx("l_quantity", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_quantity", [0.5, 0.9, 0.99]).alias("qty_quantiles"),
+            q.alias("_qq"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.element_at("_qq", 1).alias("qty_p50"),
+            F.element_at("_qq", 2).alias("qty_p90"),
+            F.element_at("_qq", 3).alias("qty_p99"),
         )
     )

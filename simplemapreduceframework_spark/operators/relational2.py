@@ -484,6 +484,47 @@ def make_might_contain(bits, n_bits: int, n_hashes: int):
     return might_contain
 
 
+def build_bloom_distributed(
+    df: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 5
+):
+    """Distributed Bloom build: each partition hashes its keys into a
+    local numpy bitmap (zero data movement), and the ~n_bits/8-byte
+    bitmaps OR-merge up a treeReduce — the driver only ever sees
+    already-aggregated sketch state, never a key. At 100 TB the build
+    side streams through executors exactly once; what crosses the wire
+    is (num_partitions x 128 KB) of bitmaps, collapsing logarithmically.
+
+    Returns (bits, n_bits, n_hashes) like build_bloom.
+    """
+    import numpy as _np
+
+    def _partition_bitmap(rows):
+        k = _np.fromiter((r[0] for r in rows), dtype=_np.int64).astype(_np.uint64)
+        bits = _np.zeros(n_bits // 8, dtype=_np.uint8)
+        x = k.copy()
+        x = (x ^ (x >> _np.uint64(30))) * _np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> _np.uint64(27))) * _np.uint64(0x94D049BB133111EB)
+        h1 = x ^ (x >> _np.uint64(31))
+        y = k + _np.uint64(0x9E3779B97F4A7C15)
+        y = (y ^ (y >> _np.uint64(30))) * _np.uint64(0xBF58476D1CE4E5B9)
+        h2 = (y ^ (y >> _np.uint64(27))) | _np.uint64(1)
+        for i in range(n_hashes):
+            pos = (h1 + _np.uint64(i) * h2) % _np.uint64(n_bits)
+            _np.bitwise_or.at(
+                bits,
+                (pos >> _np.uint64(3)).astype(_np.int64),
+                (_np.uint8(1) << (pos & _np.uint64(7))).astype(_np.uint8),
+            )
+        yield bits
+
+    merged = (
+        df.select(key_col)
+        .rdd.mapPartitions(_partition_bitmap)
+        .treeReduce(_np.bitwise_or)
+    )
+    return merged, n_bits, n_hashes
+
+
 @query("bloom_semi_filter")
 def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-join pruning — the 100 TB join-reduction
@@ -493,16 +534,20 @@ def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale this turns "shuffle 100 TB of lineitem to discover 1%
     joins" into "ship a ~100 KB bit array to every task and shuffle
-    only candidates". No false negatives (results identical to the
-    plain join — pinned by test); false positives only cost the shuffle
-    of a few extra rows. Rows-only: the sketch layout is
-    engine-internal, not SQL-portable.
+    only candidates". The sketch itself is built distributed
+    (per-partition bitmaps + treeReduce OR — no key ever transits the
+    driver; see build_bloom_distributed). No false negatives (results
+    identical to the plain join — pinned by test); false positives only
+    cost the shuffle of a few extra rows. Rows-only: the sketch layout
+    is engine-internal, not SQL-portable. (Spark's own
+    runtime.bloomFilter rewrite is the automatic analogue; this
+    operator keeps the sketch user-controllable — size, hash count,
+    reuse across queries.)
     """
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 400000
     )
-    keys = [r["o_orderkey"] for r in orders.select("o_orderkey").collect()]
-    bits, n_bits, n_hashes = build_bloom(keys)
+    bits, n_bits, n_hashes = build_bloom_distributed(orders, "o_orderkey")
     probe = make_might_contain(bits, n_bits, n_hashes)
     li = load_table(spark, sf_dir, "lineitem")
     pruned = li.filter(probe(F.col("l_orderkey")))
@@ -516,22 +561,62 @@ def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stats_numeric")
+@query(
+    "stats_numeric",
+    oracle="""
+WITH base AS (
+    SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+),
+mu AS (
+    SELECT l_returnflag, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my
+    FROM base GROUP BY l_returnflag
+),
+cm AS (
+    SELECT b.l_returnflag,
+           ANY_VALUE(n) AS n,
+           SUM((x - mx) * (x - mx)) AS s2x,
+           SUM((x - mx) * (x - mx) * (x - mx)) AS s3x,
+           SUM((x - mx) * (x - mx) * (x - mx) * (x - mx)) AS s4x,
+           SUM((y - my) * (y - my)) AS s2y,
+           SUM((x - mx) * (y - my)) AS sxy
+    FROM base b JOIN mu m USING (l_returnflag)
+    GROUP BY b.l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(SQRT(s2x / (n - 1)), 6) AS qty_stddev,
+       ROUND(s2x / (n - 1), 6) AS qty_var,
+       ROUND(sxy / SQRT(s2x * s2y), 6) AS qty_price_corr,
+       ROUND(sxy / (n - 1), 6) AS qty_price_covar,
+       ROUND((s3x / n) / POW(s2x / n, 1.5), 6) AS qty_skew,
+       ROUND((s4x / n) / POW(s2x / n, 2) - 3, 6) AS qty_kurt
+FROM cm
+""",
+)
 def stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (stddev/variance/corr/covar/skew/kurt).
+    """Statistical aggregates (stddev/variance/corr/covar/skew/kurt),
+    driver-gated at 6-decimal precision.
 
-    Rows-only: these reduce floats in engine-specific orders, so exact
-    hash-equality with another engine is not defined; a unit test
-    asserts agreement with DuckDB to 1e-9 relative tolerance instead.
+    The engines reduce floats in different orders (Welford-style merge
+    vs two-pass centered sums), so raw bits differ at ~1e-14 relative;
+    both sides ROUND(x, 6) to a common double, which the value-hash
+    then matches exactly. The oracle derives population skew/kurt from
+    centered moments directly (DuckDB's built-ins are the
+    sample-adjusted G1/G2 — a definitional, not numeric, difference
+    from Spark's g1/g2). An additional unit test asserts raw (unrounded)
+    agreement to 1e-9 relative tolerance.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_quantity").alias("qty_stddev"),
-        F.var_samp("l_quantity").alias("qty_var"),
-        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-        F.skewness("l_quantity").alias("qty_skew"),
-        F.kurtosis("l_quantity").alias("qty_kurt"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.skewness("l_quantity"), 6).alias("qty_skew"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("qty_kurt"),
     )
 
 
@@ -612,3 +697,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
         F.col("p_value").alias("purchase_value"),
     )
+
+
+from .._serde import pickle_by_value as _pbv  # noqa: E402
+_pbv(__name__)

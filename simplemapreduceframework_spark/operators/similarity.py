@@ -144,7 +144,14 @@ def make_bucket_udf(n_tables: int, n_bits: int, dim: int):
     @pandas_udf(ArrayType(LongType()))
     def buckets(e: pd.Series) -> pd.Series:
         V = np.vstack(e.to_numpy()).astype(np.float64)
-        bits = ((V @ P.T) >= 0).astype(np.int64)  # (n, L*k)
+        # Per-plane sequential fold (np.cumsum) instead of a BLAS matmul:
+        # the same left-to-right float64 accumulation as dot_seq /
+        # DuckDB's list_dot_product, so the oracle computes the exact
+        # same sign bit even when a dot lands near zero.
+        dots = np.empty((V.shape[0], P.shape[0]))
+        for p in range(P.shape[0]):
+            dots[:, p] = np.cumsum(V * P[p][None, :], axis=1)[:, -1]
+        bits = (dots >= 0).astype(np.int64)  # (n, L*k)
         out = []
         for t in range(n_tables):
             chunk = bits[:, t * n_bits : (t + 1) * n_bits]
@@ -157,7 +164,60 @@ def make_bucket_udf(n_tables: int, n_bits: int, dim: int):
     return buckets
 
 
-@query("ann_lsh_bucketed")
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+def _lsh_oracle() -> str:
+    """The full LSH pipeline in DuckDB SQL: identical hyperplanes (md5-
+    derived literals), identical sign-bit bucketing (list_dot_product is
+    the same sequential fold as the bucketer's np.cumsum), identical
+    candidate join + rank — so even this *approximate* operator is
+    exactly reproducible and hash-gated."""
+    planes = _hyperplanes(_LSH_TABLES * _LSH_BITS, _DIM)
+    tables = []
+    for t in range(_LSH_TABLES):
+        bit_terms = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {_plane_literal(planes[t * _LSH_BITS + j])}) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_LSH_BITS)
+        )
+        tables.append(
+            f"SELECT vec_id, e, nrm, {bit_terms} + {t << 32} AS bucket FROM n"
+        )
+    idx_sql = "\n    UNION ALL\n    ".join(tables)
+    return f"""
+WITH n AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings)
+),
+idx AS (
+    {idx_sql}
+),
+q AS (SELECT vec_id AS query_id, bucket FROM idx WHERE vec_id < {_N_QUERIES}),
+cand AS (
+    SELECT DISTINCT q.query_id, i.vec_id AS neighbor_id
+    FROM q JOIN idx i ON i.bucket = q.bucket AND i.vec_id <> q.query_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_sim
+    FROM cand c
+    JOIN n a ON a.vec_id = c.query_id
+    JOIN n b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_oracle())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH — the
     100 TB scale path.
@@ -167,8 +227,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     id and deduped — no cross join anywhere, so pairwise work scales
     with bucket occupancy, not corpus^2. On a cluster the exploded
     (bucket, vec) index is computed once, partitioned by bucket, and
-    reused across query batches. Rows-only: approximation quality is
-    asserted in tests as recall vs ann_cosine_topk.
+    reused across query batches. Fully oracle-gated: the hash family is
+    deterministic (md5-derived hyperplanes) and every float folds in
+    the same order in both engines, so the DuckDB twin reproduces the
+    exact candidate set, scores, and ranking; a unit test additionally
+    asserts recall vs ann_cosine_topk.
     """
     bucket_udf = make_bucket_udf(_LSH_TABLES, _LSH_BITS, _DIM)
     emb = with_norm(

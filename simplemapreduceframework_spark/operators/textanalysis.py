@@ -211,13 +211,13 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties alphabetical) — the "build vocab" step of a training pipeline.
 
     Scale: the frequency table is a partial-aggregated groupBy (corpus
-    tokens collapse per partition first); only the surviving vocab
-    (bounded by the cutoff) reaches the single-partition ranking
-    window, which is fine because vocabularies are small by
-    construction.
+    tokens collapse per partition first). Id assignment is a
+    *distributed* total sort (range-partitioned orderBy) followed by
+    zipWithIndex — per-partition local indexes offset by partition-size
+    prefix sums — so no single-partition window exists anywhere: a
+    min-count-5 vocab over 100 TB of web text (tens of millions of
+    rows) ranks in parallel.
     """
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(
@@ -227,9 +227,13 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 5)
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
-    return counts.select(
-        "word", "freq", F.row_number().over(w).cast("bigint").alias("vocab_id")
+    ranked = (
+        counts.orderBy(F.col("freq").desc(), F.col("word"))
+        .rdd.zipWithIndex()
+        .map(lambda t: (t[0][0], t[0][1], t[1] + 1))
+    )
+    return spark.createDataFrame(
+        ranked, "word string, freq bigint, vocab_id bigint"
     )
 
 

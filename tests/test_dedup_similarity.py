@@ -172,7 +172,7 @@ def test_approx_distinct_error_bounds(spark, duck, sf_dir):
     for flag, nd, med in exact:
         approx = got[flag]["approx_parts"]
         assert abs(approx - nd) <= 0.1 * nd, (flag, approx, nd)
-        q50 = got[flag]["qty_quantiles"][0]
+        q50 = got[flag]["qty_p50"]
         assert abs(q50 - med) <= 3.0, (flag, q50, med)
 
 
