@@ -200,6 +200,62 @@ class MapReduceJob:
         return self.run_rdd(lines).collect()
 
 
+def read_pickled_records(spark: SparkSession, path: str) -> RDD:
+    """Byte-mode record reader: the reference's second record-reader
+    dispatch (tasktracker.py:48-51,111-117 selects ``record_reader_byte``
+    when the phase input is pickled objects; data_handler.py:271-298
+    unpickles one object per slice file).
+
+    Reads each file as pickled data: sequential ``pickle.dump`` frames
+    become one record each, and a single pickled list becomes one record
+    per element. Parallelism is per-file — exactly the reference's
+    slice-file model, so large byte-mode inputs should be many files
+    (its slicer enforces that; Spark's is the file listing).
+    """
+
+    def unpack(kv: tuple[str, bytes]) -> list[Any]:
+        import io
+        import pickle
+
+        objs: list[Any] = []
+        buf = io.BytesIO(kv[1])
+        while True:
+            try:
+                objs.append(pickle.load(buf))
+            except EOFError:
+                break
+        if len(objs) == 1 and isinstance(objs[0], list):
+            return objs[0]
+        return objs
+
+    return spark.sparkContext.binaryFiles(path).flatMap(unpack)
+
+
+def _progress_poller(sc, callback: Callable[[list[dict]], None], stop, interval: float):
+    """Poll the Spark status tracker and report per-stage task progress —
+    the SparkListener-backed analogue of the reference's tqdm progress
+    daemon polling the job status DB (client.py:291-304,
+    progress_job_iterator.py:4-84)."""
+    tracker = sc.statusTracker()
+    while not stop.is_set():
+        infos = []
+        for sid in tracker.getActiveStageIds():
+            si = tracker.getStageInfo(sid)
+            if si is not None:
+                infos.append(
+                    {
+                        "stage": sid,
+                        "num_tasks": si.numTasks,
+                        "completed": si.numCompletedTasks,
+                        "active": si.numActiveTasks,
+                        "failed": si.numFailedTasks,
+                    }
+                )
+        if infos:
+            callback(infos)
+        stop.wait(interval)
+
+
 class LocalClient:
     """API-parity facade for the reference ``Client`` (client.py:12-30):
     submit a (data file, functions file) job, get list[(k, v)] back.
@@ -207,7 +263,15 @@ class LocalClient:
     Implements the reference's job-dedup/result-cache (O11): the job id
     is a content hash of both files (client.py:57-69, worker.py:41-57),
     and a finished job's result is returned without re-execution
-    (jobtracker.py:157-167).
+    (jobtracker.py:157-167). With ``cache_dir`` set, the cache persists
+    across client instances and sessions (the reference keeps finished
+    results in its FS keyed by job id, so a restarted client still
+    short-circuits — jobtracker.py:157-167); otherwise it is in-memory
+    per instance.
+
+    ``execute(progress=cb)`` reports per-stage task counts from Spark's
+    status tracker while the job runs — parity for the reference's
+    client-side tqdm progress daemon (client.py:291-304).
     """
 
     def __init__(
@@ -217,9 +281,10 @@ class LocalClient:
         functions_path: str,
         data_type: str = "text",
         mode: str = "faithful",
+        cache_dir: str | Path | None = None,
     ) -> None:
-        if data_type not in ("text", "table"):
-            raise ValueError("data_type must be 'text' or 'table'")
+        if data_type not in ("text", "table", "pickle"):
+            raise ValueError("data_type must be 'text', 'table', or 'pickle'")
         for p, what in ((data_path, "data file"), (functions_path, "functions file")):
             if not Path(p).exists():
                 raise FileNotFoundError(f"{what} not found: {p}")
@@ -228,6 +293,7 @@ class LocalClient:
         self.functions_path = str(functions_path)
         self.data_type = data_type
         self.mode = mode
+        self.cache_dir = Path(cache_dir) if cache_dir is not None else None
         self._result_cache: dict[str, list[Pair]] = {}
 
     def _job_id(self) -> str:
@@ -238,17 +304,61 @@ class LocalClient:
         h.update(self.mode.encode())
         return h.hexdigest()
 
-    def execute(self) -> list[Pair]:
-        job_id = self._job_id()
+    def _cache_load(self, job_id: str) -> list[Pair] | None:
         if job_id in self._result_cache:
             return self._result_cache[job_id]
+        if self.cache_dir is not None:
+            f = self.cache_dir / f"{job_id}.pkl"
+            if f.exists():
+                import pickle
+
+                result = pickle.loads(f.read_bytes())
+                self._result_cache[job_id] = result
+                return result
+        return None
+
+    def _cache_store(self, job_id: str, result: list[Pair]) -> None:
+        self._result_cache[job_id] = result
+        if self.cache_dir is not None:
+            import pickle
+
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+            (self.cache_dir / f"{job_id}.pkl").write_bytes(pickle.dumps(result))
+
+    def execute(
+        self, progress: Callable[[list[dict]], None] | None = None
+    ) -> list[Pair]:
+        job_id = self._job_id()
+        cached = self._cache_load(job_id)
+        if cached is not None:
+            return cached
         mapper, reducer, combiner = load_functions(self.functions_path)
         # 'table' is the reference's CSV-with-header-stripped mode: still
-        # line-oriented, the mapper indexes columns itself (README.md:30-33).
-        lines = self.spark.sparkContext.textFile(self.data_path)
+        # line-oriented, the mapper indexes columns itself (README.md:30-33);
+        # 'pickle' is the byte-mode record reader (tasktracker.py:111-117).
+        if self.data_type == "pickle":
+            records = read_pickled_records(self.spark, self.data_path)
+        else:
+            records = self.spark.sparkContext.textFile(self.data_path)
         job = MapReduceJob(
             self.spark, mapper, reducer, combiner, mode=self.mode
         )
-        result = job.run_rdd(lines).collect()
-        self._result_cache[job_id] = result
+        stop = poller = None
+        if progress is not None:
+            import threading
+
+            stop = threading.Event()
+            poller = threading.Thread(
+                target=_progress_poller,
+                args=(self.spark.sparkContext, progress, stop, 0.2),
+                daemon=True,
+            )
+            poller.start()
+        try:
+            result = job.run_rdd(records).collect()
+        finally:
+            if stop is not None:
+                stop.set()
+                poller.join(timeout=2)
+        self._cache_store(job_id, result)
         return result

@@ -373,6 +373,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed connected components via the alternating
+    large-star / small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log n) rounds regardless
+    of component diameter, unlike plain label propagation's
+    O(diameter).
+
+    vertices: one column ``id``; edges: columns ``src``, ``dst``
+    (undirected — one row per pair is enough, symmetry is applied
+    here). Returns (id, component) where component is the minimum
+    vertex id in the connected component.
+
+    Each round is two key-equi shuffles (a per-node min and a join
+    back); edges strictly shrink toward a star per component, so the
+    100 TB shape is bounded: state is the edge set itself, no
+    per-node auxiliary structures. Every round ends in an eager
+    localCheckpoint — iterative algorithms MUST truncate lineage, or
+    the logical plan doubles per round and planning itself OOMs (on a
+    cluster with an HDFS checkpoint dir, ``checkpoint()`` is the
+    fault-tolerant variant).
+    """
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(15):  # alternating algorithm: O(log n) rounds
+        # large-star: every neighbor v > u links to m = min(N(u) + {u})
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", "u").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every neighbor v <= u (and u itself) links to the
+        # minimum of the small neighborhood
+        down = large.filter(F.col("v") < F.col("u"))
+        smins = down.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            down.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the edge set is stable (already a star forest)
+        changed = small.exceptAll(e).count() + e.exceptAll(small).count()
+        e = small
+        if changed == 0:
+            break
+    parents = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        vertices.join(parents, vertices["id"] == parents["u"], "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -393,56 +463,25 @@ FROM reach GROUP BY src
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the
-    verified near-dup pairs (label propagation to the minimum doc_id).
+    verified near-dup pairs, labeled by the minimum doc_id in each
+    component.
 
-    Iterative algorithm: each round every doc takes the min label among
-    itself and its neighbors; converges in O(component diameter)
-    rounds — near-dup clusters are tiny, so 2-3 shuffles in practice,
-    each a key-equi join + min-agg. The convergence check is a
-    driver-side count of changed labels (one scalar per round, not a
-    collect of data). Oracle: DuckDB recursive-CTE transitive closure
-    (exact at validation scale; quadratic in component size, which is
-    why the engine side iterates instead).
+    Runs the alternating large-star/small-star algorithm (see
+    connected_components) — O(log n) rounds even for deep chain
+    components, where plain min-label propagation needs O(diameter)
+    shuffles. Oracle: DuckDB recursive-CTE transitive closure (exact at
+    validation scale; quadratic in component size, which is why the
+    engine side iterates instead).
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .distinct()
-        .persist()
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    for _ in range(10):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
 
 
 @query(

@@ -46,6 +46,7 @@ def load_all() -> None:
         referenceq,
         relational,
         relational2,
+        relational3,
         similarity,
         streamingq,
         textanalysis,

