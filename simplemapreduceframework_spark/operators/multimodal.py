@@ -50,15 +50,21 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched fake decoder (mapInPandas body).
 
-    Deterministic per-payload features: byte length, additive checksum,
-    and fake width/height derived from the checksum. A real deployment
-    swaps the body for PIL/ffmpeg calls; the batch shape, schema, and
-    partitioning are exactly what that real decoder would use.
+    Deterministic per-payload features: byte length, a content checksum
+    (first 8 hex digits of the payload md5 as an int — portable, so the
+    whole decode is oracle-checkable in SQL), and fake width/height
+    derived from the checksum. A real deployment swaps the body for
+    PIL/ffmpeg calls; the batch shape, schema, and partitioning are
+    exactly what that real decoder would use.
     """
+    import hashlib
+
     for pdf in batches:
         payloads = pdf["payload"]
         n_bytes = payloads.map(len)
-        checksum = payloads.map(lambda b: sum(b) % (2**32))
+        checksum = payloads.map(
+            lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:8], 16)
+        )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -163,12 +169,25 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")
+@query(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       CAST(CONCAT('0x', SUBSTR(MD5(text), 1, 8)) AS BIGINT) AS checksum,
+       CAST(CAST(CONCAT('0x', SUBSTR(MD5(text), 1, 8)) AS BIGINT) % 1920 AS INTEGER) AS width,
+       CAST(CAST(CONCAT('0x', SUBSTR(MD5(text), 1, 8)) AS BIGINT) % 1080 AS INTEGER) AS height,
+       'fake/raw' AS format
+FROM documents
+""",
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas.
 
-    Rows-only (the decoder is Python-side by nature). Scale: row-local
-    Arrow batches, no shuffle, linear in corpus bytes; on a cluster the
+    The decoder body is Python-side by nature, but its fake features
+    are md5-derived, so the full decode is oracle-checked in SQL (the
+    real-codec path stays `decode_real`). Scale: row-local Arrow
+    batches, no shuffle, linear in corpus bytes; on a cluster the
     payload column stays columnar end-to-end.
     """
     docs = load_table(spark, sf_dir, "documents")

@@ -755,3 +755,53 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("_qq", 3).alias("qty_p99"),
         )
     )
+
+
+@query(
+    "approx_distinct_gate",
+    oracle="""
+SELECT l_returnflag, TRUE AS parts_ok,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the approximate aggregates: sketch
+    estimates can't hash-match another engine, so the checkable claim
+    is the ERROR BOUND — each group emits booleans asserting the HLL++
+    distinct estimate is within 3x its configured rsd (0.05) and each
+    approx percentile is within one quantity unit of the exact one.
+    The oracle is the same booleans derived exactly (all TRUE), so an
+    out-of-bound sketch breaks the hash. Exact counterparts are
+    computed here only to check the bound; `approx_distinct` is the
+    production path.
+    """
+    aq = F.percentile_approx(
+        "l_quantity", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    eq = F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("_ap"),
+            F.countDistinct("l_partkey").alias("_ep"),
+            aq.alias("_aq"),
+            eq.alias("_eq"),
+        )
+    )
+
+    def _q_ok(i: int) -> F.Column:
+        return (
+            F.abs(F.element_at("_aq", i) - F.element_at("_eq", i)) <= F.lit(1.0)
+        )
+
+    return g.select(
+        "l_returnflag",
+        (F.abs(F.col("_ap") - F.col("_ep")) / F.col("_ep") <= F.lit(0.15)).alias(
+            "parts_ok"
+        ),
+        _q_ok(1).alias("p50_ok"),
+        _q_ok(2).alias("p90_ok"),
+        _q_ok(3).alias("p99_ok"),
+    )

@@ -525,7 +525,18 @@ def build_bloom_distributed(
     return merged, n_bits, n_hashes
 
 
-@query("bloom_semi_filter")
+@query(
+    "bloom_semi_filter",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY o_orderpriority
+""",
+)
 def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-join pruning — the 100 TB join-reduction
     pattern: build a Bloom sketch over the (filtered) orders keys, push
@@ -536,13 +547,13 @@ def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins" into "ship a ~100 KB bit array to every task and shuffle
     only candidates". The sketch itself is built distributed
     (per-partition bitmaps + treeReduce OR — no key ever transits the
-    driver; see build_bloom_distributed). No false negatives (results
-    identical to the plain join — pinned by test); false positives only
-    cost the shuffle of a few extra rows. Rows-only: the sketch layout
-    is engine-internal, not SQL-portable. (Spark's own
-    runtime.bloomFilter rewrite is the automatic analogue; this
-    operator keeps the sketch user-controllable — size, hash count,
-    reuse across queries.)
+    driver; see build_bloom_distributed). No false negatives, and false
+    positives are removed by the real join that follows — so the output
+    is bit-identical to the plain join, which is exactly what the
+    oracle checks (the sketch layout is engine-internal, but the
+    *result* is fully SQL-portable). (Spark's own runtime.bloomFilter
+    rewrite is the automatic analogue; this operator keeps the sketch
+    user-controllable — size, hash count, reuse across queries.)
     """
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 400000

@@ -36,13 +36,19 @@ def test_decode_is_deterministic(spark, sf_dir):
 def test_decode_features_batch_contract():
     """The mapInPandas body honors the declared FEATURE_SCHEMA on a
     plain pandas batch (what each Arrow batch looks like)."""
+    import hashlib
+
     batch = pd.DataFrame({"doc_id": [1, 2], "payload": [b"abc", b"\x00\xff"]})
     out = pd.concat(list(decode_features(iter([batch]))))
     assert list(out.columns) == [
         "doc_id", "n_bytes", "checksum", "width", "height", "format",
     ]
     assert out["n_bytes"].tolist() == [3, 2]
-    assert out["checksum"].tolist() == [ord("a") + ord("b") + ord("c"), 255]
+    expected = [
+        int(hashlib.md5(b).hexdigest()[:8], 16) for b in (b"abc", b"\x00\xff")
+    ]
+    assert out["checksum"].tolist() == expected
+    assert out["width"].tolist() == [c % 1920 for c in expected]
 
 
 def test_decode_matches_payload_bytes(spark, sf_dir):
