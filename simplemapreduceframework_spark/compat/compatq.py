@@ -100,5 +100,74 @@ def mr_grouped_avg_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(finished, "grp string, avg_value double")
 
 
+def _pickle_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the documents table as byte-mode input: dict records
+    pickled as sequential frames across 4 slice files (the reference's
+    byte-mode inputs are exactly such user-prepared pickle files,
+    data_handler.py:271-298). Fixture prep, not the measured operator —
+    built once per sf_dir via Arrow and cached in tmp; the split is
+    deterministic (doc_id % 4) so re-builds are byte-identical.
+    """
+    import hashlib
+    import pickle
+    import tempfile
+    from pathlib import Path
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = Path(tempfile.gettempdir()) / f"smrf_pickle_docs_{key}"
+    if not d.exists():
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        tmp = Path(tempfile.mkdtemp(dir=tempfile.gettempdir()))
+        handles = [(tmp / f"part-{i}.pkl").open("wb") for i in range(4)]
+        try:
+            for doc_id, text in zip(docs["doc_id"], docs["text"]):
+                pickle.dump(
+                    {"doc_id": int(doc_id), "text": text},
+                    handles[int(doc_id) % 4],
+                )
+        finally:
+            for h in handles:
+                h.close()
+        try:
+            tmp.rename(d)
+        except OSError:  # concurrent builder won the rename race
+            pass
+    return str(d)
+
+
+def _pickle_wc_mapper(key, value):
+    # byte-mode records are python dicts, not text lines
+    return [(w, 1) for w in value["text"].split()]
+
+
+@query(
+    "mr_pickle_compat",
+    oracle="""
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+""",
+)
+def mr_pickle_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-mode record reader (reference tasktracker.py:48-51,111-117)
+    end-to-end: pickled dict records -> mapper/combiner/reducer word
+    count — same oracle as `mr_wordcount_compat`, proving the pickle
+    reader and the text reader feed the runner identically."""
+    from .mapreduce import read_pickled_records
+
+    records = read_pickled_records(spark, _pickle_fixture_dir(spark, sf_dir))
+    job = MapReduceJob(
+        spark, _pickle_wc_mapper, _wc_reducer, _wc_combiner, mode="faithful"
+    )
+    out = job.run_rdd(records)
+    return spark.createDataFrame(out, "word string, cnt long")
+
+
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)

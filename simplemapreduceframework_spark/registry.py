@@ -90,6 +90,8 @@ CHECK_PRIORITY: list[str] = [
     "q31_important_stock",
     "q32_suppliers_who_kept_waiting",
     "mr_pickle_compat",
+    "approx_distinct_gate",
+    "multimodal_decode",
 ]
 
 
