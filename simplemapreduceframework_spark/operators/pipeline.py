@@ -1,0 +1,126 @@
+"""End-to-end training-data pipeline: the composed shape a 100 TB
+corpus-prep run actually executes — quality filter -> exact dedup ->
+near-dup removal -> per-source stats — as ONE oracle-gated query.
+
+Stage order is the scale story: the row-local quality filter runs
+first (cheapest, biggest volume cut, no shuffle), exact dedup second
+(one hash-groupBy on the survivors), near-dup removal third (the
+MinHash/LSH pair list is computed once over the corpus and reused —
+on a cluster it is a persisted table shared by every pipeline run),
+and only then the per-source aggregate. Every stage reuses the exact
+formulas of its standalone operator (text_quality_score,
+dedup_exact, dedup_minhash_lsh), so the composition is bit-exact
+against the same CTEs chained in DuckDB.
+
+Numeric policy (functions/columns.py): counts and token sums are
+BIGINT; quality doubles divide identical integers; the per-source
+extremes use MIN/MAX (order-independent), never SUM/AVG of computed
+doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import tokens_regex
+from ..registry import query
+from ..sources import load_table
+from .dedup import _MINHASH_PAIRS_CTES, dedup_minhash_lsh
+
+_MIN_QUALITY = 0.43
+_MIN_TOKENS = 20
+
+_PIPELINE_ORACLE = f"""
+WITH {_MINHASH_PAIRS_CTES},
+metrics AS (
+    SELECT doc_id, source, MD5(text) AS content_md5,
+           CAST(LEN(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tok,
+           (CAST(LEN(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) AS DOUBLE)
+              / GREATEST(LEN(regexp_extract_all(text, '\\w+')), 1)
+            + CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+              / GREATEST(LENGTH(text), 1)) / 2 AS quality
+    FROM documents
+),
+quality_kept AS (
+    SELECT * FROM metrics
+    WHERE quality >= {_MIN_QUALITY} AND n_tok >= {_MIN_TOKENS}
+),
+exact_deduped AS (
+    SELECT doc_id, source, n_tok, quality FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5
+                                     ORDER BY doc_id) AS rn
+        FROM quality_kept
+    ) WHERE rn = 1
+),
+near_deduped AS (
+    SELECT * FROM exact_deduped
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality
+FROM near_deduped
+GROUP BY source
+"""
+
+
+@query("pipeline_clean_corpus", oracle=_PIPELINE_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-cleaning pipeline (see module docstring).
+
+    Near-dup removal keeps the smallest doc_id of each verified pair
+    (docs appearing on the doc_b side are dropped via an anti join —
+    a broadcastable list at any scale, since near-dup pairs are rare
+    relative to the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    metrics = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_md5"),
+        F.size(tokens_regex("text")).cast("bigint").alias("n_tok"),
+        (
+            (
+                F.size(
+                    F.regexp_extract_all(
+                        "text", F.lit(r"\b(the|a|of|and|to)\b"), 0
+                    )
+                ).cast("double")
+                / F.greatest(F.size(tokens_regex("text")), F.lit(1))
+                + F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), 0)).cast(
+                    "double"
+                )
+                / F.greatest(F.length("text"), F.lit(1))
+            )
+            / 2
+        ).alias("quality"),
+    )
+    quality_kept = metrics.filter(
+        (F.col("quality") >= _MIN_QUALITY) & (F.col("n_tok") >= _MIN_TOKENS)
+    )
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    exact_deduped = (
+        quality_kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok", "quality")
+    )
+    dup_tails = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
+    near_deduped = exact_deduped.join(
+        F.broadcast(dup_tails),
+        exact_deduped["doc_id"] == dup_tails["doc_b"],
+        "left_anti",
+    )
+    return near_deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
+from .._serde import pickle_by_value as _pbv  # noqa: E402
+_pbv(__name__)

@@ -274,5 +274,170 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF (inverted-file) ANN: k-means cells + nprobe search — the
+# data-adaptive counterpart to the hyperplane LSH path. Centroids adapt
+# to the corpus distribution, so cell occupancy tracks density instead
+# of being fixed by random planes.
+_IVF_CELLS = 16
+_IVF_ITERS = 3
+_IVF_NPROBE = 4
+
+
+def _kmeans_centroids(emb: DataFrame, k: int, iters: int) -> np.ndarray:
+    """Distributed Lloyd's k-means over the vector column.
+
+    Init: the k lowest-vec_id vectors (deterministic, no RNG). Each
+    iteration: (1) every vector gets its nearest centroid from an
+    Arrow-batched argmin against the broadcast centroid matrix — one
+    corpus scan, no shuffle; (2) new centroids via posexplode +
+    partial-aggregated avg — one shuffle of (k x dim) keys. Only the
+    k x dim aggregated centroid matrix ever reaches the driver
+    (constant-size sketch state, like the Bloom build), never vectors.
+    """
+    init = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select("e")
+        .toPandas()["e"]
+    )
+    C = np.vstack(init.to_numpy()).astype(np.float64)
+    for _ in range(iters):
+        assign = _make_assign_udf(C)
+        cells = emb.select(assign(F.col("e")).alias("cell"), "e")
+        new = (
+            cells.select("cell", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("c"))
+            .toPandas()
+        )
+        for _, r in new.iterrows():
+            C[int(r["cell"]), int(r["pos"])] = r["c"]
+    return C
+
+
+def _make_assign_udf(C: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (squared-L2 argmin)."""
+    Cm = C.copy()
+
+    @pandas_udf(LongType())
+    def assign(e: pd.Series) -> pd.Series:
+        V = np.vstack(e.to_numpy()).astype(np.float64)  # (n, dim)
+        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; argmin over cells
+        d = V @ Cm.T  # (n, k)
+        d = (V * V).sum(axis=1, keepdims=True) - 2 * d + (Cm * Cm).sum(axis=1)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int64))
+
+    return assign
+
+
+def _make_probe_udf(C: np.ndarray, nprobe: int):
+    """Per-query nprobe nearest cells, as an array column to explode."""
+    from pyspark.sql.types import ArrayType
+
+    Cm = C.copy()
+
+    @pandas_udf(ArrayType(LongType()))
+    def probe(e: pd.Series) -> pd.Series:
+        V = np.vstack(e.to_numpy()).astype(np.float64)
+        d = (V * V).sum(axis=1, keepdims=True) - 2 * (V @ Cm.T) + (Cm * Cm).sum(
+            axis=1
+        )
+        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int64)
+        return pd.Series(list(order))
+
+    return probe
+
+
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF candidate generation + scoring (used by the top-k
+    query and the recall gate)."""
+    emb = with_norm(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("e")
+        )
+    ).persist()
+    C = _kmeans_centroids(emb, _IVF_CELLS, _IVF_ITERS)
+    assign = _make_assign_udf(C)
+    index = emb.select("vec_id", "e", "nrm", assign(F.col("e")).alias("cell"))
+    probe = _make_probe_udf(C, _IVF_NPROBE)
+    q = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(probe(F.col("e"))).alias("qcell"),
+        )
+    )
+    cand = F.broadcast(q).join(
+        index,
+        (F.col("qcell") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    return cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot_seq(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF: deterministic-init distributed k-means
+    partitions the corpus into cells; each query probes its nprobe
+    nearest cells and scores only their members — candidate volume is
+    (nprobe / cells) of the corpus instead of all of it.
+
+    At 100 TB: train on a sample, store `cell` as a partition column of
+    the vector table, and each query batch touches only its probed
+    partitions (partition pruning on an equi key — no scan of the
+    rest). Rows-only: centroid floats depend on distributed avg
+    accumulation order, so no cross-engine SQL twin exists; the
+    driver-visible gate is ann_ivf_recall_gate, and a unit test pins
+    recall vs the exact baseline.
+    """
+    scored = _ivf_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+@query(
+    "ann_ivf_recall_gate",
+    oracle=f"""
+SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries, TRUE AS recall_ok
+""",
+)
+def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for IVF (same pattern as
+    approx_distinct_gate): the checkable claim for a data-adaptive
+    approximate index is its RECALL against the exact baseline. Emits
+    one row — the query count and a boolean asserting overall recall@k
+    >= 0.4 — against a constant-true oracle, so a recall collapse (bad
+    centroids, broken probe) breaks the hash."""
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+    )
+    hits = ivf.join(
+        exact, (F.col("query_id") == F.col("eq")) & (F.col("neighbor_id") == F.col("en"))
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .select(
+            F.lit(_N_QUERIES).cast("bigint").alias("n_queries"),
+            (F.col("n_hit").cast("double") / F.col("n_exact") >= 0.4).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)

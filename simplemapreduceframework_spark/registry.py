@@ -43,6 +43,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         referenceq,
         relational,
         relational2,
@@ -92,6 +93,9 @@ CHECK_PRIORITY: list[str] = [
     "mr_pickle_compat",
     "approx_distinct_gate",
     "multimodal_decode",
+    "ann_ivf_topk",
+    "ann_ivf_recall_gate",
+    "pipeline_clean_corpus",
 ]
 
 

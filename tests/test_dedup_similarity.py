@@ -186,3 +186,45 @@ def test_exact_moments_agree_with_builtin_stats(spark, sf_dir):
         assert abs(e["qty_var"] - b["qty_var"]) <= 1e-6 * abs(b["qty_var"])
         assert abs(e["qty_price_corr"] - b["qty_price_corr"]) <= 1e-6
         assert abs(e["qty_price_covar"] - b["qty_price_covar"]) <= 1e-6 * abs(b["qty_price_covar"])
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=4 of 16 cells must recover well over half of the
+    exact top-k (the embeddings are clustered, so the data-adaptive
+    cells concentrate true neighbors)."""
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.6, recall
+    # per-query result size never exceeds k
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in ivf)
+    assert all(v <= 5 for v in per_q.values())
+
+
+def test_ivf_candidates_are_pruned(spark, sf_dir):
+    """IVF must actually prune: scored candidates well under corpus
+    size (nprobe/cells of it, give or take cell imbalance)."""
+    from simplemapreduceframework_spark.operators.similarity import _ivf_scored
+
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n_cand = _ivf_scored(spark, sf_dir).count()
+    assert n_cand < 0.7 * n_corpus * 10  # 10 queries, <70% of corpus each
+
+
+def test_pipeline_stages_monotonic(spark, sf_dir):
+    """Each pipeline stage only removes documents; the final per-source
+    doc counts sum to at most the corpus size and every kept doc meets
+    the quality/token floor."""
+    out = Q["pipeline_clean_corpus"](spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in out)
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0 < total <= n_corpus
+    assert all(r["min_quality"] >= 0.43 for r in out)
