@@ -76,6 +76,11 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar source — pushdown/pruning parity with parquet."""
+    return spark.read.orc(path)
+
+
 def read_csv_table(
     spark: SparkSession,
     path: str,

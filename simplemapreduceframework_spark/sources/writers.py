@@ -37,6 +37,33 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC columnar sink — same partitioning contract as write_parquet
+    (Hive-ecosystem interchange; predicate pushdown and column pruning
+    work identically)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro row sink. Spark ships Avro as an external module
+    (spark-avro jar) that this environment does not bundle; the call
+    raises with deployment guidance when the data source is absent."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:  # noqa: BLE001
+        if "Failed to find data source: avro" in str(e):
+            raise NotImplementedError(
+                "Avro requires the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark version>)"
+            ) from e
+        raise
+
+
 def stream_foreach_batch_parquet(
     result: DataFrame, path: str, checkpoint: str
 ) -> StreamingQuery:

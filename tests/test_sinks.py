@@ -78,3 +78,36 @@ def test_streaming_foreach_batch_sink(spark, sf_dir, tmp_path):
         map(tuple, batch.select("window_start", "event_type", "n_events").collect())
     )
     assert lhs == rhs
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    """ORC sink/source: partitioned write, partition-pruned read, and
+    value fidelity vs the parquet original."""
+    from simplemapreduceframework_spark.sources import read_orc
+    from simplemapreduceframework_spark.sources.writers import write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    # partition pruning: a status filter must not scan other partitions
+    plan = explain_str(back.filter(F.col("o_orderstatus") == "F"))
+    assert "o_orderstatus" in plan
+    a = {r["o_orderkey"]: float(r["o_totalprice"]) for r in back.collect()}
+    b = {r["o_orderkey"]: float(r["o_totalprice"]) for r in orders.collect()}
+    assert a == b
+
+
+def test_avro_sink_is_gated(spark, tmp_path):
+    """Avro is an external Spark module absent here: the sink must fail
+    with deployment guidance, not a raw datasource error."""
+    import pytest
+
+    from simplemapreduceframework_spark.sources.writers import write_avro
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        write_avro(df, str(tmp_path / "avro_out"))
