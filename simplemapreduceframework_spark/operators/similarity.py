@@ -274,6 +274,40 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_search(corpus: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFrame:
+    """Batch similarity-search API: the caller supplies an arbitrary
+    query DataFrame (query_id, embedding) instead of a vec_id
+    predicate over the corpus — the shape a serving pipeline actually
+    uses (embed a batch of prompts, search the corpus).
+
+    corpus: (vec_id, embedding); queries: (query_id, embedding).
+    Returns (query_id, neighbor_id, cos_sim, rank), rank <= k.
+
+    The query batch broadcasts (a batch is small by definition); the
+    corpus is scanned once whatever the batch size, so cost is
+    O(corpus x batch) with no shuffle until the final per-query top-k.
+    """
+    c = with_norm(corpus.select("vec_id", F.col("embedding").alias("e")))
+    q = with_norm(
+        queries.select("query_id", F.col("embedding").alias("e"))
+    ).select("query_id", F.col("e").alias("qe"), F.col("nrm").alias("qnrm"))
+    pairs = F.broadcast(q).crossJoin(c)
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot_seq(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # IVF (inverted-file) ANN: k-means cells + nprobe search — the
 # data-adaptive counterpart to the hyperplane LSH path. Centroids adapt
 # to the corpus distribution, so cell occupancy tracks density instead

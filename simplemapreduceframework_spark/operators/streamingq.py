@@ -208,6 +208,77 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_dedup",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with controlled duplicate injection: the input is the
+    events table UNIONed with itself, dropDuplicates on event_id (the
+    table's unique key) must restore the original exactly — so the
+    post-dedup aggregate hash-matches the plain-events oracle. Batch
+    form of streaming_dedup_live; the dedup is a hash groupBy on the
+    key, partial-agg collapsed before the exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    deduped = doubled.dropDuplicates(["event_id"])
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("tv"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            F.col("tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+@query("streaming_dedup_live")
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live streaming dedup: two stream scans of the same source
+    unioned (guaranteed duplicate delivery), deduped by
+    dropDuplicatesWithinWatermark — per-key state bounded by the
+    watermark horizon. Rows-only; tests assert the output equals the
+    batch distinct.
+    """
+    from ..streaming import dedup_stream, read_events_stream, run_available_now
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_stream(doubled).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    return run_available_now(deduped, spark, output_mode="append")
+
+
+@query("events_stream_join_live")
+def events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream-stream interval join (watermarked on both sides,
+    time-bounded condition -> bounded buffer state). Rows-only; tests
+    assert it equals the oracle-gated batch events_range_join.
+    """
+    from ..streaming import interval_join_stream, read_events_stream, run_available_now
+
+    events = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        interval_join_stream(events), spark, output_mode="append"
+    )
+
+
 @query("streaming_tumbling_live")
 def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *actual* Structured Streaming pipeline: readStream(parquet)

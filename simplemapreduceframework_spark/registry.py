@@ -96,6 +96,9 @@ CHECK_PRIORITY: list[str] = [
     "ann_ivf_topk",
     "ann_ivf_recall_gate",
     "pipeline_clean_corpus",
+    "events_dedup",
+    "streaming_dedup_live",
+    "events_stream_join_live",
 ]
 
 

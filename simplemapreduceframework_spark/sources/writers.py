@@ -64,6 +64,26 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         raise
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite — the update-by-key pattern at table
+    scale (M3): only the directory partitions PRESENT IN df are
+    replaced; all others are left untouched. This is the idempotent
+    'recompute one day/source and swap it in' operation of a 100 TB
+    pipeline (static overwrite would drop the whole table).
+
+    partitionOverwriteMode is passed as a per-write option, so the
+    session default stays static for other writers.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def stream_foreach_batch_parquet(
     result: DataFrame, path: str, checkpoint: str
 ) -> StreamingQuery:

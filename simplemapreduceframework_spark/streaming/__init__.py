@@ -1,4 +1,6 @@
 from .jobs import (  # noqa: F401
+    dedup_stream,
+    interval_join_stream,
     read_events_stream,
     run_available_now,
     sessionized_stream,

@@ -96,6 +96,63 @@ def sessionized_stream(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark): state holds one entry per key seen
+    inside the horizon and is purged as the watermark advances —
+    bounded state on an unbounded stream, unlike plain dropDuplicates
+    whose state grows forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def interval_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each error joined to the purchases
+    that preceded it by at most 30 minutes, per user — the live form of
+    operators/streamingq.py:events_range_join.
+
+    Both sides carry watermarks and the join condition is time-bounded,
+    so each side buffers at most (watermark + interval) of state and
+    rows age out as the watermark advances — the canonical bounded-
+    state stream-stream join."""
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("ets"),
+        )
+        .withWatermark("ets", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pts") >= F.col("ets") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("pts") <= F.col("ets")),
+    )
+    secs = (
+        (F.unix_micros("ets") - F.unix_micros("pts")).cast("double") / 1_000_000.0
+    )
+    return joined.select(
+        "error_id",
+        "purchase_id",
+        "user_id",
+        secs.alias("seconds_before_error"),
+        "purchase_value",
+    )
+
+
 def run_available_now(
     result: DataFrame,
     spark: SparkSession,

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from simplemapreduceframework_spark import registry
 
 registry.load_all()
@@ -228,3 +230,30 @@ def test_pipeline_stages_monotonic(spark, sf_dir):
     n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert 0 < total <= n_corpus
     assert all(r["min_quality"] >= 0.43 for r in out)
+
+
+def test_ann_search_batch_api_matches_registered_query(spark, sf_dir):
+    """ann_search with the corpus's own first-10 vectors as the query
+    batch must reproduce ann_cosine_topk (minus the self-match, which
+    the registered query excludes and the API keeps as rank 1)."""
+    from simplemapreduceframework_spark.operators.similarity import ann_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_search(emb, queries, k=6).collect()
+    # self-match ranks first with cosine ~1
+    self_rows = [r for r in got if r["query_id"] == r["neighbor_id"]]
+    assert len(self_rows) == 10
+    assert all(r["rank"] == 1 and abs(r["cos_sim"] - 1.0) < 1e-9 for r in self_rows)
+    got_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in got
+        if r["query_id"] != r["neighbor_id"]
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    assert got_pairs == exact

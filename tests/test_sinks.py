@@ -111,3 +111,35 @@ def test_avro_sink_is_gated(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "id long, v string")
     with pytest.raises(NotImplementedError, match="spark-avro"):
         write_avro(df, str(tmp_path / "avro_out"))
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """overwrite_partitions must replace ONLY the partitions present in
+    the new frame; untouched partitions keep their original rows."""
+    from simplemapreduceframework_spark.sources.writers import (
+        overwrite_partitions,
+        write_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_dyn")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    before = {
+        r["o_orderkey"]: float(r["o_totalprice"])
+        for r in spark.read.parquet(path).filter(F.col("o_orderstatus") != "F").collect()
+    }
+    # recompute just the F partition with modified values
+    patch = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0
+    )
+    overwrite_partitions(patch, path, ["o_orderstatus"])
+    after = spark.read.parquet(path)
+    f_rows = after.filter(F.col("o_orderstatus") == "F").collect()
+    assert f_rows and all(float(r["o_totalprice"]) == 0.0 for r in f_rows)
+    others = {
+        r["o_orderkey"]: float(r["o_totalprice"])
+        for r in after.filter(F.col("o_orderstatus") != "F").collect()
+    }
+    assert others == before

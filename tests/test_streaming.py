@@ -151,3 +151,38 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # 12:00 window appears exactly once with only on-time rows
     assert "2024-06-01 09:00:00" not in rows, rows
     assert rows.get("2024-06-01 12:00:00") == 6, rows
+
+
+def test_streaming_dedup_live_equals_batch_distinct(spark, sf_dir):
+    """The doubled-stream dedup must reproduce the original events
+    exactly (event_id is the table's unique key)."""
+    from simplemapreduceframework_spark import registry
+
+    registry.load_all()
+    got = sorted(
+        (r["event_id"], r["event_type"], r["user_id"], r["value"])
+        for r in registry.QUERIES["streaming_dedup_live"](spark, sf_dir).collect()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = sorted(
+        (r["event_id"], r["event_type"], r["user_id"], r["value"])
+        for r in ev.select("event_id", "event_type", "user_id", "value").collect()
+    )
+    assert got == want
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, sf_dir):
+    """The watermarked stream-stream interval join must equal the
+    oracle-gated batch range join row-for-row."""
+    from simplemapreduceframework_spark import registry
+
+    registry.load_all()
+    key = lambda r: (r["error_id"], r["purchase_id"])  # noqa: E731
+    live = sorted(
+        key(r)
+        for r in registry.QUERIES["events_stream_join_live"](spark, sf_dir).collect()
+    )
+    batch = sorted(
+        key(r) for r in registry.QUERIES["events_range_join"](spark, sf_dir).collect()
+    )
+    assert live == batch
