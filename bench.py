@@ -107,9 +107,13 @@ def main() -> None:
     sf_dir = ensure_bench_layout(spark, sf_dir)
     queries = registry.all_queries()
 
-    # Warmup: absorb session/codegen/Arrow startup.
+    # Warmup: absorb session/codegen/Arrow startup, and spin up the
+    # Python worker pool for both UDF execution paths (pandas_udf via
+    # ann_lsh, mapInPandas via multimodal_decode) so per-query numbers
+    # reflect steady state.
     run_query(queries["q6_selective_agg"](spark, sf_dir))
     run_query(queries["ann_lsh_bucketed"](spark, sf_dir))
+    run_query(queries["multimodal_decode"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

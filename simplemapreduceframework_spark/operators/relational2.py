@@ -487,41 +487,39 @@ def make_might_contain(bits, n_bits: int, n_hashes: int):
 def build_bloom_distributed(
     df: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 5
 ):
-    """Distributed Bloom build: each partition hashes its keys into a
-    local numpy bitmap (zero data movement), and the ~n_bits/8-byte
-    bitmaps OR-merge up a treeReduce — the driver only ever sees
-    already-aggregated sketch state, never a key. At 100 TB the build
-    side streams through executors exactly once; what crosses the wire
-    is (num_partitions x 128 KB) of bitmaps, collapsing logarithmically.
+    """Distributed Bloom build, Arrow end-to-end: each task folds its
+    Arrow batches of keys into one local numpy bitmap (mapInPandas —
+    no per-row Python conversion, unlike an .rdd path), the per-task
+    bitmaps OR-merge through an intermediate mapInPandas level (the
+    treeAggregate shape: at 1000 executors the driver receives <=8
+    pre-merged bitmaps, never one per task and never a key), and the
+    driver ORs the final handful.
 
     Returns (bits, n_bits, n_hashes) like build_bloom.
     """
-    import numpy as _np
 
-    def _partition_bitmap(rows):
-        k = _np.fromiter((r[0] for r in rows), dtype=_np.int64).astype(_np.uint64)
-        bits = _np.zeros(n_bits // 8, dtype=_np.uint8)
-        x = k.copy()
-        x = (x ^ (x >> _np.uint64(30))) * _np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> _np.uint64(27))) * _np.uint64(0x94D049BB133111EB)
-        h1 = x ^ (x >> _np.uint64(31))
-        y = k + _np.uint64(0x9E3779B97F4A7C15)
-        y = (y ^ (y >> _np.uint64(30))) * _np.uint64(0xBF58476D1CE4E5B9)
-        h2 = (y ^ (y >> _np.uint64(27))) | _np.uint64(1)
-        for i in range(n_hashes):
-            pos = (h1 + _np.uint64(i) * h2) % _np.uint64(n_bits)
-            _np.bitwise_or.at(
-                bits,
-                (pos >> _np.uint64(3)).astype(_np.int64),
-                (_np.uint8(1) << (pos & _np.uint64(7))).astype(_np.uint8),
-            )
-        yield bits
+    def _fold(batches):
+        acc = np.zeros(n_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if "bitmap" in pdf.columns:  # merge level: OR child bitmaps
+                for buf in pdf["bitmap"]:
+                    acc |= np.frombuffer(buf, dtype=np.uint8)
+                    seen = True
+            else:  # leaf level: hash this batch of keys into the bitmap
+                keys = pdf[key_col].to_numpy(dtype=np.int64)
+                if len(keys):
+                    b, _, _ = build_bloom(keys, n_bits, n_hashes)
+                    acc |= b
+                    seen = True
+        if seen:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
 
-    merged = (
-        df.select(key_col)
-        .rdd.mapPartitions(_partition_bitmap)
-        .treeReduce(_np.bitwise_or)
-    )
+    partials = df.select(key_col).mapInPandas(_fold, "bitmap binary")
+    pre_merged = partials.repartition(8).mapInPandas(_fold, "bitmap binary")
+    merged = np.zeros(n_bits // 8, dtype=np.uint8)
+    for buf in pre_merged.toPandas()["bitmap"]:
+        merged |= np.frombuffer(buf, dtype=np.uint8)
     return merged, n_bits, n_hashes
 
 
