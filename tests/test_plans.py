@@ -60,3 +60,35 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 def test_semijoin_plans_left_semi(spark, sf_dir):
     df = Q["q4_order_priority_semijoin"](spark, sf_dir)
     assert "LeftSemi" in explain_str(df)
+
+
+def test_pipeline_near_dedup_is_broadcast_anti_join(spark, sf_dir):
+    """The pipeline's near-dup removal must plan as a broadcast anti
+    join (the pair list is tiny relative to the corpus — shuffling the
+    corpus for it would be the 100 TB mistake)."""
+    plan = explain_str(Q["pipeline_clean_corpus"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:2000]
+    assert has_broadcast_hash_join(Q["pipeline_clean_corpus"](spark, sf_dir))
+
+
+def test_events_dedup_is_partial_final_aggregate(spark, sf_dir):
+    """dropDuplicates on the key must plan as partial/final hash
+    aggregation: duplicates collapse per partition BEFORE the exchange,
+    so the shuffle carries unique keys, not input rows."""
+    plan = explain_str(Q["events_dedup"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_decorrelated_scalar_subquery_has_no_subquery_exec(spark, sf_dir):
+    """Catalyst must decorrelate q30's per-row scalar MIN into an
+    aggregate+join — a correlated per-row subquery execution node in
+    the physical plan would be the non-scalable shape."""
+    plan = explain_str(Q["q30_min_cost_supplier"](spark, sf_dir))
+    assert "Subquery" not in plan or "SubqueryBroadcast" in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_text_vocab_no_global_window(spark, sf_dir):
+    """Vocab id assignment must not use a single-partition window."""
+    plan = explain_str(Q["text_vocab"](spark, sf_dir))
+    assert "Window" not in plan, plan[:2000]

@@ -143,3 +143,42 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
         for r in after.filter(F.col("o_orderstatus") != "F").collect()
     }
     assert others == before
+
+
+def test_compact_parquet_file_sizing(spark, sf_dir, tmp_path):
+    """Compaction rewrites a many-file table into the computed target
+    file count with identical contents."""
+    from simplemapreduceframework_spark.sources.maintenance import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    frag = str(tmp_path / "fragmented")
+    orders.repartition(50).write.parquet(frag)  # small-file problem
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, dst, target_file_mb=128)
+    import glob
+
+    files = glob.glob(f"{dst}/part-*")
+    assert len(files) == n
+    assert n < 50
+    assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_sorted_rewrite_clusters_ranges(spark, sf_dir, tmp_path):
+    """After sorted_rewrite on o_orderkey, per-file key ranges must not
+    overlap — the property that makes parquet min/max stats prune."""
+    from simplemapreduceframework_spark.sources.maintenance import sorted_rewrite
+
+    orders = load_table(spark, sf_dir, "orders")
+    dst = str(tmp_path / "clustered")
+    sorted_rewrite(orders, dst, ["o_orderkey"], n_files=8)
+    ranges = (
+        spark.read.parquet(dst)
+        .select("o_orderkey", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) == 8
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert lo_next > hi_prev, spans
