@@ -416,6 +416,57 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_search_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = _TOP_K,
+    cells: int = _IVF_CELLS,
+    iters: int = _IVF_ITERS,
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
+    """IVF-backed batch similarity search: the scale path of
+    `ann_search`. Trains k-means cells on the corpus, indexes every
+    corpus vector by cell, and each query scores only its nprobe
+    nearest cells' members — cost is (nprobe/cells) of the corpus per
+    query instead of all of it.
+
+    corpus: (vec_id, embedding); queries: (query_id, embedding).
+    Returns (query_id, neighbor_id, cos_sim, rank), rank <= k.
+
+    On a cluster the centroids and cell index are computed once and
+    persisted (cell as a partition column -> partition pruning per
+    probe); query batches then broadcast against the pruned index.
+    """
+    emb = with_norm(corpus.select("vec_id", F.col("embedding").alias("e"))).persist()
+    C = _kmeans_centroids(emb, cells, iters)
+    assign = _make_assign_udf(C)
+    index = emb.select("vec_id", "e", "nrm", assign(F.col("e")).alias("cell"))
+    probe = _make_probe_udf(C, nprobe)
+    q = with_norm(
+        queries.select("query_id", F.col("embedding").alias("e"))
+    ).select(
+        "query_id",
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(probe(F.col("e"))).alias("qcell"),
+    )
+    cand = F.broadcast(q).join(index, F.col("qcell") == F.col("cell"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot_seq(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 @query("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF: deterministic-init distributed k-means

@@ -257,3 +257,27 @@ def test_ann_search_batch_api_matches_registered_query(spark, sf_dir):
         for r in Q["ann_cosine_topk"](spark, sf_dir).collect()
     }
     assert got_pairs == exact
+
+
+def test_ann_search_ivf_batch_recall(spark, sf_dir):
+    """The IVF-backed batch API must recover most of the exact batch
+    top-k (self-matches included on both sides — the query ids here
+    are corpus ids, so the self cell always probes first)."""
+    from simplemapreduceframework_spark.operators.similarity import (
+        ann_search,
+        ann_search_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search_ivf(emb, queries, k=6).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search(emb, queries, k=6).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.6
