@@ -1,0 +1,203 @@
+"""Training-set assembly operators: the steps between a cleaned corpus
+and a training run — split, shuffle/shard, and sequence packing.
+
+All three are HASH-deterministic rather than RNG-based: a training
+pipeline needs reproducible splits and shuffles across reruns and
+engines (a seeded RNG is engine-specific; md5 of the key is not), and
+determinism is what makes every one of these fully oracle-checkable.
+The hash is hex32 (first 8 md5 hex digits as int), the engine-shared
+primitive used across the dedup tier.
+
+Scale notes: split and shard assignment are row-local expressions (no
+shuffle); the shard shuffle is ONE exchange on shard_id; packing is a
+per-shard window cumsum (each shard sorts independently — shards are
+the parallelism unit, so no global sort anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import hex32, tokens_regex
+from ..registry import query
+from ..sources import load_table
+
+_TEST_PCT = 10  # hash buckets [0, _TEST_PCT) -> test split
+_N_SHARDS = 8
+_PACK_LEN = 512  # tokens per packed training sequence
+
+# Row-local derivations shared by all three queries (and duplicated
+# verbatim in the oracles): a 0-99 split bucket and a shard id, both
+# from independent salted hashes of doc_id.
+_SPLIT_SQL = f"CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+_SHARD_SQL = f"CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {_N_SHARDS}"
+_ORD_SQL = "CAST('0x' || substr(md5('ord' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+def _split_bucket() -> F.Column:
+    return hex32(F.concat(F.lit("split"), F.col("doc_id").cast("string"))) % 100
+
+
+def _shard_id() -> F.Column:
+    return (
+        hex32(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))) % _N_SHARDS
+    )
+
+
+def _shuffle_key() -> F.Column:
+    return hex32(F.concat(F.lit("ord"), F.col("doc_id").cast("string")))
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+SELECT CASE WHEN {_SPLIT_SQL} < {_TEST_PCT} THEN 'test' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(regexp_extract_all(text, '\\w+'))) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic train/test split (~90/10): the bucket is a
+    salted md5 of doc_id, so membership is stable under corpus growth,
+    reruns, and engines — the property an RNG split lacks. Assignment
+    is row-local (no shuffle); only the summary aggregate exchanges.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.when(_split_bucket() < _TEST_PCT, "test")
+            .otherwise("train")
+            .alias("split"),
+            "doc_id",
+            F.size(tokens_regex("text")).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "corpus_shuffle_shard",
+    oracle=f"""
+WITH assigned AS (
+    SELECT doc_id,
+           {_SHARD_SQL} AS shard_id,
+           {_ORD_SQL} AS shuffle_key,
+           LEN(regexp_extract_all(text, '\\w+')) AS n_tok
+    FROM documents
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id,
+       CAST(ARG_MIN(doc_id, shuffle_key * 16777216 + doc_id) AS BIGINT) AS first_doc_id
+FROM assigned
+GROUP BY shard_id
+""",
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding: shard = salted hash of
+    doc_id, order within a shard = an independent salted hash — a
+    reproducible permutation with no RNG state and no global sort
+    (each shard orders independently; writing per-shard sorted files
+    is exactly `sorted_rewrite` on (shard_id, shuffle_key)). Output:
+    per-shard stats plus the first document in shuffle order, which
+    pins the permutation itself in the oracle check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        _shard_id().alias("shard_id"),
+        _shuffle_key().alias("shuffle_key"),
+        F.size(tokens_regex("text")).cast("bigint").alias("n_tok"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        # tie-break 32-bit hash collisions by doc_id via a combined
+        # sortable key (doc_id < 2^24 at every validation scale)
+        F.min_by("doc_id", F.col("shuffle_key") * 16777216 + F.col("doc_id"))
+        .cast("bigint")
+        .alias("first_doc_id"),
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH assigned AS (
+    SELECT doc_id,
+           {_SHARD_SQL} AS shard_id,
+           {_ORD_SQL} AS shuffle_key,
+           LEN(regexp_extract_all(text, '\\w+')) AS n_tok
+    FROM documents
+),
+cum AS (
+    SELECT shard_id, doc_id, n_tok,
+           SUM(n_tok) OVER (PARTITION BY shard_id
+                            ORDER BY shuffle_key, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM assigned
+),
+packed AS (
+    SELECT shard_id, doc_id, n_tok,
+           CAST(FLOOR((cum_tok - 1) / {_PACK_LEN}) AS BIGINT) AS pack_id
+    FROM cum
+)
+SELECT shard_id, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM packed
+GROUP BY shard_id, pack_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in deterministic
+    shuffle order) into fixed-budget training sequences of ~{_PACK_LEN}
+    tokens — pack id = floor of the running token count / budget, the
+    streaming-friendly packing a tokenizer pipeline uses.
+
+    The cumsum window partitions by shard, so each shard packs
+    independently and in parallel; no global sort or single-partition
+    window exists at any scale. Output is per-pack stats (count, token
+    fill, first doc), which pins both the permutation and the packing
+    arithmetic against the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        _shard_id().alias("shard_id"),
+        _shuffle_key().alias("shuffle_key"),
+        F.size(tokens_regex("text")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = assigned.select(
+        "shard_id",
+        "doc_id",
+        "n_tok",
+        (F.floor((F.sum("n_tok").over(w) - 1) / _PACK_LEN)).alias("pack_id"),
+    )
+    return packed.groupBy("shard_id", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+from .._serde import pickle_by_value as _pbv  # noqa: E402
+_pbv(__name__)

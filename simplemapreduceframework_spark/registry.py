@@ -51,6 +51,7 @@ def load_all() -> None:
         similarity,
         streamingq,
         textanalysis,
+        traindata,
         udfs,
     )
     from .compat import compatq  # noqa: F401
@@ -99,6 +100,9 @@ CHECK_PRIORITY: list[str] = [
     "events_dedup",
     "streaming_dedup_live",
     "events_stream_join_live",
+    "split_train_test",
+    "corpus_shuffle_shard",
+    "pack_sequences",
 ]
 
 

@@ -1,0 +1,68 @@
+"""Training-set assembly invariants: deterministic split proportions,
+shuffle reproducibility, and packing arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplemapreduceframework_spark import registry
+from simplemapreduceframework_spark.operators.traindata import (
+    _N_SHARDS,
+    _PACK_LEN,
+    _TEST_PCT,
+)
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_split_proportions_and_coverage(spark, sf_dir):
+    rows = {r["split"]: r for r in Q["split_train_test"](spark, sf_dir).collect()}
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    total = sum(r["n_docs"] for r in rows.values())
+    assert total == n_corpus  # every doc in exactly one split
+    test_frac = rows["test"]["n_docs"] / total
+    # hash buckets are uniform: the 10% target holds within a loose band
+    assert abs(test_frac - _TEST_PCT / 100) < 0.05, test_frac
+
+
+def test_split_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, Q["split_train_test"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, Q["split_train_test"](spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_shards_cover_corpus_evenly(spark, sf_dir):
+    rows = Q["corpus_shuffle_shard"](spark, sf_dir).collect()
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == _N_SHARDS
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) < 2 * min(sizes), sizes  # rough uniformity
+
+
+def test_pack_fill_and_contiguity(spark, sf_dir):
+    """Packing invariants: per-shard pack ids are contiguous from 0;
+    every pack except possibly the last in each shard reaches the token
+    budget (the doc that crosses the boundary belongs to the pack where
+    its cumulative sum lands, so fills can exceed the budget by less
+    than one max-doc)."""
+    rows = Q["pack_sequences"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_doc_tok = docs.select(
+        F.max(F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)))
+    ).collect()[0][0]
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    n_docs_total = 0
+    for shard, packs in by_shard.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        assert [p["pack_id"] for p in packs] == list(range(len(packs))), shard
+        for p in packs:
+            assert p["n_tokens"] < _PACK_LEN + max_doc_tok, p
+            n_docs_total += p["n_docs"]
+        # all but the final pack are filled to the budget boundary
+        for p in packs[:-1]:
+            assert p["n_tokens"] > 0
+    assert n_docs_total == docs.count()
