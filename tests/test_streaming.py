@@ -186,3 +186,44 @@ def test_stream_stream_join_equals_batch_range_join(spark, sf_dir):
         key(r) for r in registry.QUERIES["events_range_join"](spark, sf_dir).collect()
     )
     assert live == batch
+
+
+def test_stateful_ops_under_rocksdb_state_store(spark, sf_dir):
+    """The streaming tier must run unchanged under the RocksDB state
+    store provider — the right default on a real cluster (state spills
+    to local disk with changelog checkpointing instead of living on
+    the JVM heap). Runs the windowed agg with the provider switched,
+    then pins output equality against the batch oracle query."""
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        tumbling_counts_stream,
+    )
+
+    registry.load_all()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_available_now(
+            tumbling_counts_stream(read_events_stream(spark, sf_dir)), spark
+        )
+        live = sorted(map(tuple, out.collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = sorted(
+        map(
+            tuple,
+            registry.QUERIES["events_tumbling_1h"](spark, sf_dir)
+            .select("window_start", "event_type", "n_events", "total_value")
+            .collect(),
+        )
+    )
+    assert live == batch
