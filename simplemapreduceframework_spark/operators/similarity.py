@@ -382,9 +382,18 @@ def _make_probe_udf(C: np.ndarray, nprobe: int):
     return probe
 
 
+# Memoized per (application, sf_dir): the recall gate consumes the
+# same scored candidates as the top-k query — train/index once per
+# session, like a persisted IVF index table on a cluster.
+_IVF_SCORED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared IVF candidate generation + scoring (used by the top-k
     query and the recall gate)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _IVF_SCORED_CACHE:
+        return _IVF_SCORED_CACHE[key]
     emb = with_norm(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").alias("e")
@@ -407,13 +416,15 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         index,
         (F.col("qcell") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
     )
-    return cand.select(
+    scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         (dot_seq(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
             "cos_sim"
         ),
-    )
+    ).persist()
+    _IVF_SCORED_CACHE[key] = scored
+    return scored
 
 
 def ann_search_ivf(
