@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import dec2
+from ..functions import dec2, hex32
 from ..registry import query
 from ..sources import load_table
 
@@ -435,6 +435,107 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).alias("qty_median"),
         F.percentile("l_quantity", F.lit(0.9)).alias("qty_p90"),
         F.percentile("l_quantity", F.lit(0.99)).alias("qty_p99"),
+    )
+
+
+# Count-min sketch: d salted hash rows of w counters. The hash family
+# is hex32 (md5-derived), so the sketch contents — and therefore every
+# estimate — are bit-identical across engines: even this approximate
+# structure is fully oracle-gated, not rows-only.
+_CMS_W = 1024
+_CMS_D = 4
+# heavy = estimated count >= input_rows / 1000 (scale-relative, so the
+# operator behaves identically at every sf)
+
+_CMS_ORACLE = f"""
+WITH keys AS (
+    SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+),
+hashed AS (
+    SELECT k, j.j AS j,
+           CAST('0x' || substr(md5('cms' || CAST(j.j AS VARCHAR) || '_' || k), 1, 8) AS BIGINT) % {_CMS_W} AS bucket
+    FROM keys CROSS JOIN (SELECT UNNEST(range(0, {_CMS_D})) AS j) j
+),
+sketch AS (
+    SELECT j, bucket, COUNT(*) AS c FROM hashed GROUP BY j, bucket
+),
+estimates AS (
+    SELECT h.k, MIN(s.c) AS est_count
+    FROM (SELECT DISTINCT k, j, bucket FROM hashed) h
+    JOIN sketch s ON s.j = h.j AND s.bucket = h.bucket
+    GROUP BY h.k
+),
+truth AS (
+    SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS true_count
+    FROM lineitem GROUP BY 1
+),
+thresh AS (
+    SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / 1000) AS BIGINT) AS t
+    FROM lineitem
+)
+SELECT CAST(e.k AS BIGINT) AS l_partkey,
+       CAST(e.est_count AS BIGINT) AS est_count,
+       CAST(t.true_count AS BIGINT) AS true_count
+FROM estimates e JOIN truth t ON t.k = e.k
+WHERE e.est_count >= (SELECT t FROM thresh)
+"""
+
+
+@query("cms_heavy_hitters", oracle=_CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items via a count-min sketch: d={_CMS_D} salted hash
+    rows of w={_CMS_W} counters, estimate = min over rows of the
+    landed counter, report keys whose estimate crosses rows/1000
+    (true counts joined alongside — the one-sided overestimate
+    guarantee est >= true is pinned by a test).
+
+    Scale: the sketch is d x w counters built by ONE partial-agg
+    groupBy on (row, bucket) — constant-size state however large the
+    input, the point of a sketch at 100 TB (the exact `truth` join
+    here is validation-scale instrumentation; a production heavy-
+    hitter pass keeps only the sketch plus a per-partition candidate
+    pre-filter).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    hashed = li.select(
+        "k",
+        F.posexplode(
+            F.array(
+                *[
+                    (hex32(F.concat(F.lit(f"cms{j}_"), F.col("k"))) % _CMS_W)
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("j", "bucket"),
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    key_slots = hashed.select("k", "j", "bucket").distinct()
+    estimates = (
+        key_slots.join(sketch, ["j", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est_count"))
+    )
+    truth = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    thresh = li.agg(
+        F.floor(F.count(F.lit(1)).cast("double") / 1000)
+        .cast("bigint")
+        .alias("_t")
+    )
+    return (
+        estimates.join(truth, "k")
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("est_count") >= F.col("_t"))
+        .select(
+            F.col("k").cast("bigint").alias("l_partkey"),
+            F.col("est_count").cast("bigint"),
+            F.col("true_count").cast("bigint"),
+        )
     )
 
 

@@ -103,6 +103,7 @@ CHECK_PRIORITY: list[str] = [
     "split_train_test",
     "corpus_shuffle_shard",
     "pack_sequences",
+    "cms_heavy_hitters",
 ]
 
 

@@ -177,3 +177,26 @@ def test_bloom_semi_filter_no_false_negatives(spark, sf_dir):
     ).count()
     assert survivors >= true_matches  # no false negatives
     assert survivors < li.count() * 0.5, (survivors, li.count())
+
+
+def test_cms_overestimates_never_underestimates(spark, sf_dir):
+    """Count-min guarantee: est >= true for every reported key, and the
+    sketch recalls every genuinely heavy key (no false negatives at the
+    threshold, since estimates only inflate)."""
+    from simplemapreduceframework_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    threshold = li.count() // 1000
+    truly_heavy = (
+        li.groupBy("l_partkey")
+        .count()
+        .filter(F.col("count") >= threshold)
+        .count()
+    )
+    assert len(rows) >= truly_heavy
