@@ -438,6 +438,42 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skewed_agg_salted",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a pathologically hot grouping key
+    (l_returnflag: 3 keys over the whole fact table — exactly the shape
+    where a single-stage groupBy funnels a third of 100 TB through one
+    reducer). Stage 1 groups on (key, salt) so each hot key spreads
+    over n_salts reducers; stage 2 merges n_salts pre-aggregated rows
+    per key. Decimal partial sums are order-independent, so the result
+    is bit-identical to the plain GROUP BY oracle.
+    """
+    from ..functions.skew import salted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stage1 = (
+        salted(li, "l_returnflag", 32)
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.sum(dec2("l_quantity")).alias("_q"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return stage1.groupBy("l_returnflag").agg(
+        F.sum("_q").cast("double").alias("total_qty"),
+        F.sum("_n").alias("n_rows"),
+    )
+
+
 # Count-min sketch: d salted hash rows of w counters. The hash family
 # is hex32 (md5-derived), so the sketch contents — and therefore every
 # estimate — are bit-identical across engines: even this approximate

@@ -104,6 +104,7 @@ CHECK_PRIORITY: list[str] = [
     "corpus_shuffle_shard",
     "pack_sequences",
     "cms_heavy_hitters",
+    "skewed_agg_salted",
 ]
 
 
