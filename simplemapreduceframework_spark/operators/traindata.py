@@ -199,5 +199,72 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_K = 50
+
+
+@query(
+    "sample_bottomk",
+    oracle=f"""
+SELECT doc_id, source
+FROM documents
+ORDER BY CAST('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), doc_id
+LIMIT {_SAMPLE_K}
+""",
+)
+def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform corpus sample via bottom-k hashing: the k documents with
+    the smallest salted hash ARE a uniform random sample, but unlike an
+    RNG sample the membership is deterministic, engine-independent, and
+    stable as the corpus grows (a doc enters/leaves the sample only if
+    its hash rank crosses k). Plans as TakeOrderedAndProject —
+    per-partition k-row heaps, no global sort, no second pass to count
+    the population (which rate-based sampling needs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            hex32(F.concat(F.lit("sample"), F.col("doc_id").cast("string"))).alias(
+                "_h"
+            ),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(_SAMPLE_K)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "sample_stratified_bottomk",
+    oracle=f"""
+SELECT source, doc_id FROM (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 5
+""",
+)
+def sample_stratified_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: bottom-5 by salted hash WITHIN
+    each source — equal representation per stratum regardless of
+    stratum size. One hash-partitioned window (rank pushed into the
+    sort via WindowGroupLimit), no RNG, no per-stratum rate tuning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hex32(F.concat(F.lit("strat"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+    )
+
+
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)

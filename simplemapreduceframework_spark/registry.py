@@ -105,6 +105,8 @@ CHECK_PRIORITY: list[str] = [
     "pack_sequences",
     "cms_heavy_hitters",
     "skewed_agg_salted",
+    "sample_bottomk",
+    "sample_stratified_bottomk",
 ]
 
 

@@ -66,3 +66,23 @@ def test_pack_fill_and_contiguity(spark, sf_dir):
         for p in packs[:-1]:
             assert p["n_tokens"] > 0
     assert n_docs_total == docs.count()
+
+
+def test_bottomk_sample_is_takeordered(spark, sf_dir):
+    """The bottom-k sampler must plan per-partition heaps, not a global
+    sort, and return exactly k deterministic rows."""
+    from simplemapreduceframework_spark.plans import explain_str
+
+    df = Q["sample_bottomk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+    a = sorted(r["doc_id"] for r in df.collect())
+    b = sorted(r["doc_id"] for r in Q["sample_bottomk"](spark, sf_dir).collect())
+    assert a == b and len(a) == 50
+
+
+def test_stratified_sample_equal_per_stratum(spark, sf_dir):
+    rows = Q["sample_stratified_bottomk"](spark, sf_dir).collect()
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in rows)
+    assert all(v == 5 for v in per_src.values())
