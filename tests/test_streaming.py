@@ -227,3 +227,45 @@ def test_stateful_ops_under_rocksdb_state_store(spark, sf_dir):
         )
     )
     assert live == batch
+
+
+def test_stateful_running_totals_transform_with_state(spark, sf_dir):
+    """The Spark 4 stateful-processor API (transformWithStateInPandas)
+    must produce the same final per-user state as the classic
+    applyInPandasWithState operator and the batch aggregate."""
+    import pytest
+
+    from simplemapreduceframework_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+    )
+    from simplemapreduceframework_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    if running_user_totals_tws is None:
+        pytest.skip("transformWithStateInPandas not available")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf (broken here)")
+    events = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        running_user_totals_tws(events), spark, output_mode="update"
+    )
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.orderBy("n_events").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert final.keys() == batch.keys()
+    for u, (n, t) in batch.items():
+        fn, ft = final[u]
+        assert fn == n, (u, fn, n)
+        assert abs(ft - t) <= 1e-9 * max(abs(t), 1.0), (u, ft, t)
