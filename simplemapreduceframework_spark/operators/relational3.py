@@ -107,3 +107,77 @@ def q32_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFram
     (semi join + anti join on the order key), top-20 by count."""
     register_views(spark, sf_dir)
     return spark.sql(_Q32_SQL)
+
+
+# Q22 shape: scalar AVG subquery in the predicate + NOT EXISTS anti
+# join, grouped by a derived segment key — the "global-threshold filter
+# then anti join" decorrelation combo. Balance sums are exact decimals;
+# the AVG threshold compares identical doubles in both engines.
+_Q33_SQL = """
+WITH rich AS (
+    SELECT SUBSTR(c_mktsegment, 1, 2) AS seg, c_custkey, c_acctbal
+    FROM customer
+    WHERE CAST(c_acctbal AS DOUBLE) > (
+        SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM rich
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+@query("q33_global_sales_opportunity", oracle=_Q33_SQL)
+def q33_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global positive-balance
+    average with no orders — scalar AVG subquery (computed once,
+    broadcast into the predicate) combined with a NOT EXISTS anti join,
+    then a segment rollup."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q33_SQL)
+
+
+# Funnel analysis over the event stream: users who completed
+# view -> click -> purchase in timestamp order. Each step's earliest
+# qualifying time is a conditional MIN — one shuffle on user_id, no
+# self-joins — and step order is enforced by comparing those minima.
+# (The classic sessionized funnel at 100 TB: conditional aggregation
+# beats k-way self-joins because state per user is 3 timestamps.)
+_Q34_SQL = """
+WITH steps AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+),
+funnel AS (
+    SELECT user_id,
+           t_view IS NOT NULL AS did_view,
+           t_view IS NOT NULL AND t_click > t_view AS did_click,
+           t_view IS NOT NULL AND t_click > t_view
+             AND t_purchase > t_click AS did_purchase
+    FROM steps
+)
+SELECT CAST(COUNT(CASE WHEN did_view THEN 1 END) AS BIGINT) AS n_view,
+       CAST(COUNT(CASE WHEN did_click THEN 1 END) AS BIGINT) AS n_view_click,
+       CAST(COUNT(CASE WHEN did_purchase THEN 1 END) AS BIGINT) AS n_full_funnel
+FROM funnel
+"""
+
+
+@query("q34_event_funnel", oracle=_Q34_SQL)
+def q34_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase) via conditional MIN
+    aggregation: one exchange on user_id and three timestamps of state
+    per user — the scalable alternative to k-way self-joins. NULL
+    comparison semantics (NULL > x -> NULL -> false in the step flags)
+    are identical in both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q34_SQL)

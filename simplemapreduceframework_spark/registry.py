@@ -107,6 +107,8 @@ CHECK_PRIORITY: list[str] = [
     "skewed_agg_salted",
     "sample_bottomk",
     "sample_stratified_bottomk",
+    "q33_global_sales_opportunity",
+    "q34_event_funnel",
 ]
 
 
