@@ -92,3 +92,29 @@ def test_text_vocab_no_global_window(spark, sf_dir):
     """Vocab id assignment must not use a single-partition window."""
     plan = explain_str(Q["text_vocab"](spark, sf_dir))
     assert "Window" not in plan, plan[:2000]
+
+
+def test_exchange_count_budgets(spark, sf_dir):
+    """Shuffle budgets: each key query must not regress past its known
+    exchange count — the cheapest canary for an accidental plan change
+    (a lost broadcast, a new unneeded repartition) that correctness
+    gates would never catch."""
+    budgets = {
+        "q1_pricing_summary": 1,
+        "q5_region_revenue": 1,
+        "q6_selective_agg": 1,
+        "events_dedup": 3,
+        "q34_event_funnel": 2,
+        "split_train_test": 1,
+        "pack_sequences": 1,
+        "skewed_agg_salted": 2,
+        "cms_heavy_hitters": 5,
+        "dedup_minhash_lsh": 6,
+        "text_vocab": 0,
+    }
+    over = {}
+    for name, budget in budgets.items():
+        got = n_exchanges(Q[name](spark, sf_dir))
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"exchange budget exceeded: {over}"
