@@ -330,3 +330,100 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(norm)).alias("fingerprint"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
+
+
+# Trigram language-model coverage: train on the hash-split train docs
+# (the same salted-md5 split as traindata.split_train_test), score the
+# test docs. Exactness: no logarithms anywhere — the score is trigram
+# coverage (a ratio of identical integers) plus the min/max conditional
+# trigram probability (each a single division of identical integers),
+# so every double matches DuckDB bit-for-bit.
+_LM_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(list_transform(range(1, GREATEST(LEN(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+),
+split AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+    FROM documents
+),
+train_tri AS (
+    SELECT s.shingle,
+           regexp_replace(s.shingle, ' [^ ]+$', '') AS ctx,
+           COUNT(*) AS c3
+    FROM shingles s JOIN split sp ON sp.doc_id = s.doc_id AND sp.bucket >= 10
+    GROUP BY s.shingle
+),
+ctx_tot AS (
+    SELECT ctx, SUM(c3) AS c2 FROM train_tri GROUP BY ctx
+),
+probs AS (
+    SELECT t.shingle, CAST(t.c3 AS DOUBLE) / c.c2 AS p
+    FROM train_tri t JOIN ctx_tot c ON c.ctx = t.ctx
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tri,
+       CAST(COUNT(p.p) AS BIGINT) AS n_hit,
+       CAST(COUNT(p.p) AS DOUBLE) / COUNT(*) AS hit_rate,
+       MIN(p.p) AS min_p,
+       MAX(p.p) AS max_p
+FROM shingles s
+JOIN split sp ON sp.doc_id = s.doc_id AND sp.bucket < 10
+LEFT JOIN probs p ON p.shingle = s.shingle
+GROUP BY s.doc_id
+"""
+
+
+@query("text_lm_coverage", oracle=_LM_ORACLE)
+def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM scoring of held-out documents: conditional trigram
+    probabilities (doc-frequency c3 / context marginal c2) estimated on
+    the train split, then each test doc reports trigram coverage and
+    its min/max conditional probability — the LM-based quality signal
+    a data pipeline uses to flag out-of-distribution text, minus the
+    logarithm (libm differs across engines; ratios of identical
+    integers do not).
+
+    Scale: reuses the shared shingle index; the model is one groupBy
+    over train shingles (state = distinct trigram table, vocabulary-
+    bounded, not corpus-bounded) broadcast-joinable against any number
+    of scored documents.
+    """
+    from ..operators.traindata import _split_bucket
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select("doc_id", _split_bucket().alias("bucket"))
+    sh = _shingles(spark, sf_dir)
+    train_tri = (
+        sh.join(
+            split.filter(F.col("bucket") >= 10).select("doc_id"), "doc_id"
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .withColumn("ctx", F.regexp_replace("shingle", r" [^ ]+$", ""))
+    )
+    ctx_tot = train_tri.groupBy("ctx").agg(F.sum("c3").alias("c2"))
+    probs = train_tri.join(ctx_tot, "ctx").select(
+        "shingle", (F.col("c3").cast("double") / F.col("c2")).alias("p")
+    )
+    test_sh = sh.join(
+        split.filter(F.col("bucket") < 10).select("doc_id"), "doc_id"
+    )
+    return (
+        test_sh.join(probs, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.count("p").alias("n_hit"),
+            (F.count("p").cast("double") / F.count(F.lit(1))).alias("hit_rate"),
+            F.min("p").alias("min_p"),
+            F.max("p").alias("max_p"),
+        )
+    )

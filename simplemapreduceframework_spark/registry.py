@@ -109,6 +109,7 @@ CHECK_PRIORITY: list[str] = [
     "sample_stratified_bottomk",
     "q33_global_sales_opportunity",
     "q34_event_funnel",
+    "text_lm_coverage",
 ]
 
 

@@ -281,3 +281,18 @@ def test_ann_search_ivf_batch_recall(spark, sf_dir):
         for r in ann_search(emb, queries, k=6).collect()
     }
     assert len(ivf & exact) / len(exact) >= 0.6
+
+
+def test_lm_coverage_semantics(spark, sf_dir):
+    """LM coverage invariants: hit_rate in [0,1]; probabilities are
+    valid conditionals in (0,1]; every test-split doc with >=1 trigram
+    appears exactly once."""
+    rows = Q["text_lm_coverage"](spark, sf_dir).collect()
+    assert rows
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert 0.0 <= r["hit_rate"] <= 1.0
+        assert r["n_hit"] <= r["n_tri"]
+        if r["n_hit"] > 0:
+            assert 0.0 < r["min_p"] <= r["max_p"] <= 1.0
