@@ -109,7 +109,9 @@ def test_exchange_count_budgets(spark, sf_dir):
         "pack_sequences": 1,
         "skewed_agg_salted": 2,
         "cms_heavy_hitters": 5,
-        "dedup_minhash_lsh": 6,
+        # dedup_minhash_lsh is excluded: its exchange count depends on
+        # whether the memoized shingle index is already materialized
+        # (an InMemoryRelation embeds its child plan, double-counting).
         "text_vocab": 0,
     }
     over = {}
