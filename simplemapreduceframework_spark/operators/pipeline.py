@@ -122,5 +122,139 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The full training-data preparation, end to end, as ONE query:
+# quality filter -> exact dedup -> near-dup removal -> train split ->
+# deterministic shuffle-shard -> sequence packing. Every stage reuses
+# the exact formula of its standalone operator, so the entire
+# composition remains hash-exact against the chained CTEs in DuckDB.
+_PREP_ORACLE = f"""
+WITH {_MINHASH_PAIRS_CTES},
+metrics AS (
+    SELECT doc_id, MD5(text) AS content_md5,
+           CAST(LEN(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tok,
+           (CAST(LEN(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) AS DOUBLE)
+              / GREATEST(LEN(regexp_extract_all(text, '\\w+')), 1)
+            + CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+              / GREATEST(LENGTH(text), 1)) / 2 AS quality
+    FROM documents
+),
+quality_kept AS (
+    SELECT * FROM metrics
+    WHERE quality >= {_MIN_QUALITY} AND n_tok >= {_MIN_TOKENS}
+),
+exact_deduped AS (
+    SELECT doc_id, n_tok FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5
+                                     ORDER BY doc_id) AS rn
+        FROM quality_kept
+    ) WHERE rn = 1
+),
+clean AS (
+    SELECT * FROM exact_deduped
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+),
+train AS (
+    SELECT doc_id, n_tok,
+           CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard_id,
+           CAST('0x' || substr(md5('ord' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS shuffle_key
+    FROM clean
+    WHERE CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 >= 10
+),
+cum AS (
+    SELECT shard_id, doc_id, n_tok,
+           SUM(n_tok) OVER (PARTITION BY shard_id
+                            ORDER BY shuffle_key, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM train
+)
+SELECT shard_id,
+       CAST(FLOOR((cum_tok - 1) / 512) AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM cum
+GROUP BY shard_id, CAST(FLOOR((cum_tok - 1) / 512) AS BIGINT)
+"""
+
+
+@query("pipeline_prepare_training_data", oracle=_PREP_ORACLE)
+def pipeline_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete corpus-to-training-set pipeline as one declared
+    plan: clean (quality floor, exact dedup, MinHash near-dup removal)
+    -> hash train split -> deterministic shuffle-shard -> fixed-budget
+    sequence packing -> per-pack stats.
+
+    One Catalyst plan means the optimizer sees the whole pipeline:
+    filters run against the scan, the dedup window and the pack window
+    each get one hash exchange, and the near-dup list broadcasts.
+    Stage formulas are shared verbatim with pipeline_clean_corpus and
+    the traindata operators, so the composition hash-matches the same
+    CTE chain in DuckDB end to end.
+    """
+    from ..functions import hex32
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    metrics = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.size(tokens_regex("text")).cast("bigint").alias("n_tok"),
+        (
+            (
+                F.size(
+                    F.regexp_extract_all(
+                        "text", F.lit(r"\b(the|a|of|and|to)\b"), 0
+                    )
+                ).cast("double")
+                / F.greatest(F.size(tokens_regex("text")), F.lit(1))
+                + F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), 0)).cast(
+                    "double"
+                )
+                / F.greatest(F.length("text"), F.lit(1))
+            )
+            / 2
+        ).alias("quality"),
+    )
+    quality_kept = metrics.filter(
+        (F.col("quality") >= _MIN_QUALITY) & (F.col("n_tok") >= _MIN_TOKENS)
+    )
+    dw = Window.partitionBy("content_md5").orderBy("doc_id")
+    exact_deduped = (
+        quality_kept.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tok")
+    )
+    dup_tails = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
+    clean = exact_deduped.join(
+        F.broadcast(dup_tails),
+        exact_deduped["doc_id"] == dup_tails["doc_b"],
+        "left_anti",
+    )
+
+    def _salt_hash(salt: str) -> F.Column:
+        return hex32(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+
+    train = clean.filter(_salt_hash("split") % 100 >= 10).select(
+        "doc_id",
+        "n_tok",
+        (_salt_hash("shard") % 8).alias("shard_id"),
+        _salt_hash("ord").alias("shuffle_key"),
+    )
+    pw = W.partitionBy("shard_id").orderBy("shuffle_key", "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = train.select(
+        "shard_id",
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(pw) - 1) / 512).alias("pack_id"),
+    )
+    return packed.groupBy("shard_id", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)

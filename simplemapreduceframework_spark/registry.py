@@ -110,6 +110,7 @@ CHECK_PRIORITY: list[str] = [
     "q33_global_sales_opportunity",
     "q34_event_funnel",
     "text_lm_coverage",
+    "pipeline_prepare_training_data",
 ]
 
 
