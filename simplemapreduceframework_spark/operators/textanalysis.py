@@ -427,3 +427,80 @@ def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p").alias("max_p"),
         )
     )
+
+
+@query(
+    "text_token_ids",
+    oracle=r"""
+WITH counts AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT UNNEST(regexp_extract_all(lower(text), '\w+')) AS word
+          FROM documents)
+    GROUP BY word
+    HAVING COUNT(*) >= 5
+),
+vocab AS (
+    SELECT word,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS BIGINT) AS vocab_id
+    FROM counts
+),
+tok AS (
+    SELECT doc_id, t.pos AS pos, t.word AS word
+    FROM (SELECT doc_id,
+                 UNNEST(list_transform(regexp_extract_all(lower(text), '\w+'),
+                                       (w, i) -> struct_pack(pos := i, word := w))) AS t
+          FROM documents)
+)
+SELECT tok.doc_id,
+       STRING_AGG(CAST(COALESCE(v.vocab_id, 0) AS VARCHAR), ' '
+                  ORDER BY tok.pos) AS token_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN v.vocab_id IS NULL THEN 1 END) AS BIGINT) AS n_oov
+FROM tok LEFT JOIN vocab v ON v.word = tok.word
+GROUP BY tok.doc_id
+""",
+)
+def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization to id sequences: every document's tokens mapped
+    through the frequency-ranked vocabulary (text_vocab's exact
+    definition; OOV -> 0), emitted as the ordered id string plus OOV
+    counts — the final text -> ids step before training.
+
+    Scale: the vocab is small after the min-count cutoff -> broadcast
+    join against the exploded tokens (ids assigned by text_vocab's
+    distributed ranking, no global window); sequence order is restored
+    by sorting (pos, id) structs inside each doc's aggregation, so no
+    window over token rows is needed — one exchange on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # id assignment comes from text_vocab (distributed sort +
+    # zipWithIndex) — NOT a partitionless window, which would funnel
+    # the whole vocabulary through one task at web scale.
+    vocab = text_vocab(spark, sf_dir).select("word", "vocab_id")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens_regex(F.lower(F.col("text")))).alias("pos", "word"),
+    )
+    joined = tok.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("vocab_id", F.lit(0)).alias("vid"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "vid"))
+            ).alias("_seq"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("_seq"), lambda s: s["vid"].cast("string")), " "
+            ).alias("token_ids"),
+            F.size("_seq").cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter(F.col("_seq"), lambda s: s["vid"] == 0)
+            ).cast("bigint").alias("n_oov"),
+        )
+    )

@@ -111,6 +111,7 @@ CHECK_PRIORITY: list[str] = [
     "q34_event_funnel",
     "text_lm_coverage",
     "pipeline_prepare_training_data",
+    "text_token_ids",
 ]
 
 
