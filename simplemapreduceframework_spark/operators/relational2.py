@@ -519,8 +519,8 @@ WHERE e.est_count >= (SELECT t FROM thresh)
 
 @query("cms_heavy_hitters", oracle=_CMS_ORACLE)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-items via a count-min sketch: d={_CMS_D} salted hash
-    rows of w={_CMS_W} counters, estimate = min over rows of the
+    """Frequent-items via a count-min sketch: d=4 salted hash
+    rows of w=1024 counters, estimate = min over rows of the
     landed counter, report keys whose estimate crosses rows/1000
     (true counts joined alongside — the one-sided overestimate
     guarantee est >= true is pinned by a test).

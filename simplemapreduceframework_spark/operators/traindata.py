@@ -166,8 +166,8 @@ GROUP BY shard_id, pack_id
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate documents (in deterministic
-    shuffle order) into fixed-budget training sequences of ~{_PACK_LEN}
-    tokens — pack id = floor of the running token count / budget, the
+    shuffle order) into fixed-budget training sequences of ~_PACK_LEN
+    (512) tokens — pack id = floor of the running token count / budget, the
     streaming-friendly packing a tokenizer pipeline uses.
 
     The cumsum window partitions by shard, so each shard packs
