@@ -73,9 +73,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-cleaning pipeline (see module docstring).
 
     Near-dup removal keeps the smallest doc_id of each verified pair
-    (docs appearing on the doc_b side are dropped via an anti join —
-    a broadcastable list at any scale, since near-dup pairs are rare
-    relative to the corpus).
+    (docs appearing on the doc_b side are dropped via an anti join).
+    The tail list broadcasts here; on a web-scale corpus with 30-50%
+    duplication the tail set itself is corpus-sized — there, drop the
+    broadcast hint (AQE picks a shuffled anti join) or pre-prune with
+    a Bloom sketch of the tails (see bloom_semi_filter) before the
+    exact anti join.
     """
     docs = load_table(spark, sf_dir, "documents")
     metrics = docs.select(
