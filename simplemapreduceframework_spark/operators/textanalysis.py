@@ -392,8 +392,9 @@ def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: reuses the shared shingle index; the model is one groupBy
     over train shingles (state = distinct trigram table, vocabulary-
-    bounded, not corpus-bounded) broadcast-joinable against any number
-    of scored documents.
+    bounded, not corpus-bounded). Broadcast the model when it fits;
+    past that the scoring join is an ordinary key-equi shuffle on the
+    trigram — either way no per-row Python and no cross join.
     """
     from ..operators.traindata import _split_bucket
     from .dedup import _shingles
