@@ -11,7 +11,9 @@ primitive used across the dedup tier.
 Scale notes: split and shard assignment are row-local expressions (no
 shuffle); the shard shuffle is ONE exchange on shard_id; packing is a
 per-shard window cumsum (each shard sorts independently — shards are
-the parallelism unit, so no global sort anywhere).
+the parallelism unit, so no global sort anywhere). _N_SHARDS=8 is
+validation-scale; size it to O(cluster cores) at 100 TB — the
+operators are shard-count-agnostic.
 """
 
 from __future__ import annotations

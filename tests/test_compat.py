@@ -317,3 +317,13 @@ def test_local_client_progress_callback(spark, job_files):
     for batch in seen:
         for info in batch:
             assert {"stage", "num_tasks", "completed", "active", "failed"} <= set(info)
+
+
+def test_functions_file_without_mapper_rejected(spark, tmp_path):
+    """A functions file with no mapper must fail fast with a clear
+    error (the reference's contract requires mapper; reducer/combiner
+    are optional)."""
+    fn = tmp_path / "bad_functions.py"
+    fn.write_text("def reducer(key, values):\n    return key, sum(values)\n")
+    with pytest.raises(ValueError, match="mapper"):
+        load_functions(str(fn))
