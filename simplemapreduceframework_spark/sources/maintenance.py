@@ -48,6 +48,52 @@ def compact_parquet(
     return n_files
 
 
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Row-level merge into a parquet table: rows in `updates` replace
+    existing rows with the same key; all other rows persist (the MERGE
+    / CDC-apply pattern on plain files — a table format like
+    Iceberg/Delta does this transactionally; on raw parquet it is a
+    read-union-dedup-rewrite).
+
+    The dedup prefers updates via a priority column + per-key
+    row_number — one hash exchange on the key. With partition_by set
+    and updates touching few partitions, restrict the read+rewrite to
+    those partitions (overwrite_partitions composes with this).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    current = spark.read.parquet(path)
+    merged = (
+        current.withColumn("_pri", F.lit(1))
+        .unionByName(updates.withColumn("_pri", F.lit(0)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key).orderBy("_pri")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
+    # parquet cannot overwrite a path being read: stage then swap
+    tmp = path.rstrip("/") + "._upsert_tmp"
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def sorted_rewrite(
     df: DataFrame,
     dst: str,

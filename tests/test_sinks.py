@@ -182,3 +182,28 @@ def test_sorted_rewrite_clusters_ranges(spark, sf_dir, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in ranges)
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert lo_next > hi_prev, spans
+
+
+def test_upsert_by_key(spark, sf_dir, tmp_path):
+    """Row-level merge: updated keys take the new row, untouched keys
+    keep theirs, and new keys append."""
+    from simplemapreduceframework_spark.sources.maintenance import upsert_by_key
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_upsert")
+    orders.write.parquet(path)
+    keys = [r["o_orderkey"] for r in orders.limit(3).collect()]
+    updates = spark.createDataFrame(
+        [(keys[0], "X", 1.0), (keys[1], "X", 2.0), (-999, "X", 3.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    upsert_by_key(spark, path, updates, "o_orderkey")
+    after = {r["o_orderkey"]: r for r in spark.read.parquet(path).collect()}
+    n_before = orders.count()
+    assert len(after) == n_before + 1  # one new key
+    assert after[keys[0]]["o_orderstatus"] == "X"
+    assert float(after[keys[0]]["o_totalprice"]) == 1.0
+    assert after[-999]["o_orderstatus"] == "X"
+    assert after[keys[2]]["o_orderstatus"] != "X"  # untouched row preserved
