@@ -81,6 +81,25 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_json_table(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source. Declare the schema in production — schema
+    inference is an extra full pass over the data, and at 100 TB that
+    pass costs as much as the query."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with schema merging: files written under older
+    schemas surface missing columns as NULL, so a long-lived table can
+    add columns without rewriting history. mergeSchema reads every
+    file's footer — per-file metadata cost, not data cost — which is
+    why it's an explicit opt-in rather than the default."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_csv_table(
     spark: SparkSession,
     path: str,

@@ -200,3 +200,44 @@ def test_cms_overestimates_never_underestimates(spark, sf_dir):
         .count()
     )
     assert len(rows) >= truly_heavy
+
+
+def test_connected_components_random_graphs_property(spark):
+    """Property: the large-star/small-star algorithm matches a python
+    union-find on random graphs (5 seeds, 30 nodes, varying density)."""
+    import random
+
+    from simplemapreduceframework_spark.operators.dedup import connected_components
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 40))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        expect = {}
+        for x in range(n):
+            root = find(x)
+            expect.setdefault(root, set()).add(x)
+        want = {x: min(m) for m in expect.values() for x in m}
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame([(i,) for i in range(n)], "id long"),
+                spark.createDataFrame(
+                    edges or [(0, 0)], "src long, dst long"
+                ),
+            ).collect()
+        }
+        assert got == want, (seed, got, want)

@@ -207,3 +207,34 @@ def test_upsert_by_key(spark, sf_dir, tmp_path):
     assert float(after[keys[0]]["o_totalprice"]) == 1.0
     assert after[-999]["o_orderstatus"] == "X"
     assert after[keys[2]]["o_orderstatus"] != "X"  # untouched row preserved
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Files written under an older schema surface the new column as
+    NULL under mergeSchema — additive evolution without history
+    rewrite."""
+    from simplemapreduceframework_spark.sources import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        path + "/batch1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(path + "/batch2")
+    df = read_parquet_evolving(spark, path + "/*")
+    rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    from simplemapreduceframework_spark.sources import read_json_table
+    from simplemapreduceframework_spark.sources.writers import write_json
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_json")
+    write_json(orders, path)
+    back = read_json_table(spark, path, "o_orderkey long, o_orderstatus string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
