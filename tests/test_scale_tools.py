@@ -241,3 +241,39 @@ def test_connected_components_random_graphs_property(spark):
             ).collect()
         }
         assert got == want, (seed, got, want)
+
+
+def test_operators_on_empty_tables(spark, tmp_path):
+    """Empty-input robustness: representative operators from each tier
+    must return empty (or identity) results, not throw — the
+    empty-partition / empty-split case every 100 TB job eventually
+    hits."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    empty_dir = str(tmp_path / "sf_empty")
+    os.makedirs(empty_dir, exist_ok=True)
+    for t in TABLES:
+        load_table(spark, src, t).limit(0).write.parquet(
+            f"{empty_dir}/{t}.parquet"
+        )
+    for name in [
+        "q1_pricing_summary",
+        "q5_region_revenue",
+        "wordcount",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "text_token_stats",
+        "events_tumbling_1h",
+        "split_train_test",
+        "pack_sequences",
+        "pipeline_clean_corpus",
+        "cms_heavy_hitters",
+        "sample_bottomk",
+    ]:
+        rows = registry.QUERIES[name](spark, empty_dir).collect()
+        assert rows == [], (name, rows[:3])
