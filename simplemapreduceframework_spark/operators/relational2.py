@@ -847,3 +847,59 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)
+
+
+# Equi-depth histogram: 8 buckets of (approximately) equal row count,
+# boundaries from EXACT interpolated percentiles — the statistic behind
+# range partitioning and skew diagnosis. quantile_cont (DuckDB) and
+# percentile (Spark) interpolate identically on these integral inputs,
+# so boundaries and bucket counts are engine-exact.
+_HIST_ORACLE = """
+WITH b AS (
+    SELECT [quantile_cont(CAST(l_quantity AS DOUBLE), 0.125),
+            quantile_cont(CAST(l_quantity AS DOUBLE), 0.25),
+            quantile_cont(CAST(l_quantity AS DOUBLE), 0.375),
+            quantile_cont(CAST(l_quantity AS DOUBLE), 0.5),
+            quantile_cont(CAST(l_quantity AS DOUBLE), 0.625),
+            quantile_cont(CAST(l_quantity AS DOUBLE), 0.75),
+            quantile_cont(CAST(l_quantity AS DOUBLE), 0.875)] AS bs
+    FROM lineitem
+)
+SELECT CAST(LEN(list_filter(b.bs, t -> CAST(l.l_quantity AS DOUBLE) > t)) AS BIGINT) AS bucket,
+       MIN(l.l_quantity) AS lo,
+       MAX(l.l_quantity) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l CROSS JOIN b
+GROUP BY 1
+"""
+
+
+@query("histogram_equi_depth", oracle=_HIST_ORACLE)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of l_quantity: bucket
+    boundaries are the exact 1/8..7/8 interpolated percentiles; each
+    row's bucket is the count of boundaries strictly below it.
+
+    Scale: boundaries are one aggregated 7-float row (broadcast), the
+    bucket assignment is row-local, and the final agg is 8 groups —
+    the same two-pass shape ANALYZE uses for range-partition planning
+    on a 100 TB column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.percentile(
+            F.col("l_quantity").cast("double"),
+            F.array(*[F.lit(x / 8.0) for x in range(1, 8)]),
+        ).alias("bs")
+    )
+    x = F.col("l_quantity").cast("double")
+    bucket = F.size(F.filter(F.col("bs"), lambda t: x > t)).cast("bigint")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -112,6 +112,7 @@ CHECK_PRIORITY: list[str] = [
     "text_lm_coverage",
     "pipeline_prepare_training_data",
     "text_token_ids",
+    "histogram_equi_depth",
 ]
 
 
