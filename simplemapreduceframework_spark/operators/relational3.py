@@ -181,3 +181,56 @@ def q34_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     are identical in both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q34_SQL)
+
+
+# Custom GROUPING SETS (beyond rollup/cube): an explicit lattice of
+# aggregation levels with GROUPING() flags disambiguating real NULLs
+# from subtotal rows.
+_Q35_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+"""
+
+
+@query("q35_grouping_sets", oracle=_Q35_SQL)
+def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice with GROUPING() flags — the
+    general form of rollup/cube (q10/q11): the engine expands the row
+    once per set (Expand node) and aggregates all levels in one
+    shuffle, instead of one job per level."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q35_SQL)
+
+
+# LATERAL join: a correlated subquery in the FROM clause — per
+# customer, their two most expensive orders. Catalyst decorrelates the
+# lateral into a ranked window join; DuckDB executes the lateral
+# directly; results agree exactly.
+_Q36_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+WHERE c.c_custkey % 100 = 0
+"""
+
+
+@query("q36_lateral_topn", oracle=_Q36_SQL)
+def q36_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (correlated table subquery in FROM): per-customer top-2
+    orders. The declarative form a user writes; the engine plans the
+    same ranked-window shape as q8 rather than executing the subquery
+    per row."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q36_SQL)

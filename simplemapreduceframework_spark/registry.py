@@ -113,6 +113,8 @@ CHECK_PRIORITY: list[str] = [
     "pipeline_prepare_training_data",
     "text_token_ids",
     "histogram_equi_depth",
+    "q35_grouping_sets",
+    "q36_lateral_topn",
 ]
 
 
