@@ -86,3 +86,54 @@ def test_stratified_sample_equal_per_stratum(spark, sf_dir):
 
     per_src = Counter(r["source"] for r in rows)
     assert all(v == 5 for v in per_src.values())
+
+
+def test_pack_sequences_property_vs_python_model(spark, tmp_path):
+    """Property: on synthetic corpora (varied sizes, token lengths,
+    including empty-token docs), the Spark packing equals a pure-python
+    model of the same hash/shard/cumsum arithmetic."""
+    import hashlib
+
+    from simplemapreduceframework_spark.operators.traindata import (
+        _N_SHARDS,
+        _PACK_LEN,
+        pack_sequences,
+    )
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for seed, n_docs in [(1, 7), (2, 40), (3, 1)]:
+        import random
+
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(f"w{rng.randrange(9)}" for _ in range(rng.randrange(0, 30))), "s")
+            for i in range(n_docs)
+        ]
+        d = tmp_path / f"corpus{seed}"
+        d.mkdir()
+        spark.createDataFrame(
+            docs, "doc_id long, text string, source string"
+        ).write.parquet(str(d / "documents.parquet"))
+        got = {
+            (r["shard_id"], r["pack_id"]): (r["n_docs"], r["n_tokens"], r["min_doc_id"])
+            for r in pack_sequences(spark, str(d)).collect()
+        }
+        # python model
+        shards: dict[int, list] = {}
+        for doc_id, text, _ in docs:
+            n_tok = len(text.split())
+            shards.setdefault(h32(f"shard{doc_id}") % _N_SHARDS, []).append(
+                (h32(f"ord{doc_id}"), doc_id, n_tok)
+            )
+        want: dict = {}
+        for shard, rows in shards.items():
+            rows.sort()
+            cum = 0
+            for _, doc_id, n_tok in rows:
+                cum += n_tok
+                pack = (cum - 1) // _PACK_LEN
+                nd, nt, md = want.get((shard, pack), (0, 0, doc_id))
+                want[(shard, pack)] = (nd + 1, nt + n_tok, min(md, doc_id))
+        assert got == want, (seed, got, want)
