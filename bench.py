@@ -115,13 +115,13 @@ def main() -> None:
     run_query(queries["ann_lsh_bucketed"](spark, sf_dir))
     run_query(queries["multimodal_decode"](spark, sf_dir))
 
-    # Two passes, report per-query best: single-run numbers on a shared
-    # host swing +-30% with ambient load; the minimum of two runs is the
-    # steady-state engine throughput (the cold first-pass total is kept
-    # alongside for transparency).
+    # Three passes, report per-query best: single-run numbers on a
+    # shared host swing +-30% (sometimes 2x) with ambient load; the
+    # minimum over runs is the steady-state engine throughput (the cold
+    # first-pass total is kept alongside for transparency).
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
-    for attempt in range(2):
+    for attempt in range(3):
         for name in HEADLINE:
             t0 = time.time()
             run_query(queries[name](spark, sf_dir))
@@ -143,7 +143,7 @@ def main() -> None:
                     os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
                 ),
                 "n_queries": len(timings),
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "cold_seconds": round(sum(cold.values()), 3),
             }
         )
