@@ -7,6 +7,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query executes to a noop sink (full computation, no driver
 serialization cost). A short warmup absorbs JVM/codegen startup so the
 per-query numbers reflect steady-state engine throughput.
+
+Steady state includes the engine's shared-index design: the shingle
+index, MinHash pair list, and IVF index are persisted+memoized per
+session (operators/dedup.py, similarity.py), so consumers after the
+first pay index *reuse*, not rebuild — exactly as a cluster deployment
+shares persisted index tables across dedup runs. The first-pass
+`cold_seconds` total shows the build-everything-once cost.
 """
 
 from __future__ import annotations
