@@ -234,3 +234,35 @@ def q36_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row."""
     register_views(spark, sf_dir)
     return spark.sql(_Q36_SQL)
+
+
+# RANGE window frames (value-based, not row-based): per customer, the
+# rolling 30-day order total — every ROWS frame in q20 bounds by row
+# count; a RANGE frame bounds by ORDER-BY value, the shape rolling
+# time-window analytics actually needs.
+_Q37_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE)
+           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_30d_total,
+       CAST(COUNT(*) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE)
+           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_30d_orders
+FROM orders
+WHERE o_custkey % 40 = 0
+"""
+
+
+@query("q37_range_frame_window", oracle=_Q37_SQL)
+def q37_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: the frame is bounded by ORDER-BY *value*
+    (orders within the preceding 30 days), not row offsets — peers with
+    the same date all see the same frame, which ROWS frames get wrong.
+    Decimal sums keep the rolling totals engine-exact. Same SQL text in
+    both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q37_SQL)

@@ -115,6 +115,7 @@ CHECK_PRIORITY: list[str] = [
     "histogram_equi_depth",
     "q35_grouping_sets",
     "q36_lateral_topn",
+    "q37_range_frame_window",
 ]
 
 
