@@ -503,6 +503,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A recall floor loose enough for run-to-run centroid noise but tight
+# enough that a real quality regression (bad centroids, broken probe)
+# flips the gate: measured recall on the synthetic corpus is 0.88-0.92.
+_RECALL_FLOOR = 0.85
+
+
+def _recall_gate_row(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """One-row gate: |approx ∩ exact| / |exact| >= floor as a boolean.
+
+    Both inputs are (query_id, neighbor_id) pair sets. The boolean is
+    computed Spark-side from real counts, so against a constant-true
+    oracle a recall collapse breaks the driver's hash."""
+    e = exact.select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+    )
+    hits = approx.join(
+        e, (F.col("query_id") == F.col("eq")) & (F.col("neighbor_id") == F.col("en"))
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_exact")))
+        .select(
+            F.lit(_N_QUERIES).cast("bigint").alias("n_queries"),
+            (F.col("n_hit").cast("double") / F.col("n_exact") >= floor).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 @query(
     "ann_ivf_recall_gate",
     oracle=f"""
@@ -514,25 +544,42 @@ def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_distinct_gate): the checkable claim for a data-adaptive
     approximate index is its RECALL against the exact baseline. Emits
     one row — the query count and a boolean asserting overall recall@k
-    >= 0.4 — against a constant-true oracle, so a recall collapse (bad
-    centroids, broken probe) breaks the hash."""
+    >= 0.85 — against a constant-true oracle, so a recall collapse (bad
+    centroids, broken probe) breaks the hash. A monkeypatched
+    farthest-cell probe in tests proves the gate can actually fail."""
     ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = ann_cosine_topk(spark, sf_dir).select(
-        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_gate_row(ivf, exact, _RECALL_FLOOR)
+
+
+@query(
+    "ann_search_ivf_gate",
+    oracle=f"""
+SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries, TRUE AS recall_ok
+""",
+)
+def ann_search_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the IVF-backed *batch search API*
+    (`ann_search_ivf`): the serving-shaped entry point — arbitrary
+    (query_id, embedding) batch against a corpus — must reproduce the
+    brute-force `ann_search` top-k above the recall floor. Exercises
+    the full train -> index -> probe -> score -> rank pipeline through
+    the public API rather than the registered-query plumbing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    hits = ivf.join(
-        exact, (F.col("query_id") == F.col("eq")) & (F.col("neighbor_id") == F.col("en"))
+    approx = (
+        ann_search_ivf(emb, queries, k=_TOP_K + 1)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
     )
-    return (
-        hits.agg(F.count(F.lit(1)).alias("n_hit"))
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
-        .select(
-            F.lit(_N_QUERIES).cast("bigint").alias("n_queries"),
-            (F.col("n_hit").cast("double") / F.col("n_exact") >= 0.4).alias(
-                "recall_ok"
-            ),
-        )
+    exact = (
+        ann_search(emb, queries, k=_TOP_K + 1)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
     )
+    return _recall_gate_row(approx, exact, _RECALL_FLOOR)
 
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402

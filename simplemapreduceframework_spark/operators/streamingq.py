@@ -246,13 +246,22 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_dedup_live")
+@query(
+    "streaming_dedup_live",
+    oracle="""
+SELECT event_id, event_type, user_id, value FROM events
+""",
+)
 def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live streaming dedup: two stream scans of the same source
     unioned (guaranteed duplicate delivery), deduped by
     dropDuplicatesWithinWatermark — per-key state bounded by the
-    watermark horizon. Rows-only; tests assert the output equals the
-    batch distinct.
+    watermark horizon.
+
+    Oracle-gated: the source is the static events table doubled, the
+    dedup key (event_id) is the table's unique key, and availableNow
+    processes every file before the watermark can drop anything — so
+    the streamed output is exactly the original table.
     """
     from ..streaming import dedup_stream, read_events_stream, run_available_now
 
@@ -265,11 +274,28 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(deduped, spark, output_mode="append")
 
 
-@query("events_stream_join_live")
+@query(
+    "events_stream_join_live",
+    oracle="""
+SELECT e.event_id AS error_id,
+       p.event_id AS purchase_id,
+       e.user_id,
+       CAST(EXTRACT(EPOCH FROM e.ts - p.ts) AS DOUBLE) AS seconds_before_error,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts >= e.ts - INTERVAL 30 MINUTE
+ AND p.ts <= e.ts
+""",
+)
 def events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live stream-stream interval join (watermarked on both sides,
-    time-bounded condition -> bounded buffer state). Rows-only; tests
-    assert it equals the oracle-gated batch events_range_join.
+    time-bounded condition -> bounded buffer state).
+
+    Oracle-gated with the same SQL as the batch events_range_join: on a
+    static availableNow source every match is emitted before the final
+    watermark advance, so the streamed inner join equals the batch join.
     """
     from ..streaming import interval_join_stream, read_events_stream, run_available_now
 
@@ -279,13 +305,25 @@ def events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_tumbling_live")
+@query(
+    "streaming_tumbling_live",
+    oracle="""
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
 def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *actual* Structured Streaming pipeline: readStream(parquet)
     -> watermark -> tumbling window agg -> availableNow -> memory sink.
 
-    Rows-only for the driver; tests assert it row-matches the batch
-    query events_tumbling_1h restricted to the same columns.
+    Oracle-gated with the batch events_tumbling_1h SQL restricted to
+    the streamed columns: the static fixture fits in the availableNow
+    run's first batches, complete output mode emits every window, and
+    the watermark drops nothing — so streaming equals batch.
     """
     from ..streaming import read_events_stream, run_available_now, tumbling_counts_stream
 

@@ -63,6 +63,13 @@ def load_all() -> None:
 # are listed first; long-green queries fall to the tail where a cap
 # costs nothing (their round-1 rows stand).
 CHECK_PRIORITY: list[str] = [
+    # round 4: new or changed this round — check first
+    "ann_search_ivf_gate",
+    "ann_ivf_recall_gate",
+    "events_range_join",
+    "streaming_tumbling_live",
+    "streaming_dedup_live",
+    "events_stream_join_live",
     # never driver-checked in round 1 (registered after the cap)
     "text_token_stats",
     "text_quality_score",
@@ -72,8 +79,6 @@ CHECK_PRIORITY: list[str] = [
     "text_fingerprint",
     "events_sliding_1h_30m",
     "events_session_10m",
-    "events_range_join",
-    "streaming_tumbling_live",
     "mr_wordcount_compat",
     "mr_grouped_avg_compat",
     "udf_scalar_disc_price",
@@ -95,11 +100,8 @@ CHECK_PRIORITY: list[str] = [
     "approx_distinct_gate",
     "multimodal_decode",
     "ann_ivf_topk",
-    "ann_ivf_recall_gate",
     "pipeline_clean_corpus",
     "events_dedup",
-    "streaming_dedup_live",
-    "events_stream_join_live",
     "split_train_test",
     "corpus_shuffle_shard",
     "pack_sequences",

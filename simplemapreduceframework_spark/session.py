@@ -60,6 +60,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Parquet files annotated isAdjustedToUTC=false would otherwise
+        # surface as TIMESTAMP_NTZ, which watermarks / unix_micros reject;
+        # with a UTC session the micros are identical either way, so read
+        # them as plain TIMESTAMP for uniform semantics.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

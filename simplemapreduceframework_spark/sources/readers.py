@@ -44,6 +44,27 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to plain TIMESTAMP.
+
+    Parquet files annotated isAdjustedToUTC=false are inferred as NTZ by
+    Spark 4, which watermarks and several time functions reject. With a
+    UTC session the micros are bit-identical under either type, so plain
+    TIMESTAMP everywhere keeps one uniform timestamp semantics. The cast
+    is a projection — pushdown and pruning pass through it.
+    """
+    if any(t == "timestamp_ntz" for _, t in df.dtypes):
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[
+                F.col(c).cast("timestamp").alias(c) if t == "timestamp_ntz" else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one testdata table.
 
@@ -53,12 +74,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # Pin UTC at query time so timestamp formatting/windowing matches
     # the (naive-timestamp) oracle even under a driver-built session
-    # that didn't set it.
+    # that didn't set it; likewise read NTZ-annotated parquet as plain
+    # TIMESTAMP (see _normalize_ntz).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _normalize_events(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_events(
+            _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        )
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

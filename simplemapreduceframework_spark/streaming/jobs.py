@@ -24,9 +24,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger keeps micro-batches bounded). Nanosecond `ts`
     arrives as int64 under nanosAsLong and is normalized to timestamp
     exactly like the batch reader."""
-    from ..sources.readers import _normalize_events
+    from ..sources.readers import _normalize_events, _normalize_ntz
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ-annotated parquet must surface as plain TIMESTAMP: watermarks
+    # reject TIMESTAMP_NTZ event-time columns (and the batch twins read
+    # the same way via load_table).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file-stream source lists a *directory*; select just the events
     # table out of it with a glob filter.
@@ -36,7 +40,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return _normalize_events(raw)
+    return _normalize_events(_normalize_ntz(raw))
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from simplemapreduceframework_spark import registry
@@ -281,6 +284,44 @@ def test_ann_search_ivf_batch_recall(spark, sf_dir):
         for r in ann_search(emb, queries, k=6).collect()
     }
     assert len(ivf & exact) / len(exact) >= 0.6
+
+
+def test_ivf_recall_gate_passes_and_can_fail(spark, sf_dir, monkeypatch):
+    """The driver-visible recall gate must be a REAL gate: green on the
+    healthy index, and red when the index is deliberately broken.
+    Breakage = probing the FARTHEST cells instead of the nearest
+    (simulates corrupted centroids in a persisted index) — candidates
+    then come from the wrong side of the space and recall collapses."""
+    from simplemapreduceframework_spark.operators import similarity as sim
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    # healthy: the gate row is True at the tightened 0.85 floor
+    sim._IVF_SCORED_CACHE.clear()
+    [row] = Q["ann_ivf_recall_gate"](spark, sf_dir).collect()
+    assert row["recall_ok"] is True
+
+    def farthest_probe(C, nprobe):
+        Cm = C.copy()
+
+        @pandas_udf(ArrayType(LongType()))
+        def probe(e: pd.Series) -> pd.Series:
+            V = np.vstack(e.to_numpy()).astype(np.float64)
+            d = (V * V).sum(axis=1, keepdims=True) - 2 * (V @ Cm.T) + (
+                Cm * Cm
+            ).sum(axis=1)
+            order = np.argsort(d, axis=1)[:, -nprobe:].astype(np.int64)
+            return pd.Series(list(order))
+
+        return probe
+
+    monkeypatch.setattr(sim, "_make_probe_udf", farthest_probe)
+    sim._IVF_SCORED_CACHE.clear()
+    try:
+        [row] = Q["ann_ivf_recall_gate"](spark, sf_dir).collect()
+        assert row["recall_ok"] is False, "gate failed to catch a broken probe"
+    finally:
+        sim._IVF_SCORED_CACHE.clear()  # never leak the poisoned index
 
 
 def test_lm_coverage_semantics(spark, sf_dir):
