@@ -49,6 +49,16 @@ _HASH_VALUES_SQL = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_A, _B))
 )
 
+# Verify-stage shingle cap: each doc contributes at most this many
+# shingles (deterministic bottom-k by md5 order — a min-wise sample)
+# to the candidate-verify join, and each pair's union is trimmed to
+# the same k, giving the standard bottom-k sketch Jaccard estimator
+# |T ∩ A ∩ B| / |T|. Below the cap (every doc in the synthetic corpus:
+# max 98 shingles) T is the full union and the value is EXACT equal to
+# |A∩B| / |A∪B|; above it, per-pair verify cost is bounded by 2k rows
+# however pathological the document.
+_VERIFY_CAP = 1024
+
 # Shared shingle SQL (DuckDB): word 3-grams over lowercased \w+ tokens.
 _SHINGLES_CTE = r"""
 toks AS (
@@ -229,21 +239,36 @@ cand AS (
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.sig_key = b.sig_key AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-verified AS (
-    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-    FROM cand c
-    JOIN shingles sa ON sa.doc_id = c.doc_a
-    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-    GROUP BY c.doc_a, c.doc_b
+capped AS (
+    SELECT doc_id, shingle, h FROM (
+        SELECT doc_id, shingle, md5(shingle) AS h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY md5(shingle), shingle) AS rn
+        FROM shingles
+    ) WHERE rn <= {_VERIFY_CAP}
+),
+pair_union AS (
+    SELECT doc_a, doc_b, shingle, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+    FROM (
+        SELECT c.doc_a, c.doc_b, s.shingle, s.h, 1 AS in_a, 0 AS in_b
+        FROM cand c JOIN capped s ON s.doc_id = c.doc_a
+        UNION ALL
+        SELECT c.doc_a, c.doc_b, s.shingle, s.h, 0 AS in_a, 1 AS in_b
+        FROM cand c JOIN capped s ON s.doc_id = c.doc_b
+    ) GROUP BY doc_a, doc_b, shingle, h
+),
+pair_topk AS (
+    SELECT doc_a, doc_b, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                              ORDER BY h, shingle) AS rn
+    FROM pair_union
 ),
 pairs AS (
-    SELECT v.doc_a, v.doc_b,
-           CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
-    FROM verified v
-    JOIN sizes za ON za.doc_id = v.doc_a
-    JOIN sizes zb ON zb.doc_id = v.doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+    SELECT doc_a, doc_b,
+           CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*) AS jaccard
+    FROM pair_topk WHERE rn <= {_VERIFY_CAP}
+    GROUP BY doc_a, doc_b
+    HAVING CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*) >= 0.5
 )"""
 
 
@@ -316,28 +341,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    verified = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Verify stage with a bounded per-doc shingle budget: bottom-k by
+    # md5 order per doc (deterministic min-wise sample), then the pair's
+    # union trimmed to the same k — the bottom-k sketch estimator
+    # |T ∩ A ∩ B| / |T|, EXACT whenever the union fits in k (always at
+    # validation scale; _VERIFY_CAP). Per-pair verify cost is <= 2k rows
+    # no matter how large a pathological document grows.
+    from pyspark.sql.window import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("h"), F.col("shingle"))
+    capped = (
+        sh.withColumn("h", F.md5("shingle"))
+        .withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") <= _VERIFY_CAP)
+        .drop("rn")
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    jac = F.col("n_inter").cast("double") / (
-        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
+    ca = capped.alias("ca")
+    cb = capped.alias("cb")
+    side_a = cand.join(ca, F.col("ca.doc_id") == F.col("doc_a")).select(
+        "doc_a",
+        "doc_b",
+        F.col("ca.shingle").alias("shingle"),
+        F.col("ca.h").alias("h"),
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    side_b = cand.join(cb, F.col("cb.doc_id") == F.col("doc_b")).select(
+        "doc_a",
+        "doc_b",
+        F.col("cb.shingle").alias("shingle"),
+        F.col("cb.h").alias("h"),
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    pair_union = (
+        side_a.unionByName(side_b)
+        .groupBy("doc_a", "doc_b", "shingle", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("h"), F.col("shingle")
     )
     pairs = (
-        verified.join(za, F.col("za.doc_id") == F.col("doc_a"))
-        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        pair_union.withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") <= _VERIFY_CAP)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+            F.count(F.lit(1)).alias("n_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / F.col("n_union")).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.5)
         .persist()
     )
@@ -569,13 +626,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus matrix is the broadcast side (materialized once, shipped
     # once per executor) — the all-pairs baseline requires every worker
     # to see every vector regardless of formulation; what we avoid is
-    # materializing and shuffling the O(n^2) pair rows. The matrix
-    # transits as Arrow columnar batches (toPandas), never as Python
-    # Row objects.
+    # materializing and shuffling the O(n^2) pair rows, and (since round
+    # 4) holding the corpus as pandas objects on the driver: each task
+    # packs its Arrow batches into dense (int64 ids, float64 vecs) byte
+    # buffers, the buffers pre-merge through an intermediate mapInPandas
+    # level (the treeAggregate shape, mirroring build_bloom_distributed:
+    # the driver receives <=8 packed chunks, never one per task and
+    # never a Python Row), and the driver just concatenates dense
+    # buffers — n x dim x 8 bytes, no object overhead.
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    pdf = emb.orderBy("vec_id").toPandas()
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+    def _pack(batches):
+        id_parts, vec_parts = [], []
+        for pdf in batches:
+            if "ids" in pdf.columns:  # merge level: concatenate child buffers
+                for i_buf, v_buf in zip(pdf["ids"], pdf["vecs"]):
+                    id_parts.append(np.frombuffer(i_buf, dtype=np.int64))
+                    vec_parts.append(np.frombuffer(v_buf, dtype=np.float64))
+            else:  # leaf level: densify this Arrow batch
+                b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                if len(b_ids):
+                    id_parts.append(b_ids)
+                    vec_parts.append(
+                        np.vstack(pdf["embedding"].to_numpy())
+                        .astype(np.float64)
+                        .ravel()
+                    )
+        if id_parts:
+            yield pd.DataFrame(
+                {
+                    "ids": [np.concatenate(id_parts).tobytes()],
+                    "vecs": [np.concatenate(vec_parts).tobytes()],
+                }
+            )
+
+    partials = emb.mapInPandas(_pack, "ids binary, vecs binary")
+    pre_merged = partials.repartition(8).mapInPandas(_pack, "ids binary, vecs binary")
+    id_chunks, vec_chunks = [], []
+    for r in pre_merged.toPandas().itertuples(index=False):
+        id_chunks.append(np.frombuffer(r.ids, dtype=np.int64))
+        vec_chunks.append(np.frombuffer(r.vecs, dtype=np.float64))
+    ids = np.concatenate(id_chunks)
+    V = np.concatenate(vec_chunks).reshape(len(ids), -1)
+    # deterministic id order (chunk arrival order is not)
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], np.ascontiguousarray(V[order])
     # norms with the same sequential fold as the per-pair dots
     norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
     corpus = spark.sparkContext.broadcast((ids, V, norms))

@@ -70,6 +70,8 @@ CHECK_PRIORITY: list[str] = [
     "streaming_tumbling_live",
     "streaming_dedup_live",
     "events_stream_join_live",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     # never driver-checked in round 1 (registered after the cap)
     "text_token_stats",
     "text_quality_score",

@@ -286,6 +286,48 @@ def test_ann_search_ivf_batch_recall(spark, sf_dir):
     assert len(ivf & exact) / len(exact) >= 0.6
 
 
+def test_minhash_verify_cap_bounds_pathological_docs(spark, tmp_path):
+    """A pathological pair of near-dup documents with far more shingles
+    than _VERIFY_CAP must still verify with bounded per-pair cost: the
+    bottom-k sample engages (capped shingle set < true shingle set) and
+    the sketch estimator lands within sampling error of true Jaccard."""
+    from simplemapreduceframework_spark.operators import dedup as dd
+
+    n = 3000
+    toks_a = [f"w{i}" for i in range(n)]
+    # ~2% token edits -> true shingle Jaccard ~0.94
+    toks_b = [f"x{i}" if i % 50 == 0 else f"w{i}" for i in range(n)]
+    sh = lambda t: {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+    a, b = sh(toks_a), sh(toks_b)
+    true_j = len(a & b) / len(a | b)
+    assert len(a) > dd._VERIFY_CAP and len(a | b) > dd._VERIFY_CAP
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks_a), "synth"), (1, " ".join(toks_b), "synth")],
+        "doc_id bigint, text string, source string",
+    )
+    path = str(tmp_path / "pathological")
+    docs.write.parquet(f"{path}/documents.parquet")
+
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in Q["dedup_minhash_lsh"](spark, path).collect()
+    }
+    assert (0, 1) in out, "near-dup pair not found"
+    # bottom-k estimator with k=1024: sampling error ~1/sqrt(k) ~ 0.03
+    assert abs(out[(0, 1)] - true_j) < 0.1, (out[(0, 1)], true_j)
+    # the cap genuinely engaged: the capped per-doc contribution is k,
+    # not the full shingle set
+    n_capped = (
+        dd._shingles(spark, path)
+        .groupBy("doc_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert n_capped > dd._VERIFY_CAP  # raw index is bigger than the cap
+
+
 def test_ivf_recall_gate_passes_and_can_fail(spark, sf_dir, monkeypatch):
     """The driver-visible recall gate must be a REAL gate: green on the
     healthy index, and red when the index is deliberately broken.
