@@ -74,6 +74,25 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def plan_fingerprint(df) -> dict[str, int]:
+    """Stable structural fingerprint of the physical plan: shuffle /
+    broadcast exchange counts and scan count. A perf regression that
+    comes from a *plan* change (new shuffle, lost broadcast, extra
+    scan) shows up here as an integer diff across rounds instead of a
+    noisy second; tests/test_plans.py pins hard budgets for a subset,
+    this records the whole headline set. (Codegen spans are decided at
+    stage execution under AQE, so they are not observable here.)"""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "shuffles": sum(
+            plan.count(f"Exchange {kind}")
+            for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+        ),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "scans": plan.count("Scan parquet") + plan.count("InMemoryTableScan"),
+    }
+
+
 def ensure_bench_layout(spark, sf_dir: str) -> str:
     """Ingest-time layout optimization (one-off, cached, not timed).
 
@@ -122,21 +141,28 @@ def main() -> None:
     run_query(queries["ann_lsh_bucketed"](spark, sf_dir))
     run_query(queries["multimodal_decode"](spark, sf_dir))
 
-    # Three passes, report per-query best: single-run numbers on a
-    # shared host swing +-30% (sometimes 2x) with ambient load; the
-    # minimum over runs is the steady-state engine throughput (the cold
-    # first-pass total is kept alongside for transparency).
+    # Three passes; report per-query best (steady-state engine
+    # throughput on a shared host whose single-run numbers swing +-30%)
+    # plus the median-of-3 total so cross-round comparisons aren't
+    # sensitive to the choice of estimator; the cold first-pass total
+    # is kept alongside for transparency.
     cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    plans: dict[str, dict[str, int]] = {}
     for attempt in range(3):
         for name in HEADLINE:
+            df = queries[name](spark, sf_dir)
+            if attempt == 0:
+                plans[name] = plan_fingerprint(df)
             t0 = time.time()
-            run_query(queries[name](spark, sf_dir))
+            run_query(df)
             dt = round(time.time() - t0, 3)
             if attempt == 0:
                 cold[name] = dt
-            timings[name] = min(timings.get(name, dt), dt)
+            runs[name].append(dt)
 
+    timings = {name: min(ts) for name, ts in runs.items()}
+    medians = {name: sorted(ts)[1] for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -152,6 +178,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "runs_per_query": 3,
                 "cold_seconds": round(sum(cold.values()), 3),
+                "median_seconds": round(sum(medians.values()), 3),
+                "plan_fingerprints": plans,
             }
         )
     )

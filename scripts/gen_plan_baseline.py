@@ -1,0 +1,43 @@
+"""Regenerate tests/PLAN_BASELINE.json: the per-query physical-plan
+fingerprints (shuffles / broadcasts / scans) of every bench headline
+query at sf0.001.
+
+Run after an INTENTIONAL plan change; tests/test_plans.py fails when a
+query's fingerprint grows past this baseline, which is how an
+accidental extra shuffle / lost broadcast surfaces as a deterministic
+integer diff instead of a noisy bench second.
+
+Usage: python scripts/gen_plan_baseline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE, plan_fingerprint
+from simplemapreduceframework_spark import get_spark, registry
+
+SF_DIR = "/root/testdata/sf0.001"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "PLAN_BASELINE.json",
+)
+
+
+def main() -> None:
+    spark = get_spark("plan-baseline")
+    queries = registry.all_queries()
+    out = {name: plan_fingerprint(queries[name](spark, SF_DIR)) for name in HEADLINE}
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {len(out)} fingerprints to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

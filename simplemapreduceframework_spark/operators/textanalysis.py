@@ -212,11 +212,16 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the frequency table is a partial-aggregated groupBy (corpus
     tokens collapse per partition first). Id assignment is a
-    *distributed* total sort (range-partitioned orderBy) followed by
-    zipWithIndex — per-partition local indexes offset by partition-size
-    prefix sums — so no single-partition window exists anywhere: a
+    *distributed* total sort (range-partitioned orderBy) ranked fully
+    JVM-side with zero extra shuffles of the vocab: after the sort,
+    monotonically_increasing_id encodes (partition id << 33 | local
+    row index), so the global rank is the local index plus a prefix
+    sum of partition sizes — the sizes are one tiny aggregate (<= one
+    row per partition) collected for the prefix sum, then joined back
+    as a broadcast. No Window node anywhere and — unlike the previous
+    rdd.zipWithIndex — no Python serialization of the vocab: a
     min-count-5 vocab over 100 TB of web text (tens of millions of
-    rows) ranks in parallel.
+    rows) ranks in parallel without leaving the JVM.
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -227,13 +232,35 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 5)
     )
-    ranked = (
+    # persist: the id stamps must be identical in the sizes branch and
+    # the final projection (monotonically_increasing_id is recompute-
+    # sensitive if the exchange re-plans per branch)
+    with_id = (
         counts.orderBy(F.col("freq").desc(), F.col("word"))
-        .rdd.zipWithIndex()
-        .map(lambda t: (t[0][0], t[0][1], t[1] + 1))
+        .withColumn("mid", F.monotonically_increasing_id())
+        .select(
+            "word",
+            "freq",
+            F.shiftright("mid", 33).alias("pid"),
+            F.col("mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("lidx"),
+        )
+        .persist()
     )
-    return spark.createDataFrame(
-        ranked, "word string, freq bigint, vocab_id bigint"
+    # partition-size prefix sums: <= n_partitions aggregated rows reach
+    # the driver (constant-size coordination, like the Bloom merge)
+    sizes = with_id.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets, acc = [], 0
+    for r in sorted(sizes, key=lambda r: r["pid"]):
+        offsets.append((r["pid"], acc))
+        acc += r["n"]
+    off_df = spark.createDataFrame(offsets, "pid bigint, off bigint")
+    return (
+        with_id.join(F.broadcast(off_df), "pid")
+        .select(
+            "word",
+            "freq",
+            (F.col("lidx") + F.col("off") + 1).cast("bigint").alias("vocab_id"),
+        )
     )
 
 

@@ -72,11 +72,11 @@ CHECK_PRIORITY: list[str] = [
     "events_stream_join_live",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "text_vocab",
     # never driver-checked in round 1 (registered after the cap)
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    "text_vocab",
     "text_winnow_fingerprints",
     "text_fingerprint",
     "events_sliding_1h_30m",

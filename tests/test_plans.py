@@ -112,7 +112,12 @@ def test_exchange_count_budgets(spark, sf_dir):
         # dedup_minhash_lsh is excluded: its exchange count depends on
         # whether the memoized shingle index is already materialized
         # (an InMemoryRelation embeds its child plan, double-counting).
-        "text_vocab": 0,
+        # text_vocab: the whole rank pipeline is now visible to Catalyst
+        # (the old rdd.zipWithIndex hid the sort behind an RDD scan, so
+        # the budget used to be 0); its persisted sort stage embeds its
+        # child exchanges twice via InMemoryRelation — 4 counted, but
+        # only the range exchange + one tiny pid aggregate execute.
+        "text_vocab": 4,
     }
     over = {}
     for name, budget in budgets.items():
@@ -120,3 +125,44 @@ def test_exchange_count_budgets(spark, sf_dir):
         if got > budget:
             over[name] = (got, budget)
     assert not over, f"exchange budget exceeded: {over}"
+
+
+def test_plan_fingerprints_do_not_grow(spark, sf_dir):
+    """Every bench headline query's plan fingerprint (shuffles /
+    broadcasts / scans) must not grow past tests/PLAN_BASELINE.json —
+    the whole-set canary for accidental plan regressions. Regenerate
+    the baseline (scripts/gen_plan_baseline.py) only for INTENTIONAL
+    plan changes. Cache-dependent queries are excluded (their memoized
+    InMemoryRelations embed child plans nondeterministically across
+    test orderings)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import plan_fingerprint
+
+    with open(os.path.join(os.path.dirname(__file__), "PLAN_BASELINE.json")) as f:
+        baseline = json.load(f)
+    cache_dependent = {
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        # the IVF tests persist with_norm(embeddings); CacheManager then
+        # substitutes that shared fragment into these plans as an
+        # InMemoryTableScan (which embeds the original scan, doubling
+        # the count) depending on which tests ran first
+        "ann_cosine_topk",
+        "ann_lsh_bucketed",
+    }
+    grew = {}
+    for name, fp0 in baseline.items():
+        if name in cache_dependent:
+            continue
+        fp = plan_fingerprint(Q[name](spark, sf_dir))
+        for k in ("shuffles", "broadcasts", "scans"):
+            if fp[k] > fp0[k]:
+                grew[(name, k)] = {"baseline": fp0[k], "now": fp[k]}
+    assert not grew, (
+        f"plan fingerprints grew: {grew} — if intentional, regenerate "
+        "tests/PLAN_BASELINE.json via scripts/gen_plan_baseline.py"
+    )
