@@ -268,5 +268,113 @@ def sample_stratified_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Source mixing weights in basis points (1.0 = 10000): oversampled
+# "high-quality" tier, neutral tier, downsampled tier. Fractional
+# copies resolve deterministically per doc (salted-hash bucket against
+# the fractional part), so the mixed multiset is exactly reproducible
+# — integer basis points keep the compare exact in both engines.
+_MIX_BP = {"high": 20000, "mid": 10000, "low": 2500}
+_MIX_TIER_SQL = """CASE
+    WHEN CAST(SUBSTR(source, 4) AS BIGINT) < 5 THEN 'high'
+    WHEN CAST(SUBSTR(source, 4) AS BIGINT) < 13 THEN 'mid'
+    ELSE 'low' END"""
+_MIX_HASH_SQL = "CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000"
+
+
+def _mix_tier() -> F.Column:
+    n = F.substring("source", 4, 10).cast("bigint")
+    return (
+        F.when(n < 5, "high").when(n < 13, "mid").otherwise("low")
+    )
+
+
+@query(
+    "corpus_mix_weighted",
+    oracle=f"""
+WITH tiered AS (
+    SELECT doc_id, source,
+           {_MIX_TIER_SQL} AS tier,
+           LEN(regexp_extract_all(text, '\\w+')) AS n_tok,
+           {_MIX_HASH_SQL} AS frac_bucket
+    FROM documents
+),
+copied AS (
+    SELECT doc_id, source, tier, n_tok,
+           CAST(bp / 10000 AS BIGINT)
+             + CASE WHEN frac_bucket < bp % 10000 THEN 1 ELSE 0 END AS n_copies
+    FROM (SELECT t.*,
+                 CASE tier WHEN 'high' THEN {_MIX_BP["high"]}
+                           WHEN 'mid' THEN {_MIX_BP["mid"]}
+                           ELSE {_MIX_BP["low"]} END AS bp
+          FROM tiered t)
+),
+exploded AS (
+    SELECT doc_id, source, tier, n_tok,
+           UNNEST(range(1, n_copies + 1)) AS copy_id
+    FROM copied WHERE n_copies > 0
+)
+SELECT source, tier,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id * copy_id) AS BIGINT) AS mix_checksum
+FROM exploded
+GROUP BY source, tier
+""",
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted dataset mixing — the step that turns N
+    heterogeneous corpora into one training mix with per-source
+    sampling rates (oversample high-quality sources, downsample noisy
+    ones), as used by every large-scale LM data pipeline.
+
+    rate r = integer copies floor(r) per doc, plus one extra copy iff
+    a salted hash bucket of doc_id lands under the fractional part —
+    no RNG state, so the mixed multiset is bit-reproducible across
+    engines/reruns (the mix_checksum over (doc_id x copy_id) pins it
+    in the oracle). Everything before the final aggregate is row-local
+    (tier/copies are expressions, the explode is <= ceil(r) rows per
+    doc); at 100 TB the exploded mix feeds corpus_shuffle_shard with
+    still only that one aggregate/shard exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bp = (
+        F.when(F.col("tier") == "high", F.lit(_MIX_BP["high"]))
+        .when(F.col("tier") == "mid", F.lit(_MIX_BP["mid"]))
+        .otherwise(F.lit(_MIX_BP["low"]))
+    )
+    frac_bucket = (
+        hex32(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))) % 10000
+    )
+    copied = (
+        docs.select(
+            "doc_id",
+            "source",
+            _mix_tier().alias("tier"),
+            F.size(tokens_regex("text")).cast("bigint").alias("n_tok"),
+            frac_bucket.alias("frac_bucket"),
+        )
+        .withColumn(
+            "n_copies",
+            (bp / 10000).cast("bigint")
+            + (F.col("frac_bucket") < bp % 10000).cast("bigint"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+    exploded = copied.select(
+        "doc_id",
+        "source",
+        "tier",
+        "n_tok",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id"),
+    )
+    return exploded.groupBy("source", "tier").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.col("doc_id") * F.col("copy_id")).alias("mix_checksum"),
+    )
+
+
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)

@@ -64,6 +64,7 @@ def load_all() -> None:
 # costs nothing (their round-1 rows stand).
 CHECK_PRIORITY: list[str] = [
     # round 4: new or changed this round — check first
+    "corpus_mix_weighted",
     "ann_search_ivf_gate",
     "ann_ivf_recall_gate",
     "events_range_join",

@@ -137,3 +137,38 @@ def test_pack_sequences_property_vs_python_model(spark, tmp_path):
                 nd, nt, md = want.get((shard, pack), (0, 0, doc_id))
                 want[(shard, pack)] = (nd + 1, nt + n_tok, min(md, doc_id))
         assert got == want, (seed, got, want)
+
+
+def test_corpus_mix_weighted_rates_and_determinism(spark, sf_dir):
+    """Achieved per-tier sampling rates must track the configured
+    weights (2x / 1x / 0.25x) within the resolution a finite corpus
+    allows, every tier keeps >= the guaranteed floor(rate) copies per
+    doc, and two runs return the identical multiset (hash, not RNG)."""
+    from simplemapreduceframework_spark.operators.traindata import _MIX_BP
+
+    from simplemapreduceframework_spark.operators.traindata import _mix_tier
+    from simplemapreduceframework_spark.sources import load_table
+
+    # input corpus size per tier (the mix output's n_docs counts only
+    # KEPT docs, which for a downsampled tier is already thinned)
+    corpus = {
+        r["tier"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy(_mix_tier().alias("tier"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = Q["corpus_mix_weighted"](spark, sf_dir).collect()
+    by_tier: dict = {}
+    for r in rows:
+        docs, ex = by_tier.get(r["tier"], (0, 0))
+        by_tier[r["tier"]] = (docs + r["n_docs"], ex + r["n_examples"])
+    for tier, (n_kept, n_examples) in by_tier.items():
+        rate = n_examples / corpus[tier]
+        want = _MIX_BP[tier] / 10000
+        # fractional copies come from a hash bucket over a finite doc
+        # set: allow +-0.15 absolute around the configured rate
+        assert abs(rate - want) <= 0.15, (tier, rate, want)
+        assert n_examples >= (_MIX_BP[tier] // 10000) * n_kept
+    again = Q["corpus_mix_weighted"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
