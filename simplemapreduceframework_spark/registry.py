@@ -63,64 +63,54 @@ def load_all() -> None:
 # are listed first; long-green queries fall to the tail where a cap
 # costs nothing (their round-1 rows stand).
 CHECK_PRIORITY: list[str] = [
-    # round 4: new or changed this round — check first
-    "corpus_mix_weighted",
-    "ann_search_ivf_gate",
-    "ann_ivf_recall_gate",
-    "events_range_join",
-    "streaming_tumbling_live",
-    "streaming_dedup_live",
-    "events_stream_join_live",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "text_vocab",
-    # never driver-checked in round 1 (registered after the cap)
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_winnow_fingerprints",
-    "text_fingerprint",
-    "events_sliding_1h_30m",
-    "events_session_10m",
-    "mr_wordcount_compat",
-    "mr_grouped_avg_compat",
-    "udf_scalar_disc_price",
-    "udaf_grouped_sum",
-    "udtf_tokenize",
-    # round-1 reds, fixed this round
-    "dedup_simhash",
-    "approx_distinct",
-    # rows-only in round 1, oracle-gated (or re-shaped) this round
-    "dedup_clusters",
-    "stats_numeric",
-    "ann_lsh_bucketed",
-    "bloom_semi_filter",
-    # new this round
-    "q30_min_cost_supplier",
-    "q31_important_stock",
-    "q32_suppliers_who_kept_waiting",
-    "mr_pickle_compat",
-    "approx_distinct_gate",
-    "multimodal_decode",
-    "ann_ivf_topk",
-    "pipeline_clean_corpus",
-    "events_dedup",
-    "split_train_test",
-    "corpus_shuffle_shard",
-    "pack_sequences",
-    "cms_heavy_hitters",
-    "skewed_agg_salted",
-    "sample_bottomk",
-    "sample_stratified_bottomk",
-    "q33_global_sales_opportunity",
-    "q34_event_funnel",
-    "text_lm_coverage",
-    "pipeline_prepare_training_data",
-    "text_token_ids",
-    "histogram_equi_depth",
-    "q35_grouping_sets",
-    "q36_lateral_topn",
-    "q37_range_frame_window",
+    # round 5: new or gate-changed this round — check first
+    "dedup_ngram_jaccard",  # bucket cap added to engine + oracle
+    "text_lang_id",  # trigram-profile scorer, oracle updated
+    "corpus_mix_weighted",  # floor semantics pinned on both sides
+    # round 5: stale driver rows — the latest CORRECTNESS row for each
+    # of these predates the testdata regeneration (r1/r2 vintage);
+    # local parity is green on current fixtures, but the driver-visible
+    # sf0.01 record should rotate. Timestamp-touching queries first:
+    # BENCH_r03 proved that family is where fixture changes bite.
+    "events_tumbling_1h",
+    "asof_join_events",
+    "q9_running_total",
+    "q22_null_ordering",
+    "q14_scalar_gauntlet",
+    "multimodal_meta",
+    "wordcount",
+    "wordset",
+    "wordset_regex",
+    "q1_pricing_summary",
+    "q2_filter_project",
+    "q3_top_revenue_orders",
+    "q4_order_priority_semijoin",
+    "q5_region_revenue",
+    "q6_selective_agg",
+    "q7_anti_join",
+    "q8_window_topn_per_group",
+    "q10_rollup",
+    "q11_cube",
+    "q12_setops",
+    "q13_distinct_agg",
+    "q15_conditional_agg",
+    "q16_having",
+    "q17_multisort_limit",
+    "q18_outer_join",
+    "q19_cross_join",
+    "grouped_avg",
+    "q20_window_suite",
+    "q21_json_extract",
+    "q23_pivot",
+    "q24_multiset_ops",
+    "q25_array_agg",
+    "q26_sql_api",
+    "q27_promo_revenue",
+    "q28_hierarchical_rollup",
+    "stats_exact_moments",
+    "q29_large_orders",
+    "exact_percentiles",
+    "ann_cosine_topk",
 ]
 
 
