@@ -59,6 +59,16 @@ _HASH_VALUES_SQL = ", ".join(
 # however pathological the document.
 _VERIFY_CAP = 1024
 
+# Inverted-index bucket cap: shingles shared by more than this many
+# docs are dropped from the exact-Jaccard pair generation. Stopword-like
+# n-grams ("of the and", boilerplate headers) carry no dedup signal but
+# cost bucket^2 pairs each — one hot shingle at corpus scale turns the
+# explode quadratic. Capping bounds per-shingle pair fan-out at
+# cap*(cap-1)/2 regardless of corpus size; sizes keep the full shingle
+# counts, so the reported jaccard is a conservative (<=) estimate for
+# any pair that leaned on a dropped mega-bucket and exact otherwise.
+_NGRAM_BUCKET_CAP = 100
+
 # Shared shingle SQL (DuckDB): word 3-grams over lowercased \w+ tokens.
 _SHINGLES_CTE = r"""
 toks AS (
@@ -152,10 +162,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+kept AS (
+    SELECT shingle FROM shingles
+    GROUP BY shingle
+    HAVING COUNT(*) BETWEEN 2 AND {_NGRAM_BUCKET_CAP}
+),
 inter AS (
     SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_inter
     FROM shingles sa JOIN shingles sb
       ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    JOIN kept k ON k.shingle = sa.shingle
     GROUP BY sa.doc_id, sb.doc_id
 )
 SELECT doc_a, doc_b,
@@ -179,10 +195,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs from each bucket — ONE shuffle of the shingle index instead
     of the self-join's two shuffled copies (25% faster at sf0.1; the
     oracle keeps the equivalent self-join formulation, the pair
-    multiset is identical). The quadratic blow-up lives in the explode
-    either way; a production run would cap bucket size (drop shingles
-    shared by more than ~100 docs — stopword-like n-grams carry no
-    dedup signal).
+    multiset is identical). Buckets larger than _NGRAM_BUCKET_CAP are
+    dropped before the explode (stopword-like shingles carry no dedup
+    signal), bounding per-shingle pair fan-out at cap^2/2 however hot
+    the n-gram; the oracle applies the identical doc-frequency filter.
+    Union sizes keep the full counts, so jaccard is exact for pairs
+    untouched by a mega-bucket and a conservative underestimate
+    otherwise.
 
     The shingle index is cached: it feeds the bucket pass and the size
     table (on a cluster the same index would be a persisted / bucketed
@@ -193,7 +212,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(
+            (F.size("ds") > 1) & (F.size("ds") <= _NGRAM_BUCKET_CAP)
+        )
     )
     inter = (
         buckets.select("ds", F.explode("ds").alias("a"))

@@ -379,3 +379,52 @@ def test_lm_coverage_semantics(spark, sf_dir):
         assert r["n_hit"] <= r["n_tri"]
         if r["n_hit"] > 0:
             assert 0.0 < r["min_p"] <= r["max_p"] <= 1.0
+
+
+def test_ngram_jaccard_bucket_cap_bounds_hot_shingles(spark, tmp_path):
+    """A stopword-like shingle shared by more docs than _NGRAM_BUCKET_CAP
+    must not explode quadratically: mega-bucket-only pairs are dropped,
+    genuine near-dups (supported by low-frequency shingles) survive, and
+    the DuckDB oracle applies the identical doc-frequency filter."""
+    import duckdb
+
+    from simplemapreduceframework_spark.operators import dedup as dd
+
+    hot = "the quick brown fox jumps"  # every doc shares these shingles
+    n = dd._NGRAM_BUCKET_CAP + 20
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i}", "synth") for i in range(n)]
+    # one genuine near-dup pair sharing a long low-frequency run
+    run = " ".join(f"dup{j}" for j in range(30))
+    rows.append((n, f"{run} alpha", "synth"))
+    rows.append((n + 1, f"{run} beta", "synth"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    path = str(tmp_path / "hotshingle")
+    docs.write.parquet(f"{path}/documents.parquet")
+
+    # the fixture really has shingles above the cap
+    hot_df = (
+        dd._shingles(spark, path)
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hot_df > dd._NGRAM_BUCKET_CAP
+
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in Q["dedup_ngram_jaccard"](spark, path).collect()}
+    # without the cap the hot shingles alone produce n*(n-1)/2 > 7000
+    # candidate pairs; with it, only the genuine near-dup pair remains
+    assert (n, n + 1) in out
+    assert all(a == n and b == n + 1 for a, b in out), out.keys()
+
+    # oracle agreement on the same fixture (engine cap == oracle cap)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{path}/documents.parquet/*.parquet'"
+    )
+    orc = con.execute(registry.ORACLES["dedup_ngram_jaccard"])
+    orows = {(a, b): j for a, b, j in orc.fetchall()}
+    con.close()
+    assert set(orows) == set(out)
+    for k in out:
+        assert abs(out[k] - orows[k]) < 1e-12
