@@ -300,7 +300,7 @@ WITH tiered AS (
 ),
 copied AS (
     SELECT doc_id, source, tier, n_tok,
-           CAST(bp / 10000 AS BIGINT)
+           CAST(FLOOR(bp / 10000) AS BIGINT)
              + CASE WHEN frac_bucket < bp % 10000 THEN 1 ELSE 0 END AS n_copies
     FROM (SELECT t.*,
                  CASE tier WHEN 'high' THEN {_MIX_BP["high"]}
@@ -355,8 +355,12 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             frac_bucket.alias("frac_bucket"),
         )
         .withColumn(
+            # floor() pinned explicitly on BOTH sides: DuckDB's
+            # double->bigint CAST rounds-to-nearest while Spark's
+            # truncates, so a weight with fractional part >= 0.5
+            # (e.g. bp=15000) would silently diverge without it.
             "n_copies",
-            (bp / 10000).cast("bigint")
+            F.floor(bp / 10000).cast("bigint")
             + (F.col("frac_bucket") < bp % 10000).cast("bigint"),
         )
         .filter(F.col("n_copies") > 0)

@@ -172,3 +172,29 @@ def test_corpus_mix_weighted_rates_and_determinism(spark, sf_dir):
         assert n_examples >= (_MIX_BP[tier] // 10000) * n_kept
     again = Q["corpus_mix_weighted"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_corpus_mix_floor_semantics_with_half_fraction(spark, sf_dir, monkeypatch, duck):
+    """Floor semantics must be pinned on BOTH engines: DuckDB's
+    double->bigint CAST rounds to nearest while Spark's truncates, so a
+    weight with fractional part >= 0.5 (bp=15000 -> 1.5 copies) is the
+    regression trigger. Rebuild the oracle with the patched weight and
+    require an exact hash match."""
+    from simplemapreduceframework_spark.operators import traindata as td
+    from simplemapreduceframework_spark.testing import fingerprint
+
+    orig = dict(td._MIX_BP)
+    patched = {"high": 15000, "mid": 10000, "low": 7500}
+    monkeypatch.setattr(td, "_MIX_BP", patched)
+    sdf = registry.QUERIES["corpus_mix_weighted"](spark, sf_dir)
+    oracle = registry.ORACLES["corpus_mix_weighted"]
+    for tier in patched:
+        oracle = oracle.replace(
+            f"WHEN '{tier}' THEN {orig[tier]}", f"WHEN '{tier}' THEN {patched[tier]}"
+        ).replace(f"ELSE {orig[tier]}", f"ELSE {patched[tier]}")
+    srows = [r.asDict() for r in sdf.collect()]
+    orc = duck.execute(oracle)
+    ocols = [d[0] for d in orc.description]
+    orows = [dict(zip(ocols, row)) for row in orc.fetchall()]
+    cols = sorted(sdf.columns)
+    assert fingerprint(srows, cols) == fingerprint(orows, cols)
