@@ -428,3 +428,52 @@ def test_ngram_jaccard_bucket_cap_bounds_hot_shingles(spark, tmp_path):
     assert set(orows) == set(out)
     for k in out:
         assert abs(out[k] - orows[k]) < 1e-12
+
+
+def test_ivf_cells_scale_with_corpus():
+    from simplemapreduceframework_spark.operators import similarity as sim
+
+    assert sim.ivf_cells_for(100) == 16  # floor engages
+    assert sim.ivf_cells_for(2000) == 44
+    assert sim.ivf_cells_for(1_000_000) == 1000
+    assert sim.ivf_nprobe_for(16) == 4
+    assert sim.ivf_nprobe_for(1000) == 250
+
+
+def test_ann_index_persisted_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """build_ann_index -> ann_search_ivf_indexed must (1) reproduce the
+    exact top-k above the recall floor with NO training at search time,
+    and (2) prune the index scan to the probed cells only (partition
+    filter on the cell column), which is the point of persisting."""
+    from simplemapreduceframework_spark.operators.similarity import (
+        ann_search,
+        ann_search_ivf_indexed,
+        build_ann_index,
+        load_ann_centroids,
+    )
+    from simplemapreduceframework_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    cells = build_ann_index(emb, path)
+    assert cells == 22  # isqrt(500)
+    assert load_ann_centroids(spark, path).shape == (cells, 64)
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ann_search_ivf_indexed(spark, path, queries, k=6)
+    plan = explain_str(approx)
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in approx.filter(F.col("neighbor_id") != F.col("query_id")).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search(emb, queries, k=6)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.6
