@@ -5,6 +5,7 @@ from .jobs import (  # noqa: F401
     run_available_now,
     sessionized_stream,
     sliding_counts_stream,
+    state_store_confs,
     tumbling_counts_stream,
 )
 from .stateful import running_user_totals  # noqa: F401

@@ -164,11 +164,38 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
     )
 
 
+# RocksDB state store: the right default on a real cluster — state
+# lives on executor local disk (not the JVM heap) and changelog
+# checkpointing ships per-batch deltas to the checkpoint location
+# instead of full snapshots, so checkpoint cost tracks state CHURN
+# rather than state SIZE. At 100 TB of stream state the default
+# HDFS-backed in-memory provider is not an option.
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def state_store_confs(backend: str | None) -> dict[str, str]:
+    """SQL confs for a state-store backend: ``"rocksdb"`` (local-disk
+    state + changelog checkpointing) or ``None``/``"hdfs"`` for Spark's
+    default heap-backed provider. Applied per streaming query start, so
+    jobs with different state profiles can mix in one session."""
+    if backend in (None, "", "hdfs"):
+        return {}
+    if backend == "rocksdb":
+        return {
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER,
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        }
+    raise ValueError(f"unknown state-store backend: {backend!r}")
+
+
 def run_available_now(
     result: DataFrame,
     spark: SparkSession,
     table_prefix: str = "stream_out",
     output_mode: str | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into a
     memory sink, wait for completion, return the materialized table.
@@ -177,6 +204,11 @@ def run_available_now(
     available input exactly once, then stop — output equals the batch
     query over the same data (modulo watermark-dropped rows, which with
     a static complete file set means none).
+
+    state_store selects the state backend for this run ("rocksdb" or
+    default); unset, it falls back to $SMRF_STATE_STORE so a deployment
+    can flip the whole streaming tier to RocksDB without code changes.
+    Results are provider-independent (pinned by tests under both).
     """
     name = f"{table_prefix}_{uuid.uuid4().hex[:8]}"
     mode = output_mode or ("complete" if result.isStreaming else "append")
@@ -186,8 +218,16 @@ def run_available_now(
     # stream. Pin a modest count for the run (results are partition-
     # count invariant — pinned by the oracle gates and stress probes)
     # and restore the caller's setting afterwards.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    import os
+
+    overrides: dict[str, str] = {"spark.sql.shuffle.partitions": "16"}
+    overrides.update(
+        state_store_confs(state_store or os.environ.get("SMRF_STATE_STORE"))
+    )
+    prev: dict[str, str | None] = {}
+    for k, v in overrides.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
         q: StreamingQuery = (
             result.writeStream.format("memory")
@@ -198,5 +238,9 @@ def run_available_now(
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return spark.table(name)

@@ -4,6 +4,8 @@ processes everything exactly once)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from simplemapreduceframework_spark import registry
@@ -202,22 +204,12 @@ def test_stateful_ops_under_rocksdb_state_store(spark, sf_dir):
     )
 
     registry.load_all()
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    out = run_available_now(
+        tumbling_counts_stream(read_events_stream(spark, sf_dir)),
+        spark,
+        state_store="rocksdb",
     )
-    try:
-        out = run_available_now(
-            tumbling_counts_stream(read_events_stream(spark, sf_dir)), spark
-        )
-        live = sorted(map(tuple, out.collect()))
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    live = sorted(map(tuple, out.collect()))
     batch = sorted(
         map(
             tuple,
@@ -269,3 +261,51 @@ def test_stateful_running_totals_transform_with_state(spark, sf_dir):
         fn, ft = final[u]
         assert fn == n, (u, fn, n)
         assert abs(ft - t) <= 1e-9 * max(abs(t), 1.0), (u, ft, t)
+
+
+@pytest.mark.parametrize("backend", [None, "rocksdb"])
+def test_streaming_dedup_provider_independent(spark, sf_dir, backend):
+    """streaming_dedup_live's operator (dropDuplicatesWithinWatermark)
+    must produce identical output under the default heap-backed state
+    store and RocksDB + changelog checkpointing — the flag is config
+    only, never semantics. The RocksDB leg also proves the provider
+    actually loads (a bad providerClass fails the query start)."""
+    from simplemapreduceframework_spark.streaming import (
+        dedup_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    out = run_available_now(
+        dedup_stream(read_events_stream(spark, sf_dir)),
+        spark,
+        output_mode="append",
+        state_store=backend,
+    )
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_distinct <= n_events
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_state_store_confs_shapes():
+    from simplemapreduceframework_spark.streaming import state_store_confs
+
+    assert state_store_confs(None) == {} == state_store_confs("hdfs")
+    rocks = state_store_confs("rocksdb")
+    assert rocks["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert (
+        rocks[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ]
+        == "true"
+    )
+    with pytest.raises(ValueError):
+        state_store_confs("leveldb")
