@@ -77,13 +77,115 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# Real-decode output schema: dimensions parsed from actual file headers.
+REAL_FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, format string"
+)
+
+
+def _parse_bmp(b: bytes) -> tuple[int, int]:
+    """Width/height from a BMP's BITMAPINFOHEADER (offsets 18/22,
+    little-endian int32). Top-down BMPs store a negative height."""
+    import struct
+
+    w = struct.unpack_from("<i", b, 18)[0]
+    h = struct.unpack_from("<i", b, 22)[0]
+    return w, abs(h)
+
+
+def _parse_ppm(b: bytes) -> tuple[int, int]:
+    """Width/height from a PPM (P6 binary / P3 ASCII) header: the two
+    whitespace-separated integers after the magic, with '#' comments
+    allowed anywhere in the header per the netpbm spec."""
+    pos, vals = 2, []
+    while len(vals) < 2:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    return vals[0], vals[1]
+
+
 def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Real-codec decode path — requires media libraries not present in
-    this environment. Kept as the documented integration point."""
-    raise NotImplementedError(
-        "real image/audio decode requires PIL/ffmpeg; use decode_features "
-        "(deterministic fake) for plumbing tests"
+    """REAL codec decode for the formats a pure-stdlib header parse can
+    handle — BMP and PPM — exercising the exact mapInPandas plumbing a
+    PIL/ffmpeg decoder would use (binary in, typed features out,
+    row-local, no shuffle). Formats needing real media libraries
+    (JPEG/PNG/audio/video) raise NotImplementedError: that is the
+    documented integration point where a cluster image adds PIL."""
+    for pdf in batches:
+        out = {"doc_id": [], "n_bytes": [], "width": [], "height": [], "format": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:2] == b"BM":
+                w, h = _parse_bmp(b)
+                fmt = "bmp"
+            elif b[:2] in (b"P6", b"P3"):
+                w, h = _parse_ppm(b)
+                fmt = "ppm"
+            else:
+                raise NotImplementedError(
+                    f"unsupported codec (magic {b[:2]!r}): JPEG/PNG/audio "
+                    "decode requires PIL/ffmpeg — not available here"
+                )
+            out["doc_id"].append(doc_id)
+            out["n_bytes"].append(len(b))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["format"].append(fmt)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "format": pd.Series(out["format"], dtype="object"),
+            }
+        )
+
+
+def make_bmp(width: int, height: int, fill: int = 0) -> bytes:
+    """A valid 24-bit uncompressed BMP, pure stdlib: 14-byte file
+    header + 40-byte BITMAPINFOHEADER + rows padded to 4 bytes."""
+    import struct
+
+    row = ((3 * width + 3) // 4) * 4
+    size = 54 + row * height
+    file_header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, row * height, 2835, 2835, 0, 0
     )
+    return file_header + info_header + bytes([fill % 256]) * (row * height)
+
+
+def make_ppm(width: int, height: int, fill: int = 0) -> bytes:
+    """A valid binary (P6) PPM, pure stdlib: ASCII header + raw RGB."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes([fill % 256]) * (
+        3 * width * height
+    )
+
+
+def encode_sample_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic media synthesis (mapInPandas body): each doc gets a
+    REAL image file — BMP for even doc_ids, binary PPM for odd — with
+    dimensions derived from doc_id, so the decode stage downstream
+    parses genuine headers and the oracle can recompute every feature
+    from doc_id alone."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = [
+            make_bmp(1 + d % 64, 1 + d % 48, d)
+            if d % 2 == 0
+            else make_ppm(1 + d % 64, 1 + d % 48, d)
+            for d in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
 RESIZE_SCHEMA = "doc_id bigint, width int, height int, payload binary"
@@ -193,6 +295,37 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = attach_payload(docs)
     return with_payload.mapInPandas(decode_features, FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_decode_real",
+    oracle="""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 54 + ((3 * w + 3) // 4) * 4 * h
+            ELSE 9 + LENGTH(CAST(w AS VARCHAR)) + LENGTH(CAST(h AS VARCHAR)) + 3 * w * h
+       END AS BIGINT) AS n_bytes,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+FROM (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h FROM documents)
+""",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode end-to-end: synthesize a genuine image file
+    per doc (BMP even / PPM odd, dimensions derived from doc_id), then
+    parse the actual headers back with the stdlib decoder. The oracle
+    recomputes byte size (incl. BMP 4-byte row padding and the PPM
+    ASCII header length) and dimensions from doc_id alone, so the whole
+    encode->decode roundtrip is hash-gated. Both stages are chained
+    row-local mapInPandas — one scan, no shuffle, payloads never leave
+    their partition. JPEG/audio stay behind the NotImplementedError
+    gate in decode_real."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_sample_media, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(decode_real, REAL_FEATURE_SCHEMA)
 
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402

@@ -64,6 +64,7 @@ def load_all() -> None:
 # costs nothing (their round-1 rows stand).
 CHECK_PRIORITY: list[str] = [
     # round 5: new or gate-changed this round — check first
+    "multimodal_decode_real",  # new: stdlib BMP/PPM decode roundtrip
     "dedup_ngram_jaccard",  # bucket cap added to engine + oracle
     "text_lang_id",  # trigram-profile scorer, oracle updated
     "corpus_mix_weighted",  # floor semantics pinned on both sides

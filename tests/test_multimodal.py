@@ -59,9 +59,12 @@ def test_decode_matches_payload_bytes(spark, sf_dir):
         assert f["n_bytes"] == meta[doc_id]["n_bytes"]
 
 
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        next(decode_real(iter([])))
+def test_real_decoder_handles_empty_stream():
+    """decode_real is a real decoder now (BMP/PPM, stdlib header
+    parsing); an empty batch stream simply yields nothing. Unsupported
+    codecs still raise — see
+    test_decode_real_rejects_unsupported_codecs."""
+    assert list(decode_real(iter([]))) == []
 
 
 def test_resize_stage(spark, sf_dir):
@@ -105,3 +108,60 @@ def test_frame_sampler_fanout(spark, sf_dir):
     again = sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect())
     first = sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in rows)
     assert again == first
+
+
+def test_decode_real_parses_bmp_and_ppm_headers():
+    """The stdlib decoder must read back exactly what the synthesizers
+    wrote, including BMP row padding in the byte count."""
+    import pandas as pd
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_real,
+        make_bmp,
+        make_ppm,
+    )
+
+    bmp = make_bmp(17, 9)  # odd width -> padded rows
+    ppm = make_ppm(123, 45)
+    pdf = pd.DataFrame({"doc_id": [0, 1], "payload": [bmp, ppm]})
+    [out] = list(decode_real(iter([pdf])))
+    rows = {r.doc_id: r for r in out.itertuples()}
+    assert (rows[0].width, rows[0].height, rows[0].format) == (17, 9, "bmp")
+    assert rows[0].n_bytes == 54 + ((3 * 17 + 3) // 4) * 4 * 9
+    assert (rows[1].width, rows[1].height, rows[1].format) == (123, 45, "ppm")
+    assert rows[1].n_bytes == len(ppm)
+
+
+def test_decode_real_topdown_bmp_and_commented_ppm():
+    """Codec edge cases: top-down BMPs store negative height; PPM
+    headers may carry '#' comments between tokens."""
+    import struct
+
+    import pandas as pd
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_real,
+        make_bmp,
+    )
+
+    bmp = bytearray(make_bmp(8, 4))
+    struct.pack_into("<i", bmp, 22, -4)  # top-down flag
+    ppm = b"P6\n# synthetic comment\n8 4\n255\n" + bytes(3 * 8 * 4)
+    pdf = pd.DataFrame({"doc_id": [0, 1], "payload": [bytes(bmp), ppm]})
+    [out] = list(decode_real(iter([pdf])))
+    assert list(out["width"]) == [8, 8]
+    assert list(out["height"]) == [4, 4]
+
+
+def test_decode_real_rejects_unsupported_codecs():
+    """JPEG (and anything else needing real media libs) must fail loud
+    at the documented integration point, not silently fake features."""
+    import pandas as pd
+    import pytest
+
+    from simplemapreduceframework_spark.operators.multimodal import decode_real
+
+    jpeg = b"\xff\xd8\xff\xe0" + bytes(32)
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [jpeg]})
+    with pytest.raises(NotImplementedError):
+        list(decode_real(iter([pdf])))
