@@ -83,6 +83,11 @@ def plan_fingerprint(df) -> dict[str, int]:
     this records the whole headline set. (Codegen spans are decided at
     stage execution under AQE, so they are not observable here.)"""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # An already-executed AdaptiveSparkPlan stringifies BOTH its final
+    # and initial plans; counting across the "== Initial Plan ==" marker
+    # double-counts every node for memoized DataFrames (shared-index
+    # queries). Keep only the current/final section.
+    plan = plan.split("== Initial Plan ==")[0]
     return {
         "shuffles": sum(
             plan.count(f"Exchange {kind}")

@@ -132,6 +132,14 @@ def _lexicon_sql_values() -> str:
     return ", ".join(rows)
 
 
+# Trigram lang-ID parameters: docs whose lexicon score clears the seed
+# threshold label the training set for their language; each language's
+# profile keeps its top-N character trigrams by count (the classic
+# count-profile method, Cavnar & Trenkle '94).
+_TRI_SEED_MIN = 3
+_TRI_PROFILE_SIZE = 200
+
+
 @query(
     "text_lang_id",
     oracle=f"""
@@ -140,31 +148,87 @@ tok AS (
     SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\w+')) AS word
     FROM documents
 ),
-scores AS (
+lscores AS (
     SELECT t.doc_id, l.lex_lang, COUNT(*) AS hits
     FROM tok t JOIN lex l ON t.word = l.lex_word
     GROUP BY t.doc_id, l.lex_lang
 ),
-best AS (
-    SELECT doc_id, lex_lang, hits,
-           ROW_NUMBER() OVER (PARTITION BY doc_id
-                              ORDER BY hits DESC, lex_lang ASC) AS rn
-    FROM scores
+lb AS (
+    SELECT doc_id, lex_lang, hits FROM (
+        SELECT doc_id, lex_lang, hits,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, lex_lang ASC) AS rn
+        FROM lscores
+    ) WHERE rn = 1
+),
+strs AS (SELECT doc_id, lower(text) AS s FROM documents),
+tri AS (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, GREATEST(LENGTH(s) - 1, 1)),
+                                 i -> substr(s, i, 3))) AS tg
+    FROM strs
+),
+seeds AS (SELECT doc_id, lex_lang AS lang FROM lb WHERE hits >= {_TRI_SEED_MIN}),
+pcounts AS (
+    SELECT sd.lang, t.tg, COUNT(*) AS c
+    FROM tri t JOIN seeds sd ON sd.doc_id = t.doc_id
+    GROUP BY sd.lang, t.tg
+),
+profile AS (
+    SELECT lang, tg FROM (
+        SELECT lang, tg,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tg ASC) AS rn
+        FROM pcounts
+    ) WHERE rn <= {_TRI_PROFILE_SIZE}
+),
+tscores AS (
+    SELECT t.doc_id, p.lang, COUNT(*) AS tri_hits
+    FROM tri t JOIN profile p ON p.tg = t.tg
+    GROUP BY t.doc_id, p.lang
+),
+tb AS (
+    SELECT doc_id, lang, tri_hits FROM (
+        SELECT doc_id, lang, tri_hits,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tri_hits DESC, lang ASC) AS rn
+        FROM tscores
+    ) WHERE rn = 1
 )
 SELECT d.doc_id,
-       COALESCE(b.lex_lang, 'und') AS pred_lang,
-       COALESCE(b.hits, 0) AS lex_hits
-FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+       COALESCE(tb.lang, lb.lex_lang, 'und') AS pred_lang,
+       CAST(COALESCE(tb.tri_hits, 0) AS BIGINT) AS tri_hits,
+       CAST(COALESCE(lb.hits, 0) AS BIGINT) AS lex_hits,
+       CASE WHEN tb.lang IS NOT NULL THEN 'trigram'
+            WHEN lb.lex_lang IS NOT NULL THEN 'lexicon'
+            ELSE 'und' END AS method
+FROM documents d
+LEFT JOIN tb ON tb.doc_id = d.doc_id
+LEFT JOIN lb ON lb.doc_id = d.doc_id
 """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword-lexicon scoring: tokens join a broadcast
-    lexicon, argmax per doc (ties alphabetical), 'und' when no hits.
+    """Language ID via per-language character-trigram count profiles
+    (Cavnar & Trenkle), bootstrapped from the stopword lexicon and
+    falling back to it.
 
-    Scale: the lexicon is a few hundred rows -> broadcast hash join, so
-    the only shuffle is the per-(doc, lang) count, whose cardinality is
-    bounded by docs x languages.
+    Stage 1 (seed): tokens join the broadcast lexicon; docs whose
+    argmax language clears _TRI_SEED_MIN hits become that language's
+    training set. Stage 2 (profile): each seed language keeps its top
+    _TRI_PROFILE_SIZE char trigrams by count — the same count/rank
+    pattern as the trigram-LM machinery (text_lm_coverage), on chars
+    instead of words because short/no-stopword docs still have plenty
+    of char trigrams. Stage 3 (score): every doc's trigrams join the
+    broadcast profile table, argmax per doc (ties alphabetical);
+    no trigram hits -> lexicon verdict -> 'und'.
+
+    Scale: the profile is languages x N rows -> broadcast; both
+    score shuffles are bounded by docs x languages; the trigram
+    explode is row-local. Entirely shared (same seeds, same profile
+    table, same tie-breaks) with the DuckDB oracle, so the whole
+    bootstrap is hash-gated.
     """
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
     lex = spark.createDataFrame(
         [(lang, w) for lang, words in sorted(_LEXICON.items()) for w in words],
@@ -173,24 +237,70 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens_regex(F.lower(F.col("text")))).alias("word")
     )
-    scores = (
+    lscores = (
         tok.join(F.broadcast(lex), tok.word == lex.lex_word)
         .groupBy("doc_id", "lex_lang")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(
+    wl = Window.partitionBy("doc_id").orderBy(
         F.col("hits").desc(), F.col("lex_lang").asc()
     )
-    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    lb = (
+        lscores.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lex_lang", "hits")
+    )
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(lower(text)) >= 3 THEN "
+                "transform(sequence(1, length(lower(text)) - 2), "
+                "          i -> substring(lower(text), i, 3)) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("tg"),
+    )
+    seeds = lb.filter(F.col("hits") >= _TRI_SEED_MIN).select(
+        "doc_id", F.col("lex_lang").alias("lang")
+    )
+    pcounts = (
+        tri.join(seeds, "doc_id").groupBy("lang", "tg").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    wp = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tg").asc())
+    profile = (
+        pcounts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _TRI_PROFILE_SIZE)
+        .select("lang", "tg")
+    )
+    tscores = (
+        tri.join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("tri_hits"))
+    )
+    wt = Window.partitionBy("doc_id").orderBy(
+        F.col("tri_hits").desc(), F.col("lang").asc()
+    )
+    tb = (
+        tscores.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "tri_hits")
+    )
     return (
         docs.select("doc_id")
-        .join(best, "doc_id", "left")
+        .join(tb, "doc_id", "left")
+        .join(lb, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),
-            F.coalesce("hits", F.lit(0)).alias("lex_hits"),
+            F.coalesce("lang", "lex_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("tri_hits", F.lit(0)).cast("bigint").alias("tri_hits"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("lex_hits"),
+            F.when(F.col("lang").isNotNull(), "trigram")
+            .when(F.col("lex_lang").isNotNull(), "lexicon")
+            .otherwise("und")
+            .alias("method"),
         )
     )
 
