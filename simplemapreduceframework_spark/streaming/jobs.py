@@ -38,15 +38,23 @@ def read_events_stream(
     # reject TIMESTAMP_NTZ event-time columns (and the batch twins read
     # the same way via load_table).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file-stream source lists a *directory*; select just the events
-    # table out of it with a glob filter.
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", "events.parquet"
-    )
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        # Spark-written table: a DIRECTORY of part files — stream the
+        # directory itself (a name glob would match no part file).
+        src = path
+    else:
+        # Single-file fixture: the file-stream source lists a
+        # directory, so list sf_dir and glob just this table's file.
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        src = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(sf_dir)
+    raw = reader.parquet(src)
     return _normalize_events(_normalize_ntz(raw))
 
 

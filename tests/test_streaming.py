@@ -309,3 +309,28 @@ def test_state_store_confs_shapes():
     )
     with pytest.raises(ValueError):
         state_store_confs("leveldb")
+
+
+def test_stream_reads_multifile_events_table(spark, sf_dir, tmp_path):
+    """The stream source must handle BOTH fixture layouts: a single
+    events.parquet file (driver testdata) and a Spark-written DIRECTORY
+    of part files (bench cache / any real table). A filename glob over
+    the parent dir sees no part files — regression for the 0-row live
+    trio on multi-file layouts."""
+    from simplemapreduceframework_spark.sources import load_table
+    from simplemapreduceframework_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        tumbling_counts_stream,
+    )
+
+    multi = str(tmp_path / "relaid")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(
+        f"{multi}/events.parquet"
+    )
+    out = run_available_now(
+        tumbling_counts_stream(read_events_stream(spark, multi)), spark
+    )
+    batch = Q["events_tumbling_1h"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
