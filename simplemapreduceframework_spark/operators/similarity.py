@@ -704,5 +704,50 @@ def ann_search_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate_row(approx, exact, _RECALL_FLOOR)
 
 
+# Per-session home of the persisted-index gate's index build (an index
+# is built once and searched many times; the memo mirrors that).
+_IVF_INDEX_DIR_CACHE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "ann_ivf_indexed_gate",
+    oracle=f"""
+SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries, TRUE AS recall_ok
+""",
+)
+def ann_ivf_indexed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the PERSISTED index lifecycle:
+    build_ann_index writes the cell-partitioned index + centroids to
+    disk once per session, then ann_search_ivf_indexed — no training,
+    scan pruned to probed cells — must reproduce the brute-force
+    top-k above the recall floor. This is the exact build-once /
+    search-many shape a cluster runs; the in-memory gates
+    (ann_ivf_recall_gate, ann_search_ivf_gate) cover the train+search
+    path, this one covers the disk roundtrip."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _IVF_INDEX_DIR_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="smrf_ivf_gate_")
+        build_ann_index(emb, path)
+        _IVF_INDEX_DIR_CACHE[key] = path
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = (
+        ann_search_ivf_indexed(spark, path, queries, k=_TOP_K + 1)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        ann_search(emb, queries, k=_TOP_K + 1)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_gate_row(approx, exact, _RECALL_FLOOR)
+
+
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)

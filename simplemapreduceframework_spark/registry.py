@@ -65,6 +65,7 @@ def load_all() -> None:
 CHECK_PRIORITY: list[str] = [
     # round 5: new or gate-changed this round — check first
     "multimodal_decode_real",  # new: stdlib BMP/PPM decode roundtrip
+    "ann_ivf_indexed_gate",  # new: persisted-index lifecycle gate
     "dedup_ngram_jaccard",  # bucket cap added to engine + oracle
     "text_lang_id",  # trigram-profile scorer, oracle updated
     "corpus_mix_weighted",  # floor semantics pinned on both sides
