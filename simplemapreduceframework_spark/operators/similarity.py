@@ -43,6 +43,8 @@ def dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
     a C-speed loop with strict left-to-right accumulation, bit-identical
     to DuckDB's list_dot_product over double lists.
     """
+    if len(a) == 0:  # zero-row Arrow batch (empty partition)
+        return pd.Series([], dtype="float64")
     A = np.vstack(a.to_numpy()).astype(np.float64)
     B = np.vstack(b.to_numpy()).astype(np.float64)
     return pd.Series(np.cumsum(A * B, axis=1)[:, -1])
@@ -143,6 +145,8 @@ def make_bucket_udf(n_tables: int, n_bits: int, dim: int):
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
         V = np.vstack(e.to_numpy()).astype(np.float64)
         # Per-plane sequential fold (np.cumsum) instead of a BLAS matmul:
         # the same left-to-right float64 accumulation as dot_seq /
@@ -352,6 +356,11 @@ def _kmeans_centroids(emb: DataFrame, k: int, iters: int) -> np.ndarray:
         .select("e")
         .toPandas()["e"]
     )
+    if len(init) == 0:
+        raise ValueError(
+            "cannot train an IVF index on an empty corpus "
+            "(k-means needs at least one vector)"
+        )
     C = np.vstack(init.to_numpy()).astype(np.float64)
     for _ in range(iters):
         assign = _make_assign_udf(C)
@@ -373,6 +382,8 @@ def _make_assign_udf(C: np.ndarray):
 
     @pandas_udf(LongType())
     def assign(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="int64")
         V = np.vstack(e.to_numpy()).astype(np.float64)  # (n, dim)
         # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; argmin over cells
         d = V @ Cm.T  # (n, k)
@@ -390,6 +401,8 @@ def _make_probe_udf(C: np.ndarray, nprobe: int):
 
     @pandas_udf(ArrayType(LongType()))
     def probe(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
         V = np.vstack(e.to_numpy()).astype(np.float64)
         d = (V * V).sum(axis=1, keepdims=True) - 2 * (V @ Cm.T) + (Cm * Cm).sum(
             axis=1

@@ -274,6 +274,26 @@ def test_operators_on_empty_tables(spark, tmp_path):
         "pipeline_clean_corpus",
         "cms_heavy_hitters",
         "sample_bottomk",
+        "text_lang_id",
+        "text_vocab",
+        "multimodal_decode_real",
+        "corpus_mix_weighted",
+        "dedup_ngram_jaccard",
     ]:
         rows = registry.QUERIES[name](spark, empty_dir).collect()
         assert rows == [], (name, rows[:3])
+
+    # IVF is the documented exception: an index over nothing is
+    # undefined, and the failure must be a clear driver-side error,
+    # not a worker crash deep in numpy.
+    import pytest
+
+    from simplemapreduceframework_spark.operators.similarity import (
+        build_ann_index,
+    )
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_ann_index(
+            load_table(spark, empty_dir, "embeddings"),
+            str(tmp_path / "never_written"),
+        )
