@@ -558,6 +558,26 @@ def build_ann_index(
     return cells
 
 
+def add_to_ann_index(corpus: DataFrame, path: str) -> None:
+    """Incrementally ADD vectors to a persisted IVF index: route the
+    new vectors through the EXISTING centroids (no retraining — the
+    constant-size routing state loads from the centroids table) and
+    append them to their cell partitions. Ingest cost is one scan of
+    the new vectors; the rest of the index is untouched. Recall
+    degrades only as the data distribution drifts from the training
+    snapshot — rebuild with build_ann_index when it does."""
+    spark = corpus.sparkSession
+    C = load_ann_centroids(spark, path)
+    emb = with_norm(corpus.select("vec_id", F.col("embedding").alias("e")))
+    assign = _make_assign_udf(C)
+    (
+        emb.select("vec_id", "e", "nrm", assign(F.col("e")).alias("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/index")
+    )
+
+
 def load_ann_centroids(spark: SparkSession, path: str) -> np.ndarray:
     """Read the (k x dim) centroid matrix back from a persisted index —
     constant-size routing state, the only part a searcher driver holds."""

@@ -477,3 +477,45 @@ def test_ann_index_persisted_roundtrip_and_pruning(spark, sf_dir, tmp_path):
         .collect()
     }
     assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_ann_index_incremental_add(spark, sf_dir, tmp_path):
+    """Build the index on half the corpus, add_to_ann_index the other
+    half: searches over the combined index must see vectors from BOTH
+    halves and match the recall of a from-scratch build (same centroids
+    would differ, so compare against brute force, not bit-for-bit)."""
+    from simplemapreduceframework_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_search,
+        ann_search_ivf_indexed,
+        build_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_incr")
+    build_ann_index(first, path)
+    add_to_ann_index(second, path)
+
+    n_indexed = spark.read.parquet(f"{path}/index").count()
+    assert n_indexed == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search_ivf_indexed(spark, path, queries, k=6)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search(emb, queries, k=6)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .collect()
+    }
+    # neighbors from the appended half must be findable
+    assert any(n % 2 == 1 for _, n in got)
+    assert len(got & exact) / len(exact) >= 0.6
