@@ -27,6 +27,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType
 from pyspark.sql.window import Window
 
+from ..functions import hex32
 from ..registry import query
 from ..sources import load_table
 
@@ -519,6 +520,7 @@ def build_ann_index(
     path: str,
     cells: int | None = None,
     iters: int = _IVF_ITERS,
+    train_cap: int = 1_000_000,
 ) -> int:
     """Train and PERSIST an IVF index — the cluster-real index
     lifecycle (build once, search many), replacing the in-session memo
@@ -534,11 +536,31 @@ def build_ann_index(
     cells defaults to ~sqrt(corpus) via ivf_cells_for. Returns the
     cell count. Rebuild (rerun) to refresh after corpus churn — the
     write is an atomic overwrite per table.
+
+    Training is SAMPLED past train_cap vectors (deterministic hash
+    sample on vec_id, no RNG state): k-means quality depends on the
+    density shape, not on seeing every point, so each Lloyd iteration
+    scans ~train_cap vectors instead of the full corpus — at 100 TB
+    that is the difference between an index build costing iters
+    corpus scans and costing one (the final full-corpus assignment
+    pass, which is unavoidable and embarrassingly parallel).
     """
     emb = with_norm(corpus.select("vec_id", F.col("embedding").alias("e"))).persist()
+    n = emb.count()
     if cells is None:
-        cells = ivf_cells_for(emb.count())
-    C = _kmeans_centroids(emb, cells, iters)
+        cells = ivf_cells_for(n)
+    train = emb
+    if n > train_cap:
+        bp = max(1, (10000 * train_cap) // n)
+        sampled = emb.filter(
+            hex32(F.concat(F.lit("ivftrain"), F.col("vec_id").cast("string")))
+            % 10000
+            < bp
+        )
+        # k-means needs at least one vector per cell; an unlucky tiny
+        # sample falls back to full-corpus training
+        train = sampled if sampled.count() >= cells else emb
+    C = _kmeans_centroids(train, cells, iters)
     assign = _make_assign_udf(C)
     (
         emb.select("vec_id", "e", "nrm", assign(F.col("e")).alias("cell"))

@@ -519,3 +519,37 @@ def test_ann_index_incremental_add(spark, sf_dir, tmp_path):
     # neighbors from the appended half must be findable
     assert any(n % 2 == 1 for _, n in got)
     assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_ann_index_sampled_training(spark, sf_dir, tmp_path):
+    """Past train_cap vectors, k-means trains on a deterministic hash
+    sample (each Lloyd iteration scans ~cap vectors, not the corpus);
+    the index must still clear the recall floor and index EVERY vector
+    (sampling affects training only, never membership)."""
+    from simplemapreduceframework_spark.operators.similarity import (
+        ann_search,
+        ann_search_ivf_indexed,
+        build_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_sampled")
+    build_ann_index(emb, path, train_cap=100)  # 500 vecs -> ~100 sampled
+    assert spark.read.parquet(f"{path}/index").count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search_ivf_indexed(spark, path, queries, k=6)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search(emb, queries, k=6)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.6
