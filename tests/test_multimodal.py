@@ -165,3 +165,49 @@ def test_decode_real_rejects_unsupported_codecs():
     pdf = pd.DataFrame({"doc_id": [0], "payload": [jpeg]})
     with pytest.raises(NotImplementedError):
         list(decode_real(iter([pdf])))
+
+
+def test_codec_roundtrip_property():
+    """Property: any (width, height) in range roundtrips exactly
+    through synth -> stdlib header parse, for both codecs and with
+    arbitrary comment/whitespace noise in the PPM header."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _parse_bmp,
+        _parse_ppm,
+        make_bmp,
+        make_ppm,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=4096),
+        h=st.integers(min_value=1, max_value=4096),
+        comment=st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\n"
+            ),
+            max_size=20,
+        ),
+        ws=st.sampled_from([b" ", b"\n", b"\t", b"  \n"]),
+    )
+    def check(w, h, comment, ws):
+        assert _parse_bmp(make_bmp(w, h)) == (w, h)
+        assert _parse_ppm(make_ppm(w, h)) == (w, h)
+        noisy = (
+            b"P6"
+            + ws
+            + f"#{comment}\n".encode()
+            + str(w).encode()
+            + ws
+            + f"#{comment}\n".encode()
+            + str(h).encode()
+            + ws
+            + b"255\n"
+        )
+        assert _parse_ppm(noisy) == (w, h)
+
+    check()
