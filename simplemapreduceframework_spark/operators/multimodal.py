@@ -123,17 +123,27 @@ def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = {"doc_id": [], "n_bytes": [], "width": [], "height": [], "format": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(payload)
-            if b[:2] == b"BM":
-                w, h = _parse_bmp(b)
-                fmt = "bmp"
-            elif b[:2] in (b"P6", b"P3"):
-                w, h = _parse_ppm(b)
-                fmt = "ppm"
-            else:
-                raise NotImplementedError(
-                    f"unsupported codec (magic {b[:2]!r}): JPEG/PNG/audio "
-                    "decode requires PIL/ffmpeg — not available here"
-                )
+            try:
+                if b[:2] == b"BM":
+                    w, h = _parse_bmp(b)
+                    fmt = "bmp"
+                elif b[:2] in (b"P6", b"P3"):
+                    w, h = _parse_ppm(b)
+                    fmt = "ppm"
+                else:
+                    raise NotImplementedError(
+                        f"unsupported codec (magic {b[:2]!r}): JPEG/PNG/audio "
+                        "decode requires PIL/ffmpeg — not available here"
+                    )
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                # truncated/corrupt header: fail loud and identified,
+                # not with a raw struct/int error deep in the worker
+                raise ValueError(
+                    f"malformed {b[:2]!r} payload for doc {doc_id} "
+                    f"({len(b)} bytes): {exc}"
+                ) from exc
             out["doc_id"].append(doc_id)
             out["n_bytes"].append(len(b))
             out["width"].append(w)

@@ -326,10 +326,11 @@ def ivf_cells_for(n: int) -> int:
     """Cell count for an n-vector corpus: ~sqrt(n) (the classic IVF
     sizing — cell occupancy and cell count grow together, so probe
     cost is O(nprobe * sqrt(n)) per query), floored at 16 so tiny
-    validation corpora still exercise multi-cell probing."""
+    validation corpora still exercise multi-cell probing — and capped
+    at n itself (k-means cannot place more cells than vectors)."""
     import math
 
-    return max(_IVF_CELLS_FLOOR, math.isqrt(max(n, 0)))
+    return max(1, min(max(_IVF_CELLS_FLOOR, math.isqrt(max(n, 0))), n))
 
 
 def ivf_nprobe_for(cells: int) -> int:
@@ -482,11 +483,12 @@ def ann_search_ivf(
     probe); query batches then broadcast against the pruned index.
     """
     emb = with_norm(corpus.select("vec_id", F.col("embedding").alias("e"))).persist()
-    if cells is None:
-        cells = ivf_cells_for(emb.count())
+    n = emb.count()
+    cells = ivf_cells_for(n) if cells is None else max(1, min(cells, n))
     if nprobe is None:
         nprobe = ivf_nprobe_for(cells)
     C = _kmeans_centroids(emb, cells, iters)
+    emb.unpersist()  # persist served the Lloyd iterations; done now
     assign = _make_assign_udf(C)
     index = emb.select("vec_id", "e", "nrm", assign(F.col("e")).alias("cell"))
     probe = _make_probe_udf(C, nprobe)
@@ -547,8 +549,7 @@ def build_ann_index(
     """
     emb = with_norm(corpus.select("vec_id", F.col("embedding").alias("e"))).persist()
     n = emb.count()
-    if cells is None:
-        cells = ivf_cells_for(n)
+    cells = ivf_cells_for(n) if cells is None else max(1, min(cells, n))
     train = emb
     if n > train_cap:
         bp = max(1, (10000 * train_cap) // n)
@@ -569,7 +570,7 @@ def build_ann_index(
         .parquet(f"{path}/index")
     )
     spark = corpus.sparkSession
-    cent_rows = [(i, [float(x) for x in C[i]]) for i in range(cells)]
+    cent_rows = [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])]
     (
         spark.createDataFrame(cent_rows, "cell bigint, centroid array<double>")
         .coalesce(1)
@@ -634,7 +635,11 @@ def ann_search_ivf_indexed(
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
         F.explode(probe(F.col("e"))).alias("qcell"),
-    ).persist()
+    )
+    # No persist on q: a query batch is small by definition, so the
+    # probe UDF recomputing once (cell-union collect + the join) is
+    # cheaper than leaking one cached DataFrame per search call into
+    # executor storage for the session's lifetime.
     probed = sorted({r["qcell"] for r in q.select("qcell").distinct().collect()})
     index = spark.read.parquet(f"{path}/index").filter(F.col("cell").isin(probed))
     cand = F.broadcast(q).join(index, F.col("qcell") == F.col("cell"))
@@ -779,6 +784,8 @@ def ann_ivf_indexed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     search-many shape a cluster runs; the in-memory gates
     (ann_ivf_recall_gate, ann_search_ivf_gate) cover the train+search
     path, this one covers the disk roundtrip."""
+    import atexit
+    import shutil
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -786,6 +793,7 @@ def ann_ivf_indexed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _IVF_INDEX_DIR_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="smrf_ivf_gate_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         build_ann_index(emb, path)
         _IVF_INDEX_DIR_CACHE[key] = path
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(

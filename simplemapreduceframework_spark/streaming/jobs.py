@@ -38,12 +38,16 @@ def read_events_stream(
     # reject TIMESTAMP_NTZ event-time columns (and the batch twins read
     # the same way via load_table).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    import os
-
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
-    if os.path.isdir(path):
+    # Layout detection through the Hadoop FS (not os.path): sf_dir may
+    # live on HDFS/S3 where a driver-local stat would always say "not
+    # a directory" and silently re-trigger the 0-row glob regression.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(hpath).isDirectory():
         # Spark-written table: a DIRECTORY of part files — stream the
         # directory itself (a name glob would match no part file).
         src = path

@@ -553,3 +553,26 @@ def test_ann_index_sampled_training(spark, sf_dir, tmp_path):
         .collect()
     }
     assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_ann_index_tiny_corpus_fewer_vectors_than_cell_floor(spark, tmp_path):
+    """A corpus smaller than the 16-cell floor must still build and
+    search (cells clamp to the vector count), not die in numpy."""
+    from simplemapreduceframework_spark.operators.similarity import (
+        ann_search_ivf_indexed,
+        build_ann_index,
+        load_ann_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 7
+    )
+    path = str(tmp_path / "ivf_tiny")
+    cells = build_ann_index(emb, path)
+    assert cells == 7
+    assert load_ann_centroids(spark, path).shape[0] == 7
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = ann_search_ivf_indexed(spark, path, queries, k=3).collect()
+    assert rows  # produced neighbors without crashing

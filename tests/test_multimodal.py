@@ -211,3 +211,14 @@ def test_codec_roundtrip_property():
         assert _parse_ppm(noisy) == (w, h)
 
     check()
+
+
+def test_decode_real_malformed_payload_is_identified():
+    """A truncated header of a SUPPORTED codec must raise an
+    identified ValueError (doc id + size), not a raw struct error."""
+    truncated_bmp = b"BM" + bytes(10)
+    truncated_ppm = b"P6\n12"
+    for payload in (truncated_bmp, truncated_ppm):
+        pdf = pd.DataFrame({"doc_id": [7], "payload": [payload]})
+        with pytest.raises(ValueError, match="malformed .* doc 7"):
+            list(decode_real(iter([pdf])))
