@@ -115,8 +115,19 @@ def ensure_bench_layout(spark, sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", name)
     marker = os.path.join(cache, "_LAYOUT_DONE")
+    # Staleness stamp: if the driver regenerates the source fixtures,
+    # the cached relayout must rebuild — otherwise the bench silently
+    # measures (and parity-checks) last round's data.
+    stamp = ",".join(
+        f"{t}:{int(os.stat(os.path.join(sf_dir, f'{t}.parquet')).st_mtime)}"
+        for t in TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    )
     if os.path.exists(marker):
-        return cache
+        with open(marker) as f:
+            if f.read().strip() == stamp:
+                return cache
+        print(f"[bench] {name} fixtures changed; rebuilding layout", file=sys.stderr)
     t0 = time.time()
     for t in TABLES:
         df = load_table(spark, sf_dir, t)
@@ -126,7 +137,7 @@ def ensure_bench_layout(spark, sf_dir: str) -> str:
             os.path.join(cache, f"{t}.parquet")
         )
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(stamp + "\n")
     print(f"[bench] relaid {name} into {cache} in {time.time()-t0:.1f}s", file=sys.stderr)
     return cache
 
