@@ -608,6 +608,67 @@ def load_ann_centroids(spark: SparkSession, path: str) -> np.ndarray:
     return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
 
 
+def remove_from_ann_index(corpus: DataFrame, path: str) -> None:
+    """Logically DELETE vectors from a persisted IVF index via
+    tombstones: the vec_ids append to a side table and searches
+    anti-join it — no rewrite of any cell partition (deleting in place
+    would rewrite whole partitions for a handful of rows). Tombstones
+    compact away naturally at the next build_ann_index rebuild.
+
+    corpus: any DataFrame with a vec_id column (extra columns ignored).
+    """
+    (
+        corpus.select("vec_id")
+        .distinct()
+        .write.mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+
+
+def _live_index(spark: SparkSession, path: str) -> DataFrame:
+    """The index minus tombstones (anti-join only when tombstones
+    exist, so the common no-delete path stays a bare pruned scan)."""
+    index = spark.read.parquet(f"{path}/index")
+    try:
+        dead = spark.read.parquet(f"{path}/tombstones")
+    except Exception:
+        return index
+    return index.join(dead, "vec_id", "left_anti")
+
+
+def ann_index_stats(spark: SparkSession, path: str) -> dict:
+    """Index health for rebuild triggers — one aggregate over the
+    index (cells x 1 rows to the driver):
+      - n_vectors / n_cells / n_tombstones,
+      - occupancy skew (max cell / mean cell): drift concentrates new
+        vectors in few cells, degrading probe selectivity,
+      - dead_fraction: tombstoned share still physically present.
+    needs_rebuild flags skew > 4x or dead_fraction > 0.2 — the point
+    where rebuilding (re-train + compact) beats searching around the
+    damage. Thresholds are advisory; callers can apply their own.
+    """
+    index = spark.read.parquet(f"{path}/index")
+    occ = index.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = [r["n"] for r in occ]
+    n_vec = sum(counts)
+    try:
+        n_dead = (
+            spark.read.parquet(f"{path}/tombstones").distinct().count()
+        )
+    except Exception:
+        n_dead = 0
+    skew = (max(counts) * len(counts) / n_vec) if n_vec else 0.0
+    dead_fraction = n_dead / n_vec if n_vec else 0.0
+    return {
+        "n_vectors": n_vec,
+        "n_cells": len(counts),
+        "n_tombstones": n_dead,
+        "occupancy_skew": skew,
+        "dead_fraction": dead_fraction,
+        "needs_rebuild": skew > 4.0 or dead_fraction > 0.2,
+    }
+
+
 def ann_search_ivf_indexed(
     spark: SparkSession,
     path: str,
@@ -641,7 +702,7 @@ def ann_search_ivf_indexed(
     # cheaper than leaking one cached DataFrame per search call into
     # executor storage for the session's lifetime.
     probed = sorted({r["qcell"] for r in q.select("qcell").distinct().collect()})
-    index = spark.read.parquet(f"{path}/index").filter(F.col("cell").isin(probed))
+    index = _live_index(spark, path).filter(F.col("cell").isin(probed))
     cand = F.broadcast(q).join(index, F.col("qcell") == F.col("cell"))
     scored = cand.select(
         "query_id",

@@ -576,3 +576,46 @@ def test_ann_index_tiny_corpus_fewer_vectors_than_cell_floor(spark, tmp_path):
     )
     rows = ann_search_ivf_indexed(spark, path, queries, k=3).collect()
     assert rows  # produced neighbors without crashing
+
+
+def test_ann_index_tombstone_delete_and_stats(spark, sf_dir, tmp_path):
+    """Deletes are tombstones (no partition rewrite): removed vectors
+    vanish from search results immediately, everything else still
+    returns, and ann_index_stats reports the damage and flips
+    needs_rebuild past the dead-fraction threshold."""
+    from simplemapreduceframework_spark.operators.similarity import (
+        ann_index_stats,
+        ann_search_ivf_indexed,
+        build_ann_index,
+        remove_from_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_tomb")
+    build_ann_index(emb, path)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = {
+        r["neighbor_id"]
+        for r in ann_search_ivf_indexed(spark, path, queries, k=6).collect()
+    }
+    assert before
+
+    # delete every previously-returned neighbor
+    doomed = emb.filter(F.col("vec_id").isin([int(v) for v in before]))
+    remove_from_ann_index(doomed, path)
+    after = {
+        r["neighbor_id"]
+        for r in ann_search_ivf_indexed(spark, path, queries, k=6).collect()
+    }
+    assert after and not (after & before), "tombstoned vectors resurfaced"
+
+    stats = ann_index_stats(spark, path)
+    assert stats["n_vectors"] == emb.count()
+    assert stats["n_tombstones"] == len(before)
+    assert stats["dead_fraction"] > 0
+    # healthy fresh index: no rebuild signal before the delete wave
+    fresh = str(tmp_path / "ivf_fresh")
+    build_ann_index(emb, fresh)
+    assert ann_index_stats(spark, fresh)["n_tombstones"] == 0
