@@ -88,3 +88,48 @@ def test_text_vocab_memoized_per_session(spark, sf_dir):
     registry.load_all()
     fn = registry.QUERIES["text_vocab"]
     assert fn(spark, sf_dir) is fn(spark, sf_dir)
+
+
+def test_lang_id_multilingual_profiles(spark, tmp_path):
+    """The trigram bootstrap must generalize past the English-only
+    synthetic corpus: on a mixed es/fr/en fixture every language with
+    lexicon seeds gets its own profile, docs classify by their actual
+    language, and the DuckDB oracle agrees bit-for-bit."""
+    import duckdb
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.testing import fingerprint
+
+    registry.load_all()
+    base = {
+        "es": "el la de y que en los por casa perro gato comida",
+        "fr": "le la de et les des un une maison chien chat nourriture",
+        "en": "the a of and to value table row house dog cat food",
+    }
+    rows = []
+    for i in range(30):
+        lang = ["es", "fr", "en"][i % 3]
+        rows.append((i, f"{base[lang]} extra{i} palabra{i} mot{i}", f"src{i % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    path = str(tmp_path / "multilingual")
+    docs.write.parquet(f"{path}/documents.parquet")
+
+    out = registry.QUERIES["text_lang_id"](spark, path)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 30
+    for i in range(30):
+        want = ["es", "fr", "en"][i % 3]
+        assert got[i]["pred_lang"] == want, (i, got[i])
+        assert got[i]["method"] == "trigram"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{path}/documents.parquet/*.parquet'"
+    )
+    orc = con.execute(registry.ORACLES["text_lang_id"])
+    ocols = [d[0] for d in orc.description]
+    orows = [dict(zip(ocols, r)) for r in orc.fetchall()]
+    con.close()
+    srows = [r.asDict() for r in out.collect()]
+    cols = sorted(out.columns)
+    assert fingerprint(srows, cols) == fingerprint(orows, cols)
