@@ -75,7 +75,36 @@ def load_functions(path: str | Path) -> tuple[Mapper, Reducer | None, Combiner |
     mapper = getattr(module, "mapper", None)
     if mapper is None:
         raise ValueError(f"{path} must define mapper(key, value)")
-    return mapper, getattr(module, "reducer", None), getattr(module, "combiner", None)
+    reducer = getattr(module, "reducer", None)
+    combiner = getattr(module, "combiner", None)
+    # Arity check at load time: a wrong signature otherwise surfaces as
+    # an opaque TypeError deep in a Spark worker traceback. The contract
+    # (reference count_functions.py:1-17): each function takes (key,
+    # value(s)) and reducer/combiner return a (key, value) tuple.
+    import inspect
+
+    for name, fn in (("mapper", mapper), ("reducer", reducer), ("combiner", combiner)):
+        if fn is None:
+            continue
+        try:
+            params = inspect.signature(fn).parameters
+        except (TypeError, ValueError):  # builtins/C callables: trust them
+            continue
+        required = [
+            p
+            for p in params.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        has_varargs = any(p.kind == p.VAR_POSITIONAL for p in params.values())
+        if not has_varargs and len(required) != 2:
+            raise ValueError(
+                f"{path}: {name}() must take exactly (key, value"
+                f"{'s' if name != 'mapper' else ''}) — got "
+                f"{len(required)} required positional parameter(s)"
+            )
+    return mapper, reducer, combiner
 
 
 class MapReduceJob:

@@ -327,3 +327,18 @@ def test_functions_file_without_mapper_rejected(spark, tmp_path):
     fn.write_text("def reducer(key, values):\n    return key, sum(values)\n")
     with pytest.raises(ValueError, match="mapper"):
         load_functions(str(fn))
+
+
+def test_load_functions_rejects_wrong_arity(tmp_path):
+    """A functions file with the wrong signature must fail at LOAD time
+    with an identified error, not as an opaque TypeError inside a Spark
+    worker once the job is already running."""
+    bad = tmp_path / "bad_functions.py"
+    bad.write_text(
+        "def mapper(line):\n"
+        "    return [(w, 1) for w in line.split()]\n"
+        "def reducer(key, values):\n"
+        "    return key, sum(values)\n"
+    )
+    with pytest.raises(ValueError, match=r"mapper\(\) must take exactly"):
+        load_functions(str(bad))
