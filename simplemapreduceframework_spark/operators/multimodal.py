@@ -61,17 +61,21 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
+        # NULL payloads (e.g. NULL text upstream) propagate as NULL
+        # features — matching the oracle, where every md5/length
+        # expression of NULL is NULL — instead of crashing len(None).
+        n_bytes = payloads.map(len, na_action="ignore")
         checksum = payloads.map(
-            lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:8], 16)
+            lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:8], 16),
+            na_action="ignore",
         )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int64"),
-                "checksum": checksum.astype("int64"),
-                "width": (checksum % 1920).astype("int32"),
-                "height": (checksum % 1080).astype("int32"),
+                "n_bytes": n_bytes.astype("Int64"),
+                "checksum": checksum.astype("Int64"),
+                "width": (checksum % 1920).astype("Int32"),
+                "height": (checksum % 1080).astype("Int32"),
                 "format": "fake/raw",
             }
         )
@@ -122,6 +126,13 @@ def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"doc_id": [], "n_bytes": [], "width": [], "height": [], "format": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:  # NULL payload -> NULL features
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(None)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["format"].append(None)
+                continue
             b = bytes(payload)
             try:
                 if b[:2] == b"BM":
@@ -152,9 +163,9 @@ def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
-                "width": pd.Series(out["width"], dtype="int32"),
-                "height": pd.Series(out["height"], dtype="int32"),
+                "n_bytes": pd.Series(out["n_bytes"], dtype="Int64"),
+                "width": pd.Series(out["width"], dtype="Int32"),
+                "height": pd.Series(out["height"], dtype="Int32"),
                 "format": pd.Series(out["format"], dtype="object"),
             }
         )
@@ -286,9 +297,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
-       CAST(CONCAT('0x', SUBSTR(MD5(text), 1, 8)) AS BIGINT) AS checksum,
-       CAST(CAST(CONCAT('0x', SUBSTR(MD5(text), 1, 8)) AS BIGINT) % 1920 AS INTEGER) AS width,
-       CAST(CAST(CONCAT('0x', SUBSTR(MD5(text), 1, 8)) AS BIGINT) % 1080 AS INTEGER) AS height,
+       CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) AS checksum,
+       CAST(CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % 1920 AS INTEGER) AS width,
+       CAST(CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % 1080 AS INTEGER) AS height,
        'fake/raw' AS format
 FROM documents
 """,

@@ -274,15 +274,18 @@ def sample_stratified_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the fractional part), so the mixed multiset is exactly reproducible
 # — integer basis points keep the compare exact in both engines.
 _MIX_BP = {"high": 20000, "mid": 10000, "low": 2500}
+# TRY_CAST on both engines: a source name that doesn't end in a number
+# ("web-crawl") lands in the 'low' tier instead of failing the whole
+# job with an ANSI cast error.
 _MIX_TIER_SQL = """CASE
-    WHEN CAST(SUBSTR(source, 4) AS BIGINT) < 5 THEN 'high'
-    WHEN CAST(SUBSTR(source, 4) AS BIGINT) < 13 THEN 'mid'
+    WHEN TRY_CAST(SUBSTR(source, 4) AS BIGINT) < 5 THEN 'high'
+    WHEN TRY_CAST(SUBSTR(source, 4) AS BIGINT) < 13 THEN 'mid'
     ELSE 'low' END"""
 _MIX_HASH_SQL = "CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000"
 
 
 def _mix_tier() -> F.Column:
-    n = F.substring("source", 4, 10).cast("bigint")
+    n = F.expr("try_cast(substring(source, 4, 10) AS BIGINT)")
     return (
         F.when(n < 5, "high").when(n < 13, "mid").otherwise("low")
     )

@@ -222,3 +222,15 @@ def test_decode_real_malformed_payload_is_identified():
         pdf = pd.DataFrame({"doc_id": [7], "payload": [payload]})
         with pytest.raises(ValueError, match="malformed .* doc 7"):
             list(decode_real(iter([pdf])))
+
+
+def test_decode_real_null_payload_yields_null_features():
+    bmp_and_null = pd.DataFrame(
+        {"doc_id": [0, 1], "payload": [None, __import__(
+            "simplemapreduceframework_spark.operators.multimodal",
+            fromlist=["make_bmp"],
+        ).make_bmp(4, 4)]}
+    )
+    [out] = list(decode_real(iter([bmp_and_null])))
+    assert out["width"].isna().tolist() == [True, False]
+    assert out["format"].tolist()[1] == "bmp"

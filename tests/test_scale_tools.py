@@ -297,3 +297,51 @@ def test_operators_on_empty_tables(spark, tmp_path):
             load_table(spark, empty_dir, "embeddings"),
             str(tmp_path / "never_written"),
         )
+
+
+def test_operators_with_null_text_rows(spark, tmp_path):
+    """NULL-robustness: real corpora have NULL text/lang rows. The
+    affected operators must neither crash (len(None) in a decode UDF,
+    ANSI cast failure on a non-numeric source) nor diverge from the
+    DuckDB oracle's NULL semantics — checked by running the actual
+    oracle compare on a fixture with a NULL-text document."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+    from simplemapreduceframework_spark.testing import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_nulls")
+    os.makedirs(nd, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "documents":
+            null_doc = spark.createDataFrame(
+                [(999999, None, None, "srcX", None)], df.schema
+            )
+            df = df.unionByName(null_doc)
+        df.write.parquet(f"{nd}/{t}.parquet")
+    con = duckdb_connection(nd)
+    try:
+        for name in [
+            "multimodal_decode",
+            "multimodal_meta",
+            "corpus_mix_weighted",
+            "text_token_stats",
+            "text_quality_score",
+            "text_lang_id",
+            "text_fingerprint",
+            "dedup_exact",
+            "text_vocab",
+        ]:
+            problems = compare_query(
+                spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
+            )
+            assert not problems, (name, problems)
+    finally:
+        con.close()
