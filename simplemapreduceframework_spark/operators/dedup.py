@@ -617,7 +617,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH n AS (
     SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
     FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-          FROM embeddings)
+          FROM embeddings WHERE embedding IS NOT NULL)
 )
 SELECT id_a, id_b, cos_sim
 FROM (
@@ -643,7 +643,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())  # no meaningful cosine for NULL
+    )
     # The corpus matrix is the broadcast side (materialized once, shipped
     # once per executor) — the all-pairs baseline requires every worker
     # to see every vector regardless of formulation; what we avoid is

@@ -53,8 +53,14 @@ def dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def with_norm(emb: DataFrame) -> DataFrame:
     """Attach the L2 norm (computed once per vector, same fold order as
-    the oracle's sqrt(list_dot_product(e, e)))."""
-    return emb.withColumn("nrm", F.sqrt(dot_seq(F.col("e"), F.col("e"))))
+    the oracle's sqrt(list_dot_product(e, e))). NULL vectors are
+    dropped here — the one load boundary every similarity/IVF path
+    goes through — because no vector operator has meaningful output
+    for a NULL embedding (and np.vstack over one crashes the worker);
+    the SQL twin's list_dot_product likewise yields no row for them."""
+    return emb.filter(F.col("e").isNotNull()).withColumn(
+        "nrm", F.sqrt(dot_seq(F.col("e"), F.col("e")))
+    )
 
 
 @query(
@@ -63,7 +69,7 @@ def with_norm(emb: DataFrame) -> DataFrame:
 WITH n AS (
     SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
     FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-          FROM embeddings)
+          FROM embeddings WHERE embedding IS NOT NULL)
 ),
 pairs AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -194,7 +200,7 @@ def _lsh_oracle() -> str:
 WITH n AS (
     SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
     FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-          FROM embeddings)
+          FROM embeddings WHERE embedding IS NOT NULL)
 ),
 idx AS (
     {idx_sql}

@@ -345,3 +345,39 @@ def test_operators_with_null_text_rows(spark, tmp_path):
             assert not problems, (name, problems)
     finally:
         con.close()
+
+
+def test_operators_with_null_embedding_rows(spark, tmp_path):
+    """A NULL embedding row must be dropped at the vector-load boundary
+    (no meaningful cosine; np.vstack would crash the worker) — with the
+    oracle applying the identical filter so approximate-path results
+    still hash-match."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+    from simplemapreduceframework_spark.testing import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_null_emb")
+    os.makedirs(nd, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "embeddings":
+            null_emb = spark.createDataFrame([(999999, None, None)], df.schema)
+            df = df.unionByName(null_emb)
+        df.write.parquet(f"{nd}/{t}.parquet")
+    con = duckdb_connection(nd)
+    try:
+        for name in ["ann_cosine_topk", "ann_lsh_bucketed", "dedup_embedding_cosine"]:
+            problems = compare_query(
+                spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
+            )
+            assert not problems, (name, problems)
+        assert registry.QUERIES["ann_ivf_topk"](spark, nd).count() > 0
+    finally:
+        con.close()
