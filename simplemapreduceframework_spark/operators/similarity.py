@@ -583,6 +583,14 @@ def build_ann_index(
         .write.mode("overwrite")
         .parquet(f"{path}/centroids")
     )
+    # A rebuild IS the compaction: the fresh index contains exactly the
+    # given corpus, so stale tombstones must not keep hiding re-indexed
+    # vectors. Deleted through the Hadoop FS so HDFS/S3 paths work.
+    jvm = spark._jvm
+    tomb = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    fs = tomb.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(tomb):
+        fs.delete(tomb, True)
     emb.unpersist()
     return cells
 

@@ -619,3 +619,38 @@ def test_ann_index_tombstone_delete_and_stats(spark, sf_dir, tmp_path):
     fresh = str(tmp_path / "ivf_fresh")
     build_ann_index(emb, fresh)
     assert ann_index_stats(spark, fresh)["n_tombstones"] == 0
+
+
+def test_ann_index_rebuild_compacts_tombstones(spark, sf_dir, tmp_path):
+    """Rebuilding over the same path must clear old tombstones: the new
+    index contains exactly the given corpus, so previously-deleted
+    vectors that are re-indexed become searchable again."""
+    from simplemapreduceframework_spark.operators.similarity import (
+        ann_index_stats,
+        ann_search_ivf_indexed,
+        build_ann_index,
+        remove_from_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_rebuild")
+    build_ann_index(emb, path)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = {
+        r["neighbor_id"]
+        for r in ann_search_ivf_indexed(spark, path, queries, k=6).collect()
+    }
+    remove_from_ann_index(
+        emb.filter(F.col("vec_id").isin([int(v) for v in hits])), path
+    )
+    assert ann_index_stats(spark, path)["n_tombstones"] == len(hits)
+
+    build_ann_index(emb, path)  # rebuild = compaction
+    assert ann_index_stats(spark, path)["n_tombstones"] == 0
+    again = {
+        r["neighbor_id"]
+        for r in ann_search_ivf_indexed(spark, path, queries, k=6).collect()
+    }
+    assert again == hits, "re-indexed vectors stayed hidden after rebuild"
