@@ -602,7 +602,12 @@ def add_to_ann_index(corpus: DataFrame, path: str) -> None:
     append them to their cell partitions. Ingest cost is one scan of
     the new vectors; the rest of the index is untouched. Recall
     degrades only as the data distribution drifts from the training
-    snapshot — rebuild with build_ann_index when it does."""
+    snapshot — rebuild with build_ann_index when it does.
+
+    Known semantics: re-ADDing a vec_id that was tombstoned stays
+    hidden until the next rebuild (tombstones are append-only by
+    design; a rebuild clears them). Delete-then-readd churn is a
+    rebuild trigger, not an incremental path."""
     spark = corpus.sparkSession
     C = load_ann_centroids(spark, path)
     emb = with_norm(corpus.select("vec_id", F.col("embedding").alias("e")))
