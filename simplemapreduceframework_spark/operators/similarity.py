@@ -655,6 +655,20 @@ def _live_index(spark: SparkSession, path: str) -> DataFrame:
     return index.join(dead, "vec_id", "left_anti")
 
 
+def maybe_rebuild_ann_index(
+    corpus: DataFrame, path: str, **build_kwargs
+) -> bool:
+    """Maintenance policy in one call: rebuild the index iff
+    ann_index_stats says it needs it (occupancy drift or tombstone
+    load). Returns whether a rebuild ran — the idempotent step a
+    scheduled maintenance job executes after each ingest wave."""
+    spark = corpus.sparkSession
+    if not ann_index_stats(spark, path)["needs_rebuild"]:
+        return False
+    build_ann_index(corpus, path, **build_kwargs)
+    return True
+
+
 def ann_index_stats(spark: SparkSession, path: str) -> dict:
     """Index health for rebuild triggers — one aggregate over the
     index (cells x 1 rows to the driver):

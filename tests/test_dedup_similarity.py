@@ -654,3 +654,26 @@ def test_ann_index_rebuild_compacts_tombstones(spark, sf_dir, tmp_path):
         for r in ann_search_ivf_indexed(spark, path, queries, k=6).collect()
     }
     assert again == hits, "re-indexed vectors stayed hidden after rebuild"
+
+
+def test_maybe_rebuild_ann_index_policy(spark, sf_dir, tmp_path):
+    """The maintenance wrapper is a no-op on a healthy index and
+    rebuilds (clearing tombstones) once the dead fraction crosses the
+    threshold."""
+    from simplemapreduceframework_spark.operators.similarity import (
+        ann_index_stats,
+        build_ann_index,
+        maybe_rebuild_ann_index,
+        remove_from_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_policy")
+    build_ann_index(emb, path)
+    assert maybe_rebuild_ann_index(emb, path) is False  # healthy
+
+    # tombstone >20% of the corpus -> dead_fraction trips the policy
+    remove_from_ann_index(emb.filter(F.col("vec_id") % 4 == 0), path)
+    assert ann_index_stats(spark, path)["needs_rebuild"] is True
+    assert maybe_rebuild_ann_index(emb, path) is True
+    assert ann_index_stats(spark, path)["n_tombstones"] == 0
