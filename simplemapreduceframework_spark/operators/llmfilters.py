@@ -1,0 +1,342 @@
+"""Training-data hygiene filters for the LLM pipeline tier: PII
+detection/redaction, Gopher-style repetition filtering, and benchmark
+decontamination.
+
+These are the corpus-cleaning passes a web-scale training pipeline runs
+between raw ingestion and tokenization (complementing the dedup tier in
+``dedup.py`` and the quality/language tier in ``textanalysis.py``).
+Every formula is duplicated verbatim in the DuckDB oracle: integer
+counts, divisions of identical integers, and shared regex patterns that
+mean the same thing under Java regex and RE2.
+
+Scale notes per operator:
+
+- ``text_pii_scrub`` is purely row-local (regexp count + chained
+  redaction) — zero shuffles, embarrassingly parallel at 100 TB.
+- ``text_repetition_filter`` is two per-doc aggregations (token counts,
+  bigram counts) — every shuffle is keyed by doc_id, no global state.
+- ``text_decontaminate`` is an inverted-index equi-join on the n-gram:
+  the benchmark side is tiny (the held-out eval set) so Spark
+  broadcasts it; the training side streams through one scan. No cross
+  join, no all-pairs — the same bucketed shape as the LSH dedup tier.
+
+The synthetic corpus carries no real PII, so ``text_pii_scrub`` first
+derives a deterministic PII-bearing text per customer row (same
+construction in engine and oracle — the ``multimodal`` precedent of
+deterministically generated payloads) and then runs the actual
+detection/redaction operator on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens_regex
+from ..registry import query
+from ..sources import load_table
+
+# Shared PII regexes — written to the common Java-regex / RE2 subset
+# (no lookaround, no backrefs) so Spark and DuckDB agree byte-for-byte.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d(-\d{3}){2}-\d{4}"
+
+# Repetition-filter thresholds (Gopher-rule shape: reject documents
+# dominated by a few tokens / one bigram). Chosen to split the
+# synthetic corpus ~90/10 so both branches of `keep` are exercised.
+_REP_MIN_DISTINCT_RATIO = 0.32
+_REP_MAX_TOP_TOKEN_FRAC = 0.14
+_REP_MAX_TOP_BIGRAM_FRAC = 0.18
+
+# Decontamination parameters: benchmark membership is a deterministic
+# residue class (stand-in for "doc appears in the eval set"); overlap
+# is on token 5-grams, the usual contamination shingle size scaled to
+# this corpus's ~60-token docs.
+_DECON_NGRAM = 5
+_DECON_MOD = 19
+
+
+@query(
+    "text_pii_scrub",
+    oracle=rf"""
+WITH raw AS (
+    SELECT c_custkey,
+           'Contact ' || c_name || ' <' || lower(c_mktsegment)
+           || CAST(c_custkey AS VARCHAR)
+           || '@example.com> phone +1-'
+           || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+           || '-' || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+           || '-' || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+           || ' ip 10.' || CAST(c_nationkey AS VARCHAR)
+           || '.0.' || CAST(c_custkey % 256 AS VARCHAR)
+           || ' segment ' || c_mktsegment AS txt
+    FROM customer
+)
+SELECT c_custkey,
+       CAST(LEN(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(LEN(regexp_extract_all(txt, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(LEN(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(txt,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM raw
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask emails, IPv4
+    addresses, and phone numbers with shared regexes, replacing each
+    with a typed placeholder token.
+
+    Redaction order is email -> ip -> phone so the broader digit-run
+    patterns never eat a narrower match's remainder; the same chain
+    runs in the oracle. Entirely row-local regexp expressions inside
+    whole-stage codegen — the plan is scan -> project, no exchange, so
+    the pass is linear in input bytes at any scale.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    txt = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.col("c_mktsegment")),
+        ck.cast("string"),
+        F.lit("@example.com> phone +1-"),
+        F.lpad((ck % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((ck * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((ck * 13) % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        F.col("c_nationkey").cast("string"),
+        F.lit(".0."),
+        (ck % 256).cast("string"),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    raw = cust.select("c_custkey", txt.alias("txt"))
+
+    def n_matches(pat: str) -> Column:
+        return (
+            F.size(F.regexp_extract_all("txt", F.lit(pat), 0))
+            .cast("bigint")
+        )
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return raw.select(
+        "c_custkey",
+        n_matches(_PII_EMAIL).alias("n_emails"),
+        n_matches(_PII_IP).alias("n_ips"),
+        n_matches(_PII_PHONE).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+),
+tcnt AS (
+    SELECT doc_id, word, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(t) AS word FROM toks)
+    GROUP BY doc_id, word
+),
+tagg AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tok,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_tok
+    FROM tcnt GROUP BY doc_id
+),
+bcnt AS (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 UNNEST(list_transform(range(1, LEN(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks WHERE LEN(t) >= 2)
+    GROUP BY doc_id, g
+),
+bagg AS (
+    SELECT doc_id,
+           CAST(MAX(c) AS BIGINT) AS top_big,
+           CAST(SUM(c) AS BIGINT) AS n_big
+    FROM bcnt GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_tok,
+       t.n_distinct,
+       CAST(t.n_distinct AS DOUBLE) / t.n_tok AS distinct_ratio,
+       CAST(t.top_tok AS DOUBLE) / t.n_tok AS top_token_frac,
+       CAST(COALESCE(b.top_big, 0) AS DOUBLE)
+           / GREATEST(COALESCE(b.n_big, 0), 1) AS top_bigram_frac,
+       (CAST(t.n_distinct AS DOUBLE) / t.n_tok >= {_REP_MIN_DISTINCT_RATIO}
+        AND CAST(t.top_tok AS DOUBLE) / t.n_tok <= {_REP_MAX_TOP_TOKEN_FRAC}
+        AND CAST(COALESCE(b.top_big, 0) AS DOUBLE)
+            / GREATEST(COALESCE(b.n_big, 0), 1)
+            <= {_REP_MAX_TOP_BIGRAM_FRAC}) AS keep
+FROM tagg t LEFT JOIN bagg b ON b.doc_id = t.doc_id
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-document distinct-token
+    ratio, most-frequent-token fraction, and most-frequent-bigram
+    fraction, with a combined keep/reject verdict.
+
+    Every ratio divides identical integers so the doubles (and the
+    threshold booleans) match DuckDB bit-for-bit. Shape at scale: one
+    groupBy (doc_id, word) + one groupBy (doc_id, bigram), both rolled
+    up per doc — all shuffles keyed by doc_id, state bounded by the
+    document's own vocabulary, no global structures.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_regex(F.lower(F.col("text"))).alias("t")
+    )
+    tcnt = (
+        toks.select("doc_id", F.explode("t").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tagg = tcnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_tok"),
+    )
+    bcnt = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bagg = bcnt.groupBy("doc_id").agg(
+        F.max("c").cast("bigint").alias("top_big"),
+        F.sum("c").cast("bigint").alias("n_big"),
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_tok")
+    tf = F.col("top_tok").cast("double") / F.col("n_tok")
+    bf = F.coalesce(F.col("top_big"), F.lit(0)).cast("double") / F.greatest(
+        F.coalesce(F.col("n_big"), F.lit(0)), F.lit(1)
+    )
+    return (
+        tagg.join(bagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_distinct",
+            dr.alias("distinct_ratio"),
+            tf.alias("top_token_frac"),
+            bf.alias("top_bigram_frac"),
+            (
+                (dr >= _REP_MIN_DISTINCT_RATIO)
+                & (tf <= _REP_MAX_TOP_TOKEN_FRAC)
+                & (bf <= _REP_MAX_TOP_BIGRAM_FRAC)
+            ).alias("keep"),
+        )
+    )
+
+
+@query(
+    "text_decontaminate",
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(list_transform(range(1, LEN(t) - {_DECON_NGRAM - 2}),
+                                 i -> list_aggregate(t[i:i+{_DECON_NGRAM - 1}],
+                                                     'string_agg', ' '))) AS g
+    FROM toks WHERE LEN(t) >= {_DECON_NGRAM}
+),
+bench AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
+),
+hits AS (
+    SELECT g.doc_id, COUNT(*) AS n_shared
+    FROM grams g JOIN bench b ON b.g = g.g
+    WHERE g.doc_id % {_DECON_MOD} <> 0
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {_DECON_MOD} <> 0
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share a
+    token n-gram with the held-out benchmark set (here the deterministic
+    residue class doc_id % _DECON_MOD == 0, standing in for "appears in
+    an eval set").
+
+    The overlap test is the standard contamination check (distinct
+    5-gram intersection); output is every training doc with its shared-
+    gram count and a contaminated flag, so the downstream pipeline can
+    drop or down-weight.
+
+    Shape at scale: distinct per-doc n-grams on both sides, then an
+    equi-join on the gram — an inverted index, not an all-pairs
+    comparison. The benchmark side is the eval corpus (tiny next to
+    100 TB of training text), so Spark broadcasts it; the training side
+    never materializes more than its own distinct grams per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = _DECON_NGRAM
+    toks = docs.select(
+        "doc_id", tokens_regex(F.lower(F.col("text"))).alias("t")
+    )
+    grams = (
+        toks.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}), "
+                    f"i -> array_join(slice(t, i, {n}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

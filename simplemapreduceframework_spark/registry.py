@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
         dedup,
+        llmfilters,
         multimodal,
         pipeline,
         referenceq,
@@ -64,6 +65,9 @@ def load_all() -> None:
 # costs nothing (their round-1 rows stand).
 CHECK_PRIORITY: list[str] = [
     # round 5: new or gate-changed this round — check first
+    "text_pii_scrub",  # new: PII detection/redaction
+    "text_repetition_filter",  # new: Gopher-style repetition filter
+    "text_decontaminate",  # new: benchmark n-gram decontamination
     "multimodal_decode_real",  # new: stdlib BMP/PPM decode roundtrip
     "ann_ivf_indexed_gate",  # new: persisted-index lifecycle gate
     "dedup_ngram_jaccard",  # bucket cap added to engine + oracle

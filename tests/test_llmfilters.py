@@ -1,0 +1,121 @@
+"""Unit + plan tests for the LLM hygiene filters (llmfilters.py):
+PII scrubbing, repetition filtering, benchmark decontamination.
+Oracle parity is covered by test_oracle_parity; these pin semantics
+and physical-plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplemapreduceframework_spark import registry
+from simplemapreduceframework_spark.plans import (
+    explain_str,
+    has_broadcast_hash_join,
+    n_exchanges,
+)
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_pii_scrub_masks_every_pattern(spark, sf_dir):
+    out = Q["text_pii_scrub"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        # every derived row embeds exactly one of each PII kind
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 1)
+        assert "<EMAIL>" in r["redacted"]
+        assert "<IP>" in r["redacted"]
+        assert "<PHONE>" in r["redacted"]
+        assert "@example.com" not in r["redacted"]
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    df = Q["text_pii_scrub"](spark, sf_dir)
+    assert n_exchanges(df) == 0, explain_str(df)
+
+
+def test_repetition_filter_keep_matches_thresholds(spark, sf_dir):
+    from simplemapreduceframework_spark.operators.llmfilters import (
+        _REP_MAX_TOP_BIGRAM_FRAC,
+        _REP_MAX_TOP_TOKEN_FRAC,
+        _REP_MIN_DISTINCT_RATIO,
+    )
+
+    rows = Q["text_repetition_filter"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = (
+            r["distinct_ratio"] >= _REP_MIN_DISTINCT_RATIO
+            and r["top_token_frac"] <= _REP_MAX_TOP_TOKEN_FRAC
+            and r["top_bigram_frac"] <= _REP_MAX_TOP_BIGRAM_FRAC
+        )
+        assert r["keep"] == expect, r
+
+
+def test_repetition_filter_rejects_degenerate_doc(spark, tmp_path, sf_dir):
+    """A document that is one token repeated must fail every rule."""
+    import shutil
+
+    src = tmp_path / "mini"
+    src.mkdir()
+    for t in ("documents",):
+        spark.createDataFrame(
+            [(1, "spam " * 50, "en", "srcX", 250)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.parquet(str(src / f"{t}.parquet"))
+    rows = Q["text_repetition_filter"](spark, str(src)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_distinct"] == 1 and not r["keep"]
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_decontaminate_benchmark_docs_excluded(spark, sf_dir):
+    from simplemapreduceframework_spark.operators.llmfilters import _DECON_MOD
+
+    out = Q["text_decontaminate"](spark, sf_dir)
+    bad = out.filter(F.col("doc_id") % _DECON_MOD == 0).count()
+    assert bad == 0
+
+
+def test_decontaminate_flag_consistent_with_count(spark, sf_dir):
+    out = Q["text_decontaminate"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("contaminated") & (F.col("n_shared") == 0))
+        | (~F.col("contaminated") & (F.col("n_shared") > 0))
+    ).count()
+    assert bad == 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    df = Q["text_decontaminate"](spark, sf_dir)
+    assert has_broadcast_hash_join(df), explain_str(df)
+
+
+def test_decontaminate_self_overlap_detected(spark, tmp_path):
+    """A training doc that copies a benchmark doc's 5-gram is flagged;
+    an unrelated doc is not."""
+    import shutil
+
+    from simplemapreduceframework_spark.operators.llmfilters import _DECON_MOD
+
+    src = tmp_path / "mini2"
+    src.mkdir()
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    copy_text = "intro words then alpha beta gamma delta epsilon tail"
+    clean_text = "one two three four five six seven eight nine"
+    spark.createDataFrame(
+        [
+            (0, bench_text, "en", "s", len(bench_text)),  # benchmark (0 % mod == 0)
+            (1, copy_text, "en", "s", len(copy_text)),
+            (2, clean_text, "en", "s", len(clean_text)),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(src / "documents.parquet"))
+    assert 1 % _DECON_MOD != 0 and 2 % _DECON_MOD != 0
+    rows = {r["doc_id"]: r for r in Q["text_decontaminate"](spark, str(src)).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_shared"] >= 1
+    assert not rows[2]["contaminated"]
+    shutil.rmtree(src, ignore_errors=True)
