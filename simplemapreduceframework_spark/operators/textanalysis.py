@@ -18,15 +18,63 @@ from ..functions import tokens_regex
 from ..registry import query
 from ..sources import load_table
 
-# Tiny per-language lexicons for the n-gram/stopword language heuristic.
-# Deterministic + identical in the SQL oracle; accuracy on the synthetic
-# corpus is secondary to the operator shape (broadcast join + argmax).
+# Per-language stopword lexicons for the language heuristic that seeds
+# the trigram bootstrap. Deterministic + identical in the SQL oracle
+# (the oracle VALUES list is generated from this dict at import time,
+# so engine and oracle can never drift). Words are each language's
+# highest-frequency function words; a handful of domain words keep the
+# English-only synthetic corpus seedable. Cross-language homographs
+# ("la" es/fr/it, "de" es/fr/pt/nl, "a" en/pt) are fine — the argmax
+# over total hits, not any single word, picks the language.
 _LEXICON: dict[str, list[str]] = {
-    "en": ["the", "a", "of", "and", "to", "value", "table", "row"],
-    "es": ["el", "la", "de", "y", "que", "en", "los", "por"],
-    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
-    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein"],
-    "zh": ["de5", "shi4", "zai4", "le5", "wo3", "you3", "he2", "ren2"],
+    "en": [
+        "the", "a", "of", "and", "to", "in", "is", "it", "you", "that",
+        "was", "for", "on", "are", "with", "as", "his", "they", "at",
+        "be", "this", "have", "from", "or", "had", "by", "not", "but",
+        "value", "table", "row",
+    ],
+    "es": [
+        "el", "la", "de", "y", "que", "en", "los", "por", "un", "una",
+        "se", "del", "las", "con", "no", "su", "para", "es", "al", "lo",
+        "como", "mas", "pero", "sus", "le", "ya", "o", "este", "si",
+        "porque",
+    ],
+    "fr": [
+        "le", "la", "de", "et", "les", "des", "un", "une", "du", "en",
+        "est", "que", "pour", "qui", "dans", "ce", "il", "au", "pas",
+        "sur", "se", "plus", "par", "avec", "son", "ne", "mais", "nous",
+        "vous", "sont",
+    ],
+    "de": [
+        "der", "die", "und", "das", "ist", "von", "mit", "ein", "den",
+        "zu", "in", "des", "im", "dem", "nicht", "eine", "als", "auch",
+        "es", "an", "auf", "werden", "aus", "er", "hat", "dass", "sie",
+        "nach", "bei", "um",
+    ],
+    "it": [
+        "il", "di", "che", "e", "la", "per", "un", "in", "una", "sono",
+        "non", "le", "si", "con", "del", "da", "al", "come", "dei", "nel",
+        "alla", "della", "ma", "anche", "piu", "questo", "gli", "ha",
+        "era", "su",
+    ],
+    "pt": [
+        "o", "a", "de", "que", "e", "do", "da", "em", "um", "para",
+        "com", "nao", "uma", "os", "no", "se", "na", "por", "mais",
+        "as", "dos", "como", "mas", "ao", "ele", "das", "seu", "sua",
+        "ou", "quando",
+    ],
+    "nl": [
+        "de", "het", "een", "en", "van", "is", "op", "dat", "te", "in",
+        "zijn", "voor", "met", "die", "niet", "aan", "er", "om", "ook",
+        "als", "maar", "dan", "bij", "uit", "naar", "heeft", "worden",
+        "deze", "over", "tot",
+    ],
+    "zh": [
+        "de5", "shi4", "zai4", "le5", "wo3", "you3", "he2", "ren2",
+        "zhe4", "zhong1", "da4", "shang4", "guo2", "ge4", "dao4", "shuo1",
+        "men5", "wei4", "zi4", "zhong4", "ni3", "ta1", "hui4", "yao4",
+        "jiu4", "chu1", "ye3", "ke3", "dui4", "sheng1",
+    ],
 }
 
 
