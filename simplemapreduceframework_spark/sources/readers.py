@@ -65,6 +65,25 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+# Scan-plan cache: (applicationId, dir, table, source mtime) -> the
+# analyzed read DataFrame. spark.read.parquet costs a driver-side file
+# listing + footer/schema read per call (~100-300 ms against a
+# multi-file layout); a catalog caches that relation metadata exactly
+# once, and so do we. The mtime in the key makes overwrites (tests that
+# rewrite a table in place, driver fixture regeneration) a natural
+# cache miss, so no staleness contract is imposed on callers.
+_TABLE_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
+
+
+def _source_mtime(path: str) -> int:
+    import os
+
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return -1
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one testdata table.
 
@@ -74,22 +93,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # Pin UTC at query time so timestamp formatting/windowing matches
     # the (naive-timestamp) oracle even under a driver-built session
-    # that didn't set it; likewise read NTZ-annotated parquet as plain
-    # TIMESTAMP (see _normalize_ntz).
+    # that didn't set it. Re-set on every call (a one-RPC no-op when
+    # unchanged) because execution-time formatting depends on it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, sf_dir, name, _source_mtime(path))
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    # Read NTZ-annotated parquet as plain TIMESTAMP (see _normalize_ntz);
+    # these flags matter at plan-build time only, so they live behind
+    # the cache hit.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _normalize_events(
-            _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-        )
-    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = _normalize_events(_normalize_ntz(spark.read.parquet(path)))
+    else:
+        df = _normalize_ntz(spark.read.parquet(path))
+    _TABLE_CACHE[key] = df
+    return df
+
+
+# Last temp-view registration per application, so repeated spark.sql
+# queries against the same fixture directory skip 10 no-op
+# createOrReplaceTempView round-trips.
+_VIEWS_REGISTERED: dict[str, tuple[str, tuple[int, ...]]] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() use."""
+    stamp = (
+        sf_dir,
+        tuple(_source_mtime(f"{sf_dir}/{t}.parquet") for t in TABLES),
+    )
+    app = spark.sparkContext.applicationId
+    if _VIEWS_REGISTERED.get(app) == stamp:
+        return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEWS_REGISTERED[app] = stamp
 
 
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
