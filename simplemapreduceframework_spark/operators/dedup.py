@@ -449,44 +449,40 @@ FROM bits GROUP BY doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document (token-frequency weighted).
 
-    Constant-size signature, two key-equi shuffles ((doc,word) then
-    (doc,bit)); near-dup clusters are then exact-match groups on the
-    signature — at 100 TB this is a single groupBy on an int32. All
-    integer arithmetic -> engine-exact.
+    The frequency-weighted bit sum sum_w cnt(w) * (2*bit_b(h(w)) - 1)
+    equals the per-occurrence sum over the raw token stream, so no
+    (doc, word) aggregation is needed: ONE partial-aggregated groupBy
+    on doc_id computes all 32 per-bit popcounts plus the token count as
+    codegen'd sums (bit b is set iff 2 * popcount_b > n_tokens). The
+    map side collapses every document to a single 33-counter row before
+    the exchange — constant per-doc state, one shuffle of one row per
+    document at 100 TB (the former formulation exploded 32 rows per
+    distinct token and shuffled twice). Near-dup clusters are then
+    exact-match groups on the signature — a single groupBy on an int32.
+    All integer arithmetic -> engine-exact; the DuckDB oracle keeps the
+    per-word-frequency formulation, proving the equivalence.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
-        ).alias("word"),
-    )
-    tf = (
-        tok.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", hex32(F.col("word")))
-    )
-    bits = (
-        tf.select(
-            "doc_id",
-            "cnt",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-        )
-        .withColumn(
-            "contrib",
-            F.col("cnt")
-            * (F.lit(2) * F.expr("(h >> b) & 1") - F.lit(1)),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+        ).alias("w"),
+    ).select("doc_id", hex32(F.col("w")).alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        for b in range(32)
+    ]
+    zero = F.lit(0).cast("long")
+    simhash = zero
+    for b in range(32):
+        simhash = simhash + F.when(
+            F.col(f"s{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(zero)
+    return (
+        tok.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", simhash.cast("bigint").alias("simhash"))
     )
 
 

@@ -501,12 +501,10 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Guarantees at least one fingerprint per w consecutive grams, so
     matching substrings of length >= k+w-1 always share a fingerprint —
-    the substring-plagiarism/near-dup primitive. Shape at scale: explode
-    to one row per char position, one window sort per doc, distinct —
-    all single-shuffle-per-stage on doc_id.
+    the substring-plagiarism/near-dup primitive. Shape at scale: fully
+    row-local (gram hashes, sliding minima, and per-doc dedup as array
+    expressions inside one projection) — zero shuffles.
     """
-    from pyspark.sql.window import Window
-
     from ..functions import hex32
 
     docs = load_table(spark, sf_dir, "documents")
@@ -514,31 +512,38 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("t"),
     )
+    # Fully row-local: the gram hashes, the w=4 sliding minima, and the
+    # per-doc dedup all happen inside one projected row via array
+    # functions — ZERO shuffles (the former formulation exploded one
+    # row per char position and ran two windows over it). A document's
+    # fingerprints never need cross-row state, so the plan is
+    # scan -> project -> generate, embarrassingly parallel at 100 TB.
     grams = norm.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.length("t") >= 8, F.sequence(F.lit(1), F.length("t") - 7)
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("p"),
-        "t",
-    ).select(
-        "doc_id", "p", hex32(F.expr("substring(t, p, 8)")).alias("h")
-    )
-    wmin = (
-        Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
-    )
-    wcnt = Window.partitionBy("doc_id")
-    return (
-        grams.select(
-            "doc_id",
-            "p",
-            F.min("h").over(wmin).alias("wmin"),
-            F.count(F.lit(1)).over(wcnt).alias("n_grams"),
+        F.when(
+            F.length("t") >= 8,
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 7),
+                lambda i: hex32(F.col("t").substr(i, F.lit(8))),
+            ),
         )
-        .filter(F.col("p") <= F.col("n_grams") - 3)
-        .select("doc_id", F.col("wmin").alias("fp"))
-        .distinct()
+        .otherwise(F.array().cast("array<long>"))
+        .alias("hs"),
+    )
+    wmins = grams.select(
+        "doc_id",
+        F.when(
+            F.size("hs") >= 4,
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - 3),
+                lambda p: F.array_min(F.slice(F.col("hs"), p, F.lit(4))),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("wm"),
+    )
+    return wmins.select(
+        "doc_id", F.explode(F.array_distinct("wm")).alias("fp")
     )
 
 
