@@ -142,13 +142,14 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_repetition_filter",
-    oracle=rf"""
-WITH toks AS (
+# Shared oracle CTE text: the standalone filter oracles and the
+# composed pipeline_hygiene oracle are built from the SAME strings, so
+# the composition provably chains the exact standalone formulas.
+_TOKS_CTE = r"""toks AS (
     SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
-),
-tcnt AS (
+)"""
+
+_REP_CTES = rf"""tcnt AS (
     SELECT doc_id, word, COUNT(*) AS c
     FROM (SELECT doc_id, UNNEST(t) AS word FROM toks)
     GROUP BY doc_id, word
@@ -173,21 +174,44 @@ bagg AS (
            CAST(MAX(c) AS BIGINT) AS top_big,
            CAST(SUM(c) AS BIGINT) AS n_big
     FROM bcnt GROUP BY doc_id
-)
-SELECT t.doc_id,
-       t.n_tok,
-       t.n_distinct,
-       CAST(t.n_distinct AS DOUBLE) / t.n_tok AS distinct_ratio,
-       CAST(t.top_tok AS DOUBLE) / t.n_tok AS top_token_frac,
-       CAST(COALESCE(b.top_big, 0) AS DOUBLE)
-           / GREATEST(COALESCE(b.n_big, 0), 1) AS top_bigram_frac,
-       (CAST(t.n_distinct AS DOUBLE) / t.n_tok >= {_REP_MIN_DISTINCT_RATIO}
-        AND CAST(t.top_tok AS DOUBLE) / t.n_tok <= {_REP_MAX_TOP_TOKEN_FRAC}
-        AND CAST(COALESCE(b.top_big, 0) AS DOUBLE)
-            / GREATEST(COALESCE(b.n_big, 0), 1)
-            <= {_REP_MAX_TOP_BIGRAM_FRAC}) AS keep
-FROM tagg t LEFT JOIN bagg b ON b.doc_id = t.doc_id
-""",
+),
+rep AS (
+    SELECT t.doc_id,
+           t.n_tok,
+           t.n_distinct,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tok AS distinct_ratio,
+           CAST(t.top_tok AS DOUBLE) / t.n_tok AS top_token_frac,
+           CAST(COALESCE(b.top_big, 0) AS DOUBLE)
+               / GREATEST(COALESCE(b.n_big, 0), 1) AS top_bigram_frac,
+           (CAST(t.n_distinct AS DOUBLE) / t.n_tok >= {_REP_MIN_DISTINCT_RATIO}
+            AND CAST(t.top_tok AS DOUBLE) / t.n_tok <= {_REP_MAX_TOP_TOKEN_FRAC}
+            AND CAST(COALESCE(b.top_big, 0) AS DOUBLE)
+                / GREATEST(COALESCE(b.n_big, 0), 1)
+                <= {_REP_MAX_TOP_BIGRAM_FRAC}) AS keep
+    FROM tagg t LEFT JOIN bagg b ON b.doc_id = t.doc_id
+)"""
+
+_DECON_CTES = rf"""grams AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(list_transform(range(1, LEN(t) - {_DECON_NGRAM - 2}),
+                                 i -> list_aggregate(t[i:i+{_DECON_NGRAM - 1}],
+                                                     'string_agg', ' '))) AS g
+    FROM toks WHERE LEN(t) >= {_DECON_NGRAM}
+),
+bench AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
+),
+hits AS (
+    SELECT g.doc_id, COUNT(*) AS n_shared
+    FROM grams g JOIN bench b ON b.g = g.g
+    WHERE g.doc_id % {_DECON_MOD} <> 0
+    GROUP BY g.doc_id
+)"""
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"WITH {_TOKS_CTE},\n{_REP_CTES}\nSELECT * FROM rep",
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: per-document distinct-token
@@ -258,25 +282,8 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_decontaminate",
     oracle=rf"""
-WITH toks AS (
-    SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
-),
-grams AS (
-    SELECT DISTINCT doc_id,
-           UNNEST(list_transform(range(1, LEN(t) - {_DECON_NGRAM - 2}),
-                                 i -> list_aggregate(t[i:i+{_DECON_NGRAM - 1}],
-                                                     'string_agg', ' '))) AS g
-    FROM toks WHERE LEN(t) >= {_DECON_NGRAM}
-),
-bench AS (
-    SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
-),
-hits AS (
-    SELECT g.doc_id, COUNT(*) AS n_shared
-    FROM grams g JOIN bench b ON b.g = g.g
-    WHERE g.doc_id % {_DECON_MOD} <> 0
-    GROUP BY g.doc_id
-)
+WITH {_TOKS_CTE},
+{_DECON_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
        COALESCE(h.n_shared, 0) > 0 AS contaminated
@@ -339,4 +346,80 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+_HYGIENE_ORACLE = rf"""
+WITH {_TOKS_CTE},
+{_REP_CTES},
+{_DECON_CTES},
+clean AS (
+    SELECT d.doc_id, d.source, MD5(d.text) AS content_md5,
+           r.n_tok, r.distinct_ratio
+    FROM documents d
+    JOIN rep r ON r.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE r.keep
+      AND d.doc_id % {_DECON_MOD} <> 0
+      AND COALESCE(h.n_shared, 0) = 0
+),
+deduped AS (
+    SELECT doc_id, source, n_tok, distinct_ratio FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5
+                                     ORDER BY doc_id) AS rn
+        FROM clean
+    ) WHERE rn = 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(distinct_ratio) AS min_distinct_ratio,
+       MAX(distinct_ratio) AS max_distinct_ratio
+FROM deduped
+GROUP BY source
+"""
+
+
+@query("pipeline_hygiene", oracle=_HYGIENE_ORACLE)
+def pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed hygiene pipeline, as ONE Catalyst plan: repetition
+    filter -> benchmark decontamination -> exact dedup -> per-source
+    stats. Each stage reuses its standalone operator verbatim (the
+    DataFrames returned by text_repetition_filter / text_decontaminate
+    compose lazily; nothing materializes between stages), and the
+    oracle chains the *same shared CTE strings* those operators'
+    oracles are built from — so the composition is provably the chain
+    of the gated formulas.
+
+    Stage order is the scale story: the per-doc repetition verdict and
+    the contamination flag both key by doc_id, so Catalyst fuses their
+    joins into one doc_id-partitioned stage; exact dedup (the one
+    content-keyed shuffle) runs only on the shrunken survivor set; the
+    final per-source rollup is a partial-aggregated groupBy on the
+    tiny source dimension.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rep = text_repetition_filter(spark, sf_dir).select(
+        "doc_id", "n_tok", "distinct_ratio", "keep"
+    )
+    dec = text_decontaminate(spark, sf_dir).select("doc_id", "n_shared")
+    clean = (
+        docs.select("doc_id", "source", F.md5("text").alias("content_md5"))
+        .join(rep, "doc_id")
+        .join(dec, "doc_id")
+        .filter(F.col("keep") & (F.col("n_shared") == 0))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok", "distinct_ratio")
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("distinct_ratio").alias("min_distinct_ratio"),
+        F.max("distinct_ratio").alias("max_distinct_ratio"),
     )

@@ -68,6 +68,7 @@ CHECK_PRIORITY: list[str] = [
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
     "text_decontaminate",  # new: benchmark n-gram decontamination
+    "pipeline_hygiene",  # new: composed repetition+decon+dedup pipeline
     "multimodal_decode_real",  # new: stdlib BMP/PPM decode roundtrip
     "ann_ivf_indexed_gate",  # new: persisted-index lifecycle gate
     "dedup_ngram_jaccard",  # bucket cap added to engine + oracle
