@@ -210,6 +210,21 @@ def _char_trigrams(docs: DataFrame) -> DataFrame:
     )
 
 
+def _argmax(df: DataFrame, key: str, label: str, score: str) -> DataFrame:
+    """Per-``key`` argmax of ``score`` with ties broken by ascending
+    ``label`` — as ONE partial-aggregated groupBy: min over the struct
+    (-score, label) is exactly ORDER BY score DESC, label ASC LIMIT 1,
+    without the sort exchange a row_number window needs. At 100 TB the
+    map side collapses each key to a single struct before the shuffle.
+    """
+    m = F.min(F.struct((-F.col(score)).alias("ns"), F.col(label).alias("l")))
+    return df.groupBy(key).agg(m.alias("_m")).select(
+        key,
+        F.col("_m.l").alias(label),
+        (-F.col("_m.ns")).alias(score),
+    )
+
+
 def _lang_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Build (or reuse) the language-ID model: per-doc lexicon verdicts
     ``lb`` (doc_id, lex_lang, hits) and the per-language trigram
@@ -232,15 +247,7 @@ def _lang_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         .groupBy("doc_id", "lex_lang")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    wl = Window.partitionBy("doc_id").orderBy(
-        F.col("hits").desc(), F.col("lex_lang").asc()
-    )
-    lb = (
-        lscores.withColumn("rn", F.row_number().over(wl))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lex_lang", "hits")
-        .persist()
-    )
+    lb = _argmax(lscores, "doc_id", "lex_lang", "hits").persist()
     seeds = lb.filter(F.col("hits") >= _TRI_SEED_MIN).select(
         "doc_id", F.col("lex_lang").alias("lang")
     )
@@ -348,8 +355,6 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, same tie-breaks) with the DuckDB oracle, so the whole
     bootstrap is hash-gated.
     """
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
     lb, profile = _lang_model(spark, sf_dir)
     tri = _char_trigrams(docs)
@@ -358,14 +363,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("tri_hits"))
     )
-    wt = Window.partitionBy("doc_id").orderBy(
-        F.col("tri_hits").desc(), F.col("lang").asc()
-    )
-    tb = (
-        tscores.withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "tri_hits")
-    )
+    tb = _argmax(tscores, "doc_id", "lang", "tri_hits")
     return (
         docs.select("doc_id")
         .join(tb, "doc_id", "left")
