@@ -721,3 +721,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         score_against_corpus, "id_a bigint, id_b bigint, cos_sim double"
     )
+
+
+# Winnow-based near-dup: fingerprints shared by more docs than this are
+# boilerplate and dropped before pairing (the same bounded-explode
+# discipline as _NGRAM_BUCKET_CAP).
+_WINNOW_BUCKET_CAP = 50
+# Minimum fingerprint-set Jaccard overlap to call a pair a near-dup.
+_WINNOW_OVERLAP_MIN = 0.5
+
+_WINNOW_PAIRS_SQL = """
+capped AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {cap}),
+f AS (SELECT fps.doc_id, fps.fp FROM fps JOIN capped USING (fp)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+wpairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared) AS overlap
+FROM wpairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared) >= {minov}
+"""
+
+
+def _winnow_oracle() -> str:
+    from .textanalysis import WINNOW_FPS_CTES
+
+    return "WITH " + WINNOW_FPS_CTES + ",\n" + _WINNOW_PAIRS_SQL.format(
+        cap=_WINNOW_BUCKET_CAP, minov=_WINNOW_OVERLAP_MIN
+    )
+
+
+@query("dedup_winnow", oracle=_winnow_oracle())
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs via winnowing fingerprints: two
+    documents are near-dups when the Jaccard overlap of their
+    fingerprint sets clears _WINNOW_OVERLAP_MIN. Because winnowing
+    guarantees a shared fingerprint for any common substring of length
+    >= k+w-1, this catches copied *passages* — the case token-shingle
+    MinHash dilutes when the rest of the document differs.
+
+    Shape at scale: the fingerprint table (from the zero-shuffle
+    text_winnow_fingerprints) is an inverted index; boilerplate
+    fingerprints shared by > _WINNOW_BUCKET_CAP docs are dropped before
+    pairing (bounded explode, same discipline as the n-gram Jaccard
+    cap), so the fp self-join emits at most cap^2/2 pairs per
+    fingerprint — a bucketed equi-join, never all-pairs. The overlap
+    ratio divides identical integers -> bit-exact vs the oracle, whose
+    fps CTE is the same string the text_winnow_fingerprints oracle is
+    built from.
+    """
+    from .textanalysis import text_winnow_fingerprints
+
+    fps = text_winnow_fingerprints(spark, sf_dir)
+    bucket_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= _WINNOW_BUCKET_CAP)
+        .select("fp")
+    )
+    f = fps.join(bucket_ok, "fp")
+    sizes = f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = f.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = f.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    overlap = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(overlap >= _WINNOW_OVERLAP_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            overlap.alias("overlap"),
+        )
+    )

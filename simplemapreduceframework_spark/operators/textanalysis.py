@@ -466,10 +466,10 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "text_winnow_fingerprints",
-    oracle=r"""
-WITH norm AS (
+# Winnowing fingerprint CTE chain, shared verbatim between the
+# text_winnow_fingerprints oracle and the dedup_winnow near-dup oracle
+# (the same shared-CTE discipline as llmfilters): fps(doc_id, fp).
+WINNOW_FPS_CTES = r"""norm AS (
     SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
     FROM documents
 ),
@@ -485,11 +485,17 @@ windowed AS (
                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
            COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
     FROM grams
-)
-SELECT DISTINCT doc_id, wmin AS fp
-FROM windowed
-WHERE p <= n_grams - 3
-""",
+),
+fps AS (
+    SELECT DISTINCT doc_id, wmin AS fp
+    FROM windowed
+    WHERE p <= n_grams - 3
+)"""
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"WITH {WINNOW_FPS_CTES}\nSELECT doc_id, fp FROM fps",
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (rolling-hash k-grams, window

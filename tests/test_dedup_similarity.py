@@ -677,3 +677,49 @@ def test_maybe_rebuild_ann_index_policy(spark, sf_dir, tmp_path):
     assert ann_index_stats(spark, path)["needs_rebuild"] is True
     assert maybe_rebuild_ann_index(emb, path) is True
     assert ann_index_stats(spark, path)["n_tombstones"] == 0
+
+
+def test_dedup_winnow_agrees_with_minhash(spark, sf_dir):
+    """Two independent near-dup detectors (substring winnowing vs
+    token-shingle MinHash) must find the same duplicate pairs on the
+    synthetic corpus — cross-method ground-truthing."""
+    from simplemapreduceframework_spark import registry
+
+    registry.load_all()
+    w = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["dedup_winnow"](spark, sf_dir).collect()
+    }
+    m = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert w == m and w
+
+
+def test_dedup_winnow_bucket_cap_bounds_pair_generation(spark, sf_dir):
+    """Boilerplate fingerprints (bucket > cap) must be excluded before
+    pairing: the candidate-pair volume is bounded by the sum of
+    bn*(bn-1)/2 over the KEPT buckets only, however hot the dropped
+    ones are (sf0.001 has ~99 over-cap buckets, so the cap is doing
+    real work here)."""
+    from pyspark.sql import functions as F
+
+    from simplemapreduceframework_spark.operators.dedup import (
+        _WINNOW_BUCKET_CAP,
+        dedup_winnow,
+    )
+    from simplemapreduceframework_spark.operators.textanalysis import (
+        text_winnow_fingerprints,
+    )
+
+    fps = text_winnow_fingerprints(spark, sf_dir)
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bn"))
+    assert sizes.filter(F.col("bn") > _WINNOW_BUCKET_CAP).count() > 0
+    kept_bound = (
+        sizes.filter(F.col("bn") <= _WINNOW_BUCKET_CAP)
+        .select(F.sum(F.expr("bn * (bn - 1) / 2")).alias("s"))
+        .collect()[0]["s"]
+    )
+    pairs = dedup_winnow(spark, sf_dir).count()
+    assert pairs <= kept_bound
