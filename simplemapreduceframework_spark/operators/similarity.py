@@ -908,3 +908,78 @@ def ann_ivf_indexed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+scaled AS (
+    SELECT vec_id, e,
+           CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0
+                THEN 1.0
+                ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
+           END AS scale
+    FROM base
+)
+SELECT vec_id,
+       CAST(LEN(e) AS BIGINT) AS n_dims,
+       scale,
+       MD5(array_to_string(
+           list_transform(e, x -> CAST(CAST(FLOOR(x / scale + 0.5) AS BIGINT)
+                                       AS VARCHAR)), ',')) AS qhash,
+       list_max(list_transform(
+           e, x -> abs(x - CAST(FLOOR(x / scale + 0.5) AS BIGINT) * scale)
+       )) AS max_abs_err
+FROM scaled
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step a 100 TB vector corpus applies before ANN serving
+    (4x smaller than float32, distance error bounded by scale/2 per
+    dim). Per-vector scale = max|e| / 127; codes are floor(e/scale +
+    0.5), which lands exactly in [-127, 127] with no clamp (e = +-max
+    maps to +-127 by construction) and — unlike ROUND — has one
+    engine-portable definition at .5 boundaries.
+
+    Output is the code-sequence md5 plus the max reconstruction error,
+    so the entire quantization (every code of every vector) is
+    hash-gated. All arithmetic is IEEE double ops in identical
+    expression trees -> bit-exact across engines; max is
+    order-independent. Row-local -> zero shuffles at any scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    m = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    scaled = base.select(
+        "vec_id",
+        "e",
+        F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)).alias("scale"),
+    )
+
+    def code(x):
+        return F.floor(x / F.col("scale") + F.lit(0.5))
+
+    return scaled.select(
+        "vec_id",
+        F.size("e").cast("bigint").alias("n_dims"),
+        "scale",
+        F.md5(
+            F.array_join(
+                F.transform("e", lambda x: code(x).cast("string")), ","
+            )
+        ).alias("qhash"),
+        F.array_max(
+            F.transform(
+                "e", lambda x: F.abs(x - code(x).cast("double") * F.col("scale"))
+            )
+        ).alias("max_abs_err"),
+    )
