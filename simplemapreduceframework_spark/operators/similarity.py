@@ -983,3 +983,77 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_abs_err"),
     )
+
+
+# Quantized-search recall floor: int8 codes perturb each dim by at most
+# scale/2, so top-5 neighbor sets stay nearly intact; measured recall
+# on the synthetic corpus is 1.0 (the gate flips only if quantization
+# actually corrupts geometry).
+_QUANT_RECALL_FLOOR = 0.9
+
+
+def _dequantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e) with every component reconstructed from its int8
+    code: e_i -> floor(e_i/scale + 0.5) * scale — the EXACT vectors a
+    quantized ANN server scores against (embedding_quantize's codes,
+    decoded)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e0"),
+    )
+    m = F.array_max(F.transform("e0", lambda x: F.abs(x)))
+    scaled = base.select(
+        "vec_id",
+        "e0",
+        F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)).alias("scale"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.transform(
+            "e0",
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("double")
+            * F.col("scale"),
+        ).alias("e"),
+    )
+
+
+@query(
+    "ann_quantized_gate",
+    oracle=f"""
+SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries, TRUE AS recall_ok
+""",
+)
+def ann_quantized_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate closing the quantization lifecycle: searching
+    over int8-reconstructed vectors (embedding_quantize's codes,
+    decoded) must reproduce the exact float top-k with recall >= 0.9
+    (_QUANT_RECALL_FLOOR) — the claim that makes 4x-compressed ANN
+    serving safe. Same constant-true-oracle pattern as
+    ann_ivf_recall_gate: the boolean is computed Spark-side from real
+    pair counts, so geometry corruption breaks the driver's hash.
+    """
+    deq = with_norm(_dequantized(spark, sf_dir))
+    q = deq.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = F.broadcast(q).join(deq, F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot_seq(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_gate_row(approx, exact, _QUANT_RECALL_FLOOR)

@@ -71,6 +71,7 @@ CHECK_PRIORITY: list[str] = [
     "pipeline_hygiene",  # new: composed repetition+decon+dedup pipeline
     "dedup_winnow",  # new: winnow-fingerprint near-dup pairs
     "embedding_quantize",  # new: int8 vector quantization, hash-gated
+    "ann_quantized_gate",  # new: recall gate over int8-reconstructed search
     "multimodal_decode_real",  # new: stdlib BMP/PPM decode roundtrip
     "ann_ivf_indexed_gate",  # new: persisted-index lifecycle gate
     "dedup_ngram_jaccard",  # bucket cap added to engine + oracle

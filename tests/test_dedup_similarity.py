@@ -723,3 +723,44 @@ def test_dedup_winnow_bucket_cap_bounds_pair_generation(spark, sf_dir):
     )
     pairs = dedup_winnow(spark, sf_dir).count()
     assert pairs <= kept_bound
+
+
+def test_quantized_gate_green_and_can_fail(spark, sf_dir, monkeypatch):
+    """ann_quantized_gate is True for real int8 reconstruction and
+    False when quantization is deliberately corrupted (sign-flipping
+    every odd dimension scrambles the geometry)."""
+    from pyspark.sql import functions as F
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.operators import similarity as sim
+    from simplemapreduceframework_spark.sources import load_table
+
+    registry.load_all()
+    [row] = registry.QUERIES["ann_quantized_gate"](spark, sf_dir).collect()
+    assert row["recall_ok"] is True
+
+    real_deq = sim._dequantized
+
+    def corrupted(spark_, sf_dir_):
+        # rank-destroying corruption: truncate every vector to its
+        # first 2 dimensions (a global orthogonal transform like
+        # sign-flipping would leave cosine — and the gate — unchanged)
+        deq = real_deq(spark_, sf_dir_)
+        return deq.select("vec_id", F.slice("e", 1, 2).alias("e"))
+
+    monkeypatch.setattr(sim, "_dequantized", corrupted)
+    [row] = registry.QUERIES["ann_quantized_gate"](spark, sf_dir).collect()
+    assert row["recall_ok"] is False, "gate failed to catch corrupted codes"
+
+
+def test_embedding_quantize_error_bounded_by_half_scale(spark, sf_dir):
+    """Reconstruction error of symmetric int8 with code floor(x/s+0.5)
+    is at most s/2 per dimension, and scale is positive."""
+    from simplemapreduceframework_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["embedding_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["scale"] > 0
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
