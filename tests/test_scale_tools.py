@@ -279,6 +279,12 @@ def test_operators_on_empty_tables(spark, tmp_path):
         "multimodal_decode_real",
         "corpus_mix_weighted",
         "dedup_ngram_jaccard",
+        "text_pii_scrub",
+        "text_repetition_filter",
+        "text_decontaminate",
+        "pipeline_hygiene",
+        "dedup_winnow",
+        "embedding_quantize",
     ]:
         rows = registry.QUERIES[name](spark, empty_dir).collect()
         assert rows == [], (name, rows[:3])
@@ -338,6 +344,10 @@ def test_operators_with_null_text_rows(spark, tmp_path):
             "text_fingerprint",
             "dedup_exact",
             "text_vocab",
+            "text_repetition_filter",
+            "text_decontaminate",
+            "pipeline_hygiene",
+            "dedup_winnow",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
