@@ -120,7 +120,6 @@ CHECK_PRIORITY: list[str] = [
     "stats_exact_moments",
     "q29_large_orders",
     "exact_percentiles",
-    "ann_cosine_topk",
 ]
 
 
