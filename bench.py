@@ -67,6 +67,14 @@ HEADLINE = [
     "exact_percentiles",
     "text_vocab",
     "bloom_semi_filter",
+    # round 5 additions — the LLM hygiene tier + vector quantization.
+    # Cross-round totals: compare the shared 36-query prefix (or
+    # per-query values, which the driver records either way).
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "text_decontaminate",
+    "pipeline_hygiene",
+    "embedding_quantize",
 ]
 
 
