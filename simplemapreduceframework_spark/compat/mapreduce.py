@@ -391,3 +391,19 @@ class LocalClient:
                 poller.join(timeout=2)
         self._cache_store(job_id, result)
         return result
+
+    def remove_job(self) -> bool:
+        """Discard this job's cached result — parity for the reference
+        client's ``remove_job`` (client.py:370-387, REMOVEJOB protocol:
+        the client asks the FS to delete the finished job's stored
+        artifacts so the next submit recomputes). Returns True when a
+        cached result existed, matching the reference's removed/absent
+        distinction (client.py:375-382)."""
+        job_id = self._job_id()
+        removed = self._result_cache.pop(job_id, None) is not None
+        if self.cache_dir is not None:
+            f = self.cache_dir / f"{job_id}.pkl"
+            if f.exists():
+                f.unlink()
+                removed = True
+        return removed

@@ -342,3 +342,30 @@ def test_load_functions_rejects_wrong_arity(tmp_path):
     )
     with pytest.raises(ValueError, match=r"mapper\(\) must take exactly"):
         load_functions(str(bad))
+
+
+def test_local_client_remove_job(spark, tmp_path):
+    """remove_job (reference client.py:370-387) invalidates both the
+    in-memory and persistent caches; the next execute recomputes and
+    repopulates."""
+    from simplemapreduceframework_spark.compat.mapreduce import LocalClient
+
+    data = tmp_path / "data.txt"
+    data.write_text("a b a\n")
+    funcs = tmp_path / "functions.py"
+    funcs.write_text(
+        "def mapper(key, value):\n"
+        "    return [(w, 1) for w in value.split()]\n"
+        "def reducer(key, values):\n"
+        "    return (key, sum(values))\n"
+    )
+    cache = tmp_path / "cache"
+    c = LocalClient(spark, str(data), str(funcs), cache_dir=str(cache))
+    first = sorted(c.execute())
+    assert first == [("a", 2), ("b", 1)]
+    assert list(cache.glob("*.pkl"))
+    assert c.remove_job() is True
+    assert not list(cache.glob("*.pkl"))
+    assert c.remove_job() is False  # nothing left to remove
+    assert sorted(c.execute()) == first  # recompute repopulates
+    assert list(cache.glob("*.pkl"))
