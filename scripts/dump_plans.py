@@ -95,6 +95,39 @@ SHOWCASE = [
         "execution; the per-customer LIMIT 2 plans as the ranked-window "
         "/ group-limit shape.",
     ),
+    (
+        "dedup_simhash",
+        "SimHash in ONE partial-aggregated shuffle: the 32 per-bit "
+        "popcounts plus the token count are codegen'd sums in a single "
+        "groupBy(doc_id) — the map side collapses every document to a "
+        "33-counter row before the exchange (no 32-way bit explode, no "
+        "(doc,word) pre-aggregation).",
+    ),
+    (
+        "text_winnow_fingerprints",
+        "Winnowing with ZERO shuffles: gram hashes, w=4 sliding minima, "
+        "and per-doc dedup are array expressions inside one projection "
+        "— scan -> project -> generate, embarrassingly parallel.",
+    ),
+    (
+        "text_pii_scrub",
+        "PII redaction is scan -> project only: regexp counts and the "
+        "chained replace run inside whole-stage codegen, zero "
+        "exchanges at any scale.",
+    ),
+    (
+        "text_decontaminate",
+        "Benchmark decontamination as an inverted index: distinct "
+        "per-doc 5-grams equi-join the broadcast benchmark gram set — "
+        "no all-pairs comparison; the training side streams through "
+        "one scan.",
+    ),
+    (
+        "embedding_quantize",
+        "int8 quantization is row-local array math (scale, codes, "
+        "reconstruction error inside one projection) — zero exchanges; "
+        "compressing a 100 TB vector corpus is a pure map.",
+    ),
 ]
 
 
