@@ -423,3 +423,66 @@ def pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("distinct_ratio").alias("min_distinct_ratio"),
         F.max("distinct_ratio").alias("max_distinct_ratio"),
     )
+
+
+def repetition_metrics_row_local(docs: DataFrame) -> DataFrame:
+    """The repetition metrics as STATELESS per-row array expressions —
+    the streaming formulation: because every metric is a function of
+    one document, the whole filter is a projection (append-mode
+    streamable, no state store, no watermark). Same columns, same
+    integer divisions, same thresholds as text_repetition_filter's
+    groupBy formulation; streaming_hygiene_live hash-matches both
+    against the one shared oracle, proving the two formulations agree.
+
+    The per-token counts use interpreted higher-order functions
+    (transform/filter over the token array) — O(distinct * n) per doc,
+    the right trade for a streaming micro-batch where avoiding
+    aggregation state matters more than per-row constant factors; the
+    batch path keeps the codegen'd groupBy.
+    """
+    toks = docs.select(
+        "doc_id", tokens_regex(F.lower(F.col("text"))).alias("t")
+    ).filter(F.col("t").isNotNull() & (F.size("t") >= 1))
+    with_big = toks.withColumn(
+        "bg",
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")),
+    )
+    counts = with_big.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+        F.array_max(
+            F.expr("transform(array_distinct(t), w -> size(filter(t, x -> x = w)))")
+        ).cast("bigint").alias("top_tok"),
+        F.when(
+            F.size("bg") >= 1,
+            F.array_max(
+                F.expr(
+                    "transform(array_distinct(bg), w -> size(filter(bg, x -> x = w)))"
+                )
+            ),
+        ).otherwise(F.lit(0)).cast("bigint").alias("top_big"),
+        F.size("bg").cast("bigint").alias("n_big"),
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_tok")
+    tf = F.col("top_tok").cast("double") / F.col("n_tok")
+    bf = F.col("top_big").cast("double") / F.greatest(F.col("n_big"), F.lit(1))
+    return counts.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        dr.alias("distinct_ratio"),
+        tf.alias("top_token_frac"),
+        bf.alias("top_bigram_frac"),
+        (
+            (dr >= _REP_MIN_DISTINCT_RATIO)
+            & (tf <= _REP_MAX_TOP_TOKEN_FRAC)
+            & (bf <= _REP_MAX_TOP_BIGRAM_FRAC)
+        ).alias("keep"),
+    )

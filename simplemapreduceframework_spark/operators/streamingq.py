@@ -330,3 +330,32 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     result = tumbling_counts_stream(events)
     return run_available_now(result, spark)
+
+
+def _hygiene_oracle() -> str:
+    from .llmfilters import _REP_CTES, _TOKS_CTE
+
+    return f"WITH {_TOKS_CTE},\n{_REP_CTES}\nSELECT * FROM rep"
+
+
+@query("streaming_hygiene_live", oracle=_hygiene_oracle())
+def streaming_hygiene_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hygiene-at-ingest: the repetition filter applied to a LIVE
+    document stream — readStream(parquet) -> stateless per-row metrics
+    -> availableNow -> memory sink.
+
+    Because every repetition metric depends on one document only, the
+    streaming formulation is a pure projection over per-row arrays
+    (llmfilters.repetition_metrics_row_local): append output mode, no
+    state store, no watermark — the filter runs at ingest wire speed
+    with zero streaming state at any scale. Gated against the SAME
+    oracle as the batch text_repetition_filter (whose engine side is a
+    groupBy), so one hash-match proves batch formulation == streaming
+    formulation == oracle.
+    """
+    from ..streaming import read_table_stream, run_available_now
+    from .llmfilters import repetition_metrics_row_local
+
+    docs = read_table_stream(spark, sf_dir, "documents")
+    out = repetition_metrics_row_local(docs)
+    return run_available_now(out, spark, output_mode="append")

@@ -62,6 +62,30 @@ def read_events_stream(
     return _normalize_events(_normalize_ntz(raw))
 
 
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Stream-scan any fixture table (schema pinned from the batch
+    read), with the same single-file-vs-directory layout handling as
+    read_events_stream — the generic ingest source for streaming
+    pipeline stages (e.g. hygiene-at-ingest over `documents`)."""
+    from ..sources.readers import _normalize_ntz
+
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(hpath).isDirectory():
+        src = path
+    else:
+        reader = reader.option("pathGlobFilter", f"{name}.parquet")
+        src = sf_dir
+    return _normalize_ntz(reader.parquet(src))
+
+
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """1-hour tumbling windows with a watermark: state for a window is
     dropped once the watermark passes its end — bounded memory at any
