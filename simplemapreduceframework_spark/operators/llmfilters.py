@@ -29,6 +29,8 @@ detection/redaction operator on it.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -486,3 +488,82 @@ def repetition_metrics_row_local(docs: DataFrame) -> DataFrame:
             & (bf <= _REP_MAX_TOP_BIGRAM_FRAC)
         ).alias("keep"),
     )
+
+
+def decontaminate_row_local(
+    docs: DataFrame, bench_grams: set[str]
+) -> DataFrame:
+    """The contamination check as a STATELESS per-row operator: each
+    document's distinct 5-grams are counted against a broadcast
+    benchmark gram set inside an Arrow-batched pandas UDF — no join, no
+    aggregation state, append-mode streamable.
+
+    This is the shape a real ingest pipeline uses (the eval set is
+    tiny and static next to the stream; ship it to every executor
+    once). Same output columns and membership semantics as
+    text_decontaminate's inverted-index join, so both formulations
+    gate against one oracle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n = _DECON_NGRAM
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(frozenset(bench_grams))
+
+    @pandas_udf("bigint")
+    def shared_count(grams: pd.Series) -> pd.Series:
+        bench = bc.value
+        if len(grams) == 0:
+            return pd.Series([], dtype="int64")
+        return grams.map(
+            lambda gs: sum(1 for g in gs if g in bench) if gs is not None else 0
+        ).astype("int64")
+
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    toks = train.select(
+        "doc_id", tokens_regex(F.lower(F.col("text"))).alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= n,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}), "
+                    f"i -> array_join(slice(t, i, {n}), ' '))"
+                )
+            ),
+        )
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+        .alias("gs"),
+    )
+    return grams.select(
+        "doc_id",
+        shared_count("gs").alias("n_shared"),
+        (shared_count("gs") > 0).alias("contaminated"),
+    )
+
+
+def benchmark_gram_set(spark: SparkSession, sf_dir: str) -> set[str]:
+    """The benchmark's distinct n-gram set, collected once — the static
+    index decontaminate_row_local broadcasts. At scale this collect is
+    bounded by the EVAL corpus (thousands of docs), not the training
+    stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = _DECON_NGRAM
+    toks = docs.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+        tokens_regex(F.lower(F.col("text"))).alias("t")
+    )
+    g = (
+        toks.filter(F.size("t") >= n)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}), "
+                    f"i -> array_join(slice(t, i, {n}), ' '))"
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+    return {r["g"] for r in g.collect()}

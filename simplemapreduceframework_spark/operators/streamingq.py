@@ -359,3 +359,41 @@ def streaming_hygiene_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_stream(spark, sf_dir, "documents")
     out = repetition_metrics_row_local(docs)
     return run_available_now(out, spark, output_mode="append")
+
+
+def _decon_oracle() -> str:
+    from .llmfilters import _DECON_CTES, _DECON_MOD, _TOKS_CTE
+
+    return rf"""
+WITH {_TOKS_CTE},
+{_DECON_CTES}
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {_DECON_MOD} <> 0
+"""
+
+
+@query("streaming_decontaminate_live", oracle=_decon_oracle())
+def streaming_decontaminate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at ingest: a LIVE document stream checked
+    against the static benchmark gram set — readStream(parquet) ->
+    broadcast-set membership in an Arrow-batched pandas UDF ->
+    availableNow -> memory sink.
+
+    The benchmark index is collected once from the static eval split
+    and broadcast (bounded by the eval corpus, not the stream); each
+    streamed document then answers its own contamination question
+    row-locally — append mode, zero streaming state. Gated against the
+    SAME oracle as the batch text_decontaminate (an inverted-index
+    join), so one hash-match proves join formulation == broadcast-set
+    formulation == oracle.
+    """
+    from ..streaming import read_table_stream, run_available_now
+    from .llmfilters import benchmark_gram_set, decontaminate_row_local
+
+    bench = benchmark_gram_set(spark, sf_dir)
+    docs = read_table_stream(spark, sf_dir, "documents")
+    out = decontaminate_row_local(docs, bench)
+    return run_available_now(out, spark, output_mode="append")
