@@ -119,3 +119,62 @@ def test_decontaminate_self_overlap_detected(spark, tmp_path):
     assert rows[1]["contaminated"] and rows[1]["n_shared"] >= 1
     assert not rows[2]["contaminated"]
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_pii_patterns_property(spark):
+    """Property: for arbitrary generated PII-bearing strings, redaction
+    removes every match of every pattern (no partial redactions, no
+    pattern survives)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simplemapreduceframework_spark.operators.llmfilters import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    words = st.lists(
+        st.text(alphabet="abcdefgh ", min_size=1, max_size=8), max_size=4
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        words,
+        st.integers(0, 10**6),
+        st.integers(0, 255),
+        st.integers(0, 255),
+    )
+    def check(ws, k, a, b):
+        txt = (
+            " ".join(ws)
+            + f" user{k}@test.org more +1-{k % 1000:03d}-{(k*7) % 1000:03d}-"
+            f"{(k*13) % 10000:04d} end 10.{a}.0.{b} tail"
+        )
+        # pure-Python replication of the engine's chained redaction
+        red = re.sub(_PII_EMAIL, "<EMAIL>", txt)
+        red = re.sub(_PII_IP, "<IP>", red)
+        red = re.sub(_PII_PHONE, "<PHONE>", red)
+        assert not re.search(_PII_EMAIL, red.replace("<EMAIL>", " "))
+        assert not re.search(_PII_IP, red.replace("<IP>", " "))
+        assert not re.search(_PII_PHONE, red.replace("<PHONE>", " "))
+        assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+
+    check()
+
+
+def test_repetition_row_local_equals_groupby_formulation(spark, sf_dir):
+    """The streaming (row-local array) and batch (groupBy) formulations
+    of the repetition metrics must agree row-for-row on the corpus."""
+    from simplemapreduceframework_spark.operators.llmfilters import (
+        repetition_metrics_row_local,
+        text_repetition_filter,
+    )
+    from simplemapreduceframework_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r.asDict() for r in repetition_metrics_row_local(docs).collect()}
+    b = {r["doc_id"]: r.asDict() for r in text_repetition_filter(spark, sf_dir).collect()}
+    assert a == b
