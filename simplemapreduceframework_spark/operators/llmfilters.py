@@ -573,3 +573,67 @@ def benchmark_gram_set(spark: SparkSession, sf_dir: str) -> set[str]:
         .distinct()
     )
     return {r["g"] for r in g.collect()}
+
+
+# Chunking parameters: 50-token windows with 10-token overlap (stride
+# 40) — the standard pre-embedding / context-packing split.
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40
+
+
+@query(
+    "text_chunk",
+    oracle=rf"""
+WITH {_TOKS_CTE},
+base AS (
+    SELECT doc_id, t, LEN(t) AS n,
+           CASE WHEN LEN(t) <= {_CHUNK_SIZE} THEN 1
+                ELSE (LEN(t) - {_CHUNK_SIZE - _CHUNK_STRIDE + 1}) // {_CHUNK_STRIDE} + 1
+           END AS n_chunks
+    FROM toks WHERE LEN(t) >= 1
+)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       array_to_string(t[1 + cid*{_CHUNK_STRIDE} : cid*{_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ') AS chunk_text,
+       CAST(LEN(t[1 + cid*{_CHUNK_STRIDE} : cid*{_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens
+FROM (SELECT doc_id, t, UNNEST(range(0, n_chunks)) AS cid FROM base)
+""",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunking — the document-splitting
+    step before embedding / context packing: 50-token windows with a
+    10-token overlap so no boundary-spanning phrase is lost; the final
+    chunk absorbs the remainder.
+
+    Chunk count is pure integer arithmetic (1 + ceil((n - size) /
+    stride) via floor division, identical both engines), and each
+    chunk is a row-local array slice — scan -> project -> explode, no
+    shuffle at any scale. Every token appears in at least one chunk;
+    consecutive chunks share exactly size - stride tokens (except the
+    clipped last).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    toks = docs.select(
+        "doc_id", tokens_regex(F.lower(F.col("text"))).alias("t")
+    ).filter(F.col("t").isNotNull() & (F.size("t") >= 1))
+    base = toks.withColumn(
+        "n_chunks",
+        F.when(F.size("t") <= size, F.lit(1)).otherwise(
+            F.expr(f"(size(t) - {size - stride + 1}) div {stride} + 1")
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_chunks - 1), "
+                f"cid -> slice(t, 1 + cid * {stride}, {size}))"
+            )
+        ).alias("chunk_id", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+        F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+    )

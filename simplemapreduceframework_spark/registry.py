@@ -74,6 +74,7 @@ CHECK_PRIORITY: list[str] = [
     "ann_quantized_gate",  # new: recall gate over int8-reconstructed search
     "streaming_hygiene_live",  # new: stateless hygiene filter on a live stream
     "streaming_decontaminate_live",  # new: broadcast-set decontamination at ingest
+    "text_chunk",  # new: overlapping token chunking
     "multimodal_decode_real",  # new: stdlib BMP/PPM decode roundtrip
     "ann_ivf_indexed_gate",  # new: persisted-index lifecycle gate
     "dedup_ngram_jaccard",  # bucket cap added to engine + oracle
@@ -119,7 +120,6 @@ CHECK_PRIORITY: list[str] = [
     "q26_sql_api",
     "q27_promo_revenue",
     "q28_hierarchical_rollup",
-    "stats_exact_moments",
 ]
 
 
