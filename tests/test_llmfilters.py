@@ -178,3 +178,41 @@ def test_repetition_row_local_equals_groupby_formulation(spark, sf_dir):
     a = {r["doc_id"]: r.asDict() for r in repetition_metrics_row_local(docs).collect()}
     b = {r["doc_id"]: r.asDict() for r in text_repetition_filter(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_text_chunk_covers_every_token_with_correct_overlap(spark, sf_dir):
+    """Chunking invariants: concatenating each chunk's non-overlap
+    prefix plus the final chunk reconstructs the full token stream, and
+    consecutive chunks share exactly size - stride tokens (except the
+    clipped last chunk)."""
+    from simplemapreduceframework_spark.operators.llmfilters import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+    from simplemapreduceframework_spark.sources import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"]
+    }
+    chunks: dict[int, list[tuple[int, str]]] = {}
+    for r in Q["text_chunk"](spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    import re
+
+    for doc_id, text in docs.items():
+        toks = re.findall(r"\w+", text.lower())
+        if not toks:
+            assert doc_id not in chunks
+            continue
+        got = [c for _, c in sorted(chunks[doc_id])]
+        rebuilt: list[str] = []
+        for i, c in enumerate(got):
+            ctoks = c.split(" ")
+            if i < len(got) - 1:
+                assert len(ctoks) == _CHUNK_SIZE
+                rebuilt.extend(ctoks[:_CHUNK_STRIDE])
+            else:
+                rebuilt.extend(ctoks)
+        assert rebuilt == toks, doc_id
