@@ -770,29 +770,33 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_winnow_fingerprints) is an inverted index; boilerplate
     fingerprints shared by > _WINNOW_BUCKET_CAP docs are dropped before
     pairing (bounded explode, same discipline as the n-gram Jaccard
-    cap), so the fp self-join emits at most cap^2/2 pairs per
-    fingerprint — a bucketed equi-join, never all-pairs. The overlap
-    ratio divides identical integers -> bit-exact vs the oracle, whose
-    fps CTE is the same string the text_winnow_fingerprints oracle is
-    built from.
+    cap), bounding per-fingerprint pair fan-out at cap^2/2 however hot
+    the fingerprint. Pair generation groups doc ids per fingerprint and
+    explodes ordered pairs from each bucket — ONE shuffle of the
+    fingerprint index instead of a self-join's two shuffled copies
+    (the same formulation as dedup_ngram_jaccard; the oracle keeps the
+    equivalent self-join, the pair multiset is identical). Size
+    denominators count ALL capped fingerprints (singletons included,
+    exactly like the oracle's f). The overlap ratio divides identical
+    integers -> bit-exact vs the oracle, whose fps CTE is the same
+    string the text_winnow_fingerprints oracle is built from.
     """
     from .textanalysis import text_winnow_fingerprints
 
     fps = text_winnow_fingerprints(spark, sf_dir)
-    bucket_ok = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .filter(F.col("bn") <= _WINNOW_BUCKET_CAP)
-        .select("fp")
+    buckets = fps.groupBy("fp").agg(F.collect_list("doc_id").alias("ds"))
+    capped = buckets.filter(F.size("ds") <= _WINNOW_BUCKET_CAP)
+    sizes = (
+        capped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    f = fps.join(bucket_ok, "fp")
-    sizes = f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = f.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = f.select(F.col("doc_id").alias("doc_b"), "fp")
     pairs = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        capped.filter(F.size("ds") > 1)
+        .select("ds", F.explode("ds").alias("a"))
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
