@@ -223,6 +223,12 @@ def main() -> None:
                 ),
                 "n_queries": len(timings),
                 "runs_per_query": 3,
+                # r5 policy change: the timed window now includes
+                # DataFrame construction (eager driver-side work some
+                # queries do while building), so r5+ numbers are not
+                # directly comparable to r1-r4, which timed execution
+                # only.
+                "includes_construction": True,
                 "cold_seconds": round(sum(cold.values()), 3),
                 "median_seconds": round(sum(medians.values()), 3),
             }
