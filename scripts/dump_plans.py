@@ -128,6 +128,19 @@ SHOWCASE = [
         "reconstruction error inside one projection) — zero exchanges; "
         "compressing a 100 TB vector corpus is a pure map.",
     ),
+    (
+        "dedup_winnow",
+        "Passage-level near-dup via winnowing fingerprints: capped "
+        "inverted-index buckets explode ordered pairs in ONE shuffle "
+        "(no self-join); per-fingerprint fan-out bounded at cap^2/2 "
+        "however hot the boilerplate.",
+    ),
+    (
+        "text_chunk",
+        "Overlapping token chunking is scan -> project -> explode: "
+        "chunk counts are integer arithmetic, each chunk a row-local "
+        "array slice — no shuffle at any scale.",
+    ),
 ]
 
 
