@@ -98,9 +98,9 @@ def _parse_bmp(b: bytes) -> tuple[int, int]:
 
 
 def _parse_ppm(b: bytes) -> tuple[int, int]:
-    """Width/height from a PPM (P6 binary / P3 ASCII) header: the two
-    whitespace-separated integers after the magic, with '#' comments
-    allowed anywhere in the header per the netpbm spec."""
+    """Width/height from a netpbm (P6/P3 PPM, P5/P2 PGM) header: the
+    two whitespace-separated integers after the magic, with '#'
+    comments allowed anywhere in the header per the netpbm spec."""
     pos, vals = 2, []
     while len(vals) < 2:
         while pos < len(b) and b[pos : pos + 1].isspace():
@@ -116,13 +116,52 @@ def _parse_ppm(b: bytes) -> tuple[int, int]:
     return vals[0], vals[1]
 
 
+def _parse_png(b: bytes) -> tuple[int, int]:
+    """Width/height from a PNG's IHDR chunk: big-endian u32 pair at
+    offsets 16/20 (8-byte signature + 4-byte length + 'IHDR')."""
+    import struct
+
+    return struct.unpack_from(">II", b, 16)
+
+
+def _parse_gif(b: bytes) -> tuple[int, int]:
+    """Width/height from a GIF's logical screen descriptor:
+    little-endian u16 pair right after the 6-byte version magic."""
+    import struct
+
+    return struct.unpack_from("<HH", b, 6)
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int]:
+    """Width/height from a JPEG's first SOF marker (C0-CF excluding
+    C4/C8/CC): scan segments from SOI, big-endian u16 height/width at
+    segment offsets +5/+7 — the standard stdlib-only dimension walk."""
+    import struct
+
+    pos = 2  # past SOI
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", b, pos + 2)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", b, pos + 5)
+            return w, h
+        pos += 2 + seglen
+    raise ValueError("no SOF marker found")
+
+
 def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """REAL codec decode for the formats a pure-stdlib header parse can
-    handle — BMP and PPM — exercising the exact mapInPandas plumbing a
-    PIL/ffmpeg decoder would use (binary in, typed features out,
-    row-local, no shuffle). Formats needing real media libraries
-    (JPEG/PNG/audio/video) raise NotImplementedError: that is the
-    documented integration point where a cluster image adds PIL."""
+    """REAL codec decode for every format a pure-stdlib header parse
+    can handle — BMP, netpbm (PPM/PGM), PNG, GIF, and JPEG dimension
+    markers — exercising the exact mapInPandas plumbing a PIL/ffmpeg
+    decoder would use (binary in, typed features out, row-local, no
+    shuffle). Full pixel decode and audio/video formats raise
+    NotImplementedError: that is the documented integration point
+    where a cluster image adds PIL/ffmpeg."""
     for pdf in batches:
         out = {"doc_id": [], "n_bytes": [], "width": [], "height": [], "format": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -141,10 +180,23 @@ def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif b[:2] in (b"P6", b"P3"):
                     w, h = _parse_ppm(b)
                     fmt = "ppm"
+                elif b[:2] in (b"P5", b"P2"):
+                    w, h = _parse_ppm(b)
+                    fmt = "pgm"
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h = _parse_png(b)
+                    fmt = "png"
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h = _parse_gif(b)
+                    fmt = "gif"
+                elif b[:2] == b"\xff\xd8":
+                    w, h = _parse_jpeg(b)
+                    fmt = "jpeg"
                 else:
                     raise NotImplementedError(
-                        f"unsupported codec (magic {b[:2]!r}): JPEG/PNG/audio "
-                        "decode requires PIL/ffmpeg — not available here"
+                        f"unsupported codec (magic {b[:2]!r}): full pixel "
+                        "decode and audio/video require PIL/ffmpeg — not "
+                        "available here"
                     )
             except NotImplementedError:
                 raise
@@ -192,19 +244,54 @@ def make_ppm(width: int, height: int, fill: int = 0) -> bytes:
     )
 
 
+def make_pgm(width: int, height: int, fill: int = 0) -> bytes:
+    """A valid binary (P5) PGM: ASCII header + raw 8-bit grayscale."""
+    return f"P5\n{width} {height}\n255\n".encode() + bytes([fill % 256]) * (
+        width * height
+    )
+
+
+def make_png(width: int, height: int, fill: int = 0) -> bytes:
+    """A REAL, viewer-decodable 8-bit RGB PNG, pure stdlib: signature +
+    IHDR + one IDAT holding the filtered scanlines as a STORED-deflate
+    zlib stream (compress level 0) + IEND, CRCs via zlib.crc32.
+
+    Level-0 deflate keeps the file size a closed formula — for
+    scanline bytes L = height * (3*width + 1) < 65535 the zlib stream
+    is exactly L + 11 bytes, so total = 68 + L — which is what lets
+    the DuckDB oracle recompute n_bytes from doc_id alone."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = (b"\x00" + bytes([fill % 256]) * (3 * width)) * height
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 0))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_sample_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic media synthesis (mapInPandas body): each doc gets a
-    REAL image file — BMP for even doc_ids, binary PPM for odd — with
-    dimensions derived from doc_id, so the decode stage downstream
+    REAL image file — BMP / PPM / PNG / PGM cycling on doc_id % 4 —
+    with dimensions derived from doc_id, so the decode stage downstream
     parses genuine headers and the oracle can recompute every feature
     from doc_id alone."""
+    makers = [make_bmp, make_ppm, make_png, make_pgm]
     for pdf in batches:
         ids = pdf["doc_id"]
         payloads = [
-            make_bmp(1 + d % 64, 1 + d % 48, d)
-            if d % 2 == 0
-            else make_ppm(1 + d % 64, 1 + d % 48, d)
-            for d in ids
+            makers[d % 4](1 + d % 64, 1 + d % 48, d) for d in ids
         ]
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
@@ -322,26 +409,31 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_real",
     oracle="""
 SELECT doc_id,
-       CAST(CASE WHEN doc_id % 2 = 0
-            THEN 54 + ((3 * w + 3) // 4) * 4 * h
-            ELSE 9 + LENGTH(CAST(w AS VARCHAR)) + LENGTH(CAST(h AS VARCHAR)) + 3 * w * h
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+            WHEN 1 THEN 9 + LENGTH(CAST(w AS VARCHAR)) + LENGTH(CAST(h AS VARCHAR)) + 3 * w * h
+            WHEN 2 THEN 68 + h * (3 * w + 1)
+            ELSE 9 + LENGTH(CAST(w AS VARCHAR)) + LENGTH(CAST(h AS VARCHAR)) + w * h
        END AS BIGINT) AS n_bytes,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
-       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            WHEN 2 THEN 'png' ELSE 'pgm' END AS format
 FROM (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h FROM documents)
 """,
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec decode end-to-end: synthesize a genuine image file
-    per doc (BMP even / PPM odd, dimensions derived from doc_id), then
-    parse the actual headers back with the stdlib decoder. The oracle
-    recomputes byte size (incl. BMP 4-byte row padding and the PPM
-    ASCII header length) and dimensions from doc_id alone, so the whole
-    encode->decode roundtrip is hash-gated. Both stages are chained
-    row-local mapInPandas — one scan, no shuffle, payloads never leave
-    their partition. JPEG/audio stay behind the NotImplementedError
-    gate in decode_real."""
+    per doc (BMP / PPM / PNG / PGM cycling on doc_id % 4, dimensions
+    derived from doc_id), then parse the actual headers back with the
+    stdlib decoder. The oracle recomputes byte size (BMP 4-byte row
+    padding, netpbm ASCII header lengths, PNG's closed-form
+    stored-deflate size 68 + h*(3w+1)) and dimensions from doc_id
+    alone, so the whole encode->decode roundtrip is hash-gated. Both
+    stages are chained row-local mapInPandas — one scan, no shuffle,
+    payloads never leave their partition. GIF/JPEG dimensions decode
+    too (unit-tested); full pixel decode and audio stay behind the
+    NotImplementedError gate in decode_real."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_media, "doc_id bigint, payload binary"

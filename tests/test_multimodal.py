@@ -154,17 +154,78 @@ def test_decode_real_topdown_bmp_and_commented_ppm():
 
 
 def test_decode_real_rejects_unsupported_codecs():
-    """JPEG (and anything else needing real media libs) must fail loud
-    at the documented integration point, not silently fake features."""
+    """Audio (and anything else needing real media libs) must fail loud
+    at the documented integration point, not silently fake features;
+    a malformed JPEG fails identified, not with a raw struct error."""
     import pandas as pd
     import pytest
 
     from simplemapreduceframework_spark.operators.multimodal import decode_real
 
-    jpeg = b"\xff\xd8\xff\xe0" + bytes(32)
-    pdf = pd.DataFrame({"doc_id": [0], "payload": [jpeg]})
+    wav = b"RIFF" + bytes(8) + b"WAVE" + bytes(32)
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [wav]})
     with pytest.raises(NotImplementedError):
         list(decode_real(iter([pdf])))
+
+    truncated_jpeg = b"\xff\xd8\xff\xe0" + bytes(32)  # APP0 len 0, no SOF
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [truncated_jpeg]})
+    with pytest.raises(ValueError, match="malformed"):
+        list(decode_real(iter([pdf])))
+
+
+def test_decode_real_parses_gif_and_jpeg_headers():
+    """GIF logical-screen and JPEG SOF dimension markers decode with
+    the stdlib walk (crafted minimal-but-valid headers)."""
+    import struct
+
+    import pandas as pd
+
+    from simplemapreduceframework_spark.operators.multimodal import decode_real
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0, 0, 0]) + b";"
+    # SOI + APP0(JFIF, len 16) + SOF0 (len 17, 3 components) + EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", 240, 360)  # height, width
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    pdf = pd.DataFrame({"doc_id": [0, 1], "payload": [gif, jpeg]})
+    [out] = list(decode_real(iter([pdf])))
+    rows = {int(r.doc_id): r for r in out.itertuples()}
+    assert (rows[0].width, rows[0].height, rows[0].format) == (320, 200, "gif")
+    assert (rows[1].width, rows[1].height, rows[1].format) == (360, 240, "jpeg")
+
+
+def test_png_maker_is_real_png():
+    """make_png emits a spec-valid PNG: correct signature, IHDR
+    dimensions, CRCs, and a zlib stream that decompresses to the
+    filtered scanlines — and its size matches the closed formula the
+    oracle uses (68 + h*(3w+1))."""
+    import struct
+    import zlib
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _parse_png,
+        make_png,
+    )
+
+    w, h = 13, 7
+    b = make_png(w, h, fill=42)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    assert _parse_png(b) == (w, h)
+    assert len(b) == 68 + h * (3 * w + 1)
+    # IHDR CRC check
+    ihdr_data = b[12:29]  # 'IHDR' + 13 bytes
+    assert struct.unpack(">I", b[29:33])[0] == zlib.crc32(ihdr_data) & 0xFFFFFFFF
+    # IDAT decompresses to h scanlines of (filter byte + 3w pixels)
+    idat_len = struct.unpack(">I", b[33:37])[0]
+    raw = zlib.decompress(b[41 : 41 + idat_len])
+    assert len(raw) == h * (3 * w + 1)
+    assert raw[0] == 0 and raw[1] == 42
 
 
 def test_codec_roundtrip_property():
