@@ -285,6 +285,10 @@ def test_operators_on_empty_tables(spark, tmp_path):
         "pipeline_hygiene",
         "dedup_winnow",
         "embedding_quantize",
+        # a 0-file/0-row stream must yield an empty result, not hang
+        # or silently stream the wrong path (the round-5 layout-probe
+        # regression class)
+        "streaming_hygiene_live",
     ]:
         rows = registry.QUERIES[name](spark, empty_dir).collect()
         assert rows == [], (name, rows[:3])
