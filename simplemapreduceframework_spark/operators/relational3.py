@@ -266,3 +266,42 @@ def q37_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q37_SQL)
+
+
+# TPC-H Q19 shape: a disjunction of per-branch conjunctions mixing
+# fact and dimension predicates — the classic test that the optimizer
+# (a) pushes the dimension-only parts of the OR into the part scan,
+# (b) derives the relaxed fact-side bound for the lineitem scan, and
+# (c) still broadcasts the dimension. Same SQL text in both engines;
+# money arithmetic all-decimal per the numeric policy.
+_Q38_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 5 AND 25)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 40 AND l_quantity >= 20)
+GROUP BY p_brand
+"""
+
+
+@query("q38_disjunctive_predicate", oracle=_Q38_SQL)
+def q38_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive mixed-table predicate (TPC-H Q19 shape): three OR'd
+    branches, each a conjunction over both join sides. Catalyst
+    factors the disjunction per table and pushes the RELAXED OR into
+    BOTH parquet scans (the l_quantity branch-bounds reach lineitem,
+    the brand/size branches reach part — asserted in test_plans), then
+    applies the exact mixed predicate after the broadcast join. At
+    100 TB that scan-level OR is the difference between reading three
+    brands' row groups and reading the table: one pass over lineitem,
+    one broadcast, one partial/final agg. Identical SQL text runs on
+    both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q38_SQL)

@@ -75,6 +75,7 @@ CHECK_PRIORITY: list[str] = [
     "streaming_hygiene_live",  # new: stateless hygiene filter on a live stream
     "streaming_decontaminate_live",  # new: broadcast-set decontamination at ingest
     "text_chunk",  # new: overlapping token chunking
+    "q38_disjunctive_predicate",  # new: Q19-shape OR pushdown
     "multimodal_decode_real",  # new: stdlib BMP/PPM decode roundtrip
     "ann_ivf_indexed_gate",  # new: persisted-index lifecycle gate
     "dedup_ngram_jaccard",  # bucket cap added to engine + oracle
@@ -119,7 +120,6 @@ CHECK_PRIORITY: list[str] = [
     "q25_array_agg",
     "q26_sql_api",
     "q27_promo_revenue",
-    "q28_hierarchical_rollup",
 ]
 
 

@@ -166,3 +166,20 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
         f"plan fingerprints grew: {grew} — if intentional, regenerate "
         "tests/PLAN_BASELINE.json via scripts/gen_plan_baseline.py"
     )
+
+
+def test_disjunctive_predicate_pushes_or_to_both_scans(spark, sf_dir):
+    """TPC-H Q19 shape: the per-table relaxation of the OR-of-ANDs
+    must reach BOTH parquet scans as a pushed Or(...) filter, and the
+    dimension side must still broadcast."""
+    from simplemapreduceframework_spark.plans import (
+        explain_str,
+        has_broadcast_hash_join,
+        pushed_filters,
+    )
+
+    df = Q["q38_disjunctive_predicate"](spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "Or(" in filters and "l_quantity" in filters, filters
+    assert "p_brand" in filters or "p_size" in filters, filters
+    assert has_broadcast_hash_join(df), explain_str(df)
