@@ -544,9 +544,11 @@ def decontaminate_row_local(
         .alias("gs"),
     )
     return grams.select(
+        "doc_id", shared_count("gs").alias("n_shared")
+    ).select(
         "doc_id",
-        shared_count("gs").alias("n_shared"),
-        (shared_count("gs") > 0).alias("contaminated"),
+        "n_shared",
+        (F.col("n_shared") > 0).alias("contaminated"),
     )
 
 
