@@ -183,3 +183,30 @@ def test_disjunctive_predicate_pushes_or_to_both_scans(spark, sf_dir):
     assert "Or(" in filters and "l_quantity" in filters, filters
     assert "p_brand" in filters or "p_size" in filters, filters
     assert has_broadcast_hash_join(df), explain_str(df)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Runtime partition pruning: a fact table partitioned on the join
+    key, joined to a filtered dimension, must plan a dynamicpruning
+    subquery on the fact scan — at 100 TB this is what turns "scan the
+    table" into "scan the partitions the dimension selects"."""
+    from pyspark.sql import functions as F
+
+    from simplemapreduceframework_spark.sources import load_table
+
+    path = str(tmp_path / "events_part")
+    load_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type"
+    ).mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("error", 2)], "event_type string, pri int"
+    )
+    q = (
+        fact.join(dim, "event_type")
+        .filter(F.col("pri") == 1)
+        .groupBy("event_type")
+        .count()
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
