@@ -305,3 +305,70 @@ def q38_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q38_SQL)
+
+
+@query(
+    "events_outlier_zscore",
+    oracle="""
+WITH stats AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+           SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx
+    FROM events GROUP BY event_type
+),
+m AS (
+    SELECT event_type,
+           CAST(sv AS DOUBLE) / n AS mean,
+           sqrt(CAST(sxx AS DOUBLE) / n
+                - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) AS sd
+    FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.mean) / m.sd AS z,
+       ABS((e.value - m.mean) / m.sd) > 3.0 AS is_outlier
+FROM events e JOIN m ON m.event_type = e.event_type
+""",
+)
+def events_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier detection: each event's z-score against its
+    event_type's population mean/stddev, with a |z| > 3 flag — the
+    monitoring pass a pipeline runs over metrics at ingest.
+
+    Numeric policy: the moment sums are DECIMAL (order-independent,
+    engine-exact); mean/variance/stddev then derive in doubles through
+    identical expression trees, so every z and every boolean matches
+    DuckDB bit-for-bit. Shape at scale: one partial-aggregated groupBy
+    collapses the fact table to a per-type stats row (constant state),
+    which broadcasts back onto the fact scan — no window over hot
+    type-partitions, no second shuffle; the fact table is scanned, not
+    shuffled.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("sv"),
+        F.sum(dec * dec).alias("sxx"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    m = stats.select(
+        "event_type",
+        mean.alias("mean"),
+        F.sqrt(F.col("sxx").cast("double") / F.col("n") - mean * mean).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("z"),
+            (F.abs(z) > 3.0).alias("is_outlier"),
+        )
+    )
