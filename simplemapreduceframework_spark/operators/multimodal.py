@@ -143,6 +143,9 @@ def _parse_jpeg(b: bytes) -> tuple[int, int]:
         if b[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = b[pos + 1]
+        if marker == 0xFF:  # spec-legal fill byte (B.1.1.2) before marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

@@ -320,8 +320,9 @@ WITH stats AS (
 m AS (
     SELECT event_type,
            CAST(sv AS DOUBLE) / n AS mean,
-           sqrt(CAST(sxx AS DOUBLE) / n
-                - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) AS sd
+           sqrt(GREATEST(CAST(sxx AS DOUBLE) / n
+                - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n),
+                0.0)) AS sd
     FROM stats
 )
 SELECT e.event_id, e.event_type, e.value,
@@ -356,10 +357,19 @@ def events_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec * dec).alias("sxx"),
     )
     mean = F.col("sv").cast("double") / F.col("n")
+    # clamp at 0: for a degenerate group (single row / constant value)
+    # E[x^2] - mean^2 can cancel to a few ulps below zero, where DuckDB
+    # sqrt raises and Spark returns NaN — GREATEST(..., 0.0) in the
+    # identical position on both sides keeps them bit-equal (sd 0).
     m = stats.select(
         "event_type",
         mean.alias("mean"),
-        F.sqrt(F.col("sxx").cast("double") / F.col("n") - mean * mean).alias("sd"),
+        F.sqrt(
+            F.greatest(
+                F.col("sxx").cast("double") / F.col("n") - mean * mean,
+                F.lit(0.0),
+            )
+        ).alias("sd"),
     )
     z = (F.col("value") - F.col("mean")) / F.col("sd")
     return (

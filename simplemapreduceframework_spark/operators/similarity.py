@@ -953,17 +953,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression trees -> bit-exact across engines; max is
     order-independent. Row-local -> zero shuffles at any scale.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("embedding").isNotNull()).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    m = F.array_max(F.transform("e", lambda x: F.abs(x)))
-    scaled = base.select(
-        "vec_id",
-        "e",
-        F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)).alias("scale"),
-    )
+    scaled = _quantizer_base(spark, sf_dir).withColumnRenamed("e0", "e")
 
     def code(x):
         return F.floor(x / F.col("scale") + F.lit(0.5))
@@ -992,23 +982,30 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANT_RECALL_FLOOR = 0.9
 
 
-def _dequantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, e) with every component reconstructed from its int8
-    code: e_i -> floor(e_i/scale + 0.5) * scale — the EXACT vectors a
-    quantized ANN server scores against (embedding_quantize's codes,
-    decoded)."""
+def _quantizer_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e0, scale) — the ONE definition of the int8 quantizer's
+    inputs (double-cast vector, per-vector scale = max|e|/127 with the
+    zero-vector guard). embedding_quantize and _dequantized both build
+    on this, so the gate always validates the quantizer that ships."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e0"),
     )
     m = F.array_max(F.transform("e0", lambda x: F.abs(x)))
-    scaled = base.select(
+    return base.select(
         "vec_id",
         "e0",
         F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)).alias("scale"),
     )
-    return scaled.select(
+
+
+def _dequantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e) with every component reconstructed from its int8
+    code: e_i -> floor(e_i/scale + 0.5) * scale — the EXACT vectors a
+    quantized ANN server scores against (embedding_quantize's codes,
+    decoded)."""
+    return _quantizer_base(spark, sf_dir).select(
         "vec_id",
         F.transform(
             "e0",

@@ -65,14 +65,18 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
-# Scan-plan cache: (applicationId, dir, table, source mtime) -> the
-# analyzed read DataFrame. spark.read.parquet costs a driver-side file
+# Scan-plan cache: (session, dir, table) -> (source mtime, analyzed
+# read DataFrame). spark.read.parquet costs a driver-side file
 # listing + footer/schema read per call (~100-300 ms against a
 # multi-file layout); a catalog caches that relation metadata exactly
-# once, and so do we. The mtime in the key makes overwrites (tests that
-# rewrite a table in place, driver fixture regeneration) a natural
-# cache miss, so no staleness contract is imposed on callers.
-_TABLE_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
+# once, and so do we. The mtime in the value makes overwrites (tests
+# that rewrite a table in place, driver fixture regeneration) a
+# natural cache miss AND an eviction — one live entry per (session,
+# dir, table), so the cache is bounded by distinct tables touched.
+# DataFrames and temp views are per-SparkSession (newSession() shares
+# an applicationId but not a catalog), so the key is the session
+# identity, not the application id.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[int, DataFrame]] = {}
 
 
 def _source_mtime(path: str) -> int:
@@ -82,6 +86,10 @@ def _source_mtime(path: str) -> int:
         return os.stat(path).st_mtime_ns
     except OSError:
         return -1
+
+
+def _session_key(spark: SparkSession) -> int:
+    return id(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -97,9 +105,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # unchanged) because execution-time formatting depends on it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
-    key = (spark.sparkContext.applicationId, sf_dir, name, _source_mtime(path))
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    key = (_session_key(spark), sf_dir, name)
+    mtime = _source_mtime(path)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     # Read NTZ-annotated parquet as plain TIMESTAMP (see _normalize_ntz);
     # these flags matter at plan-build time only, so they live behind
     # the cache hit.
@@ -109,14 +119,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _normalize_events(_normalize_ntz(spark.read.parquet(path)))
     else:
         df = _normalize_ntz(spark.read.parquet(path))
-    _TABLE_CACHE[key] = df
+    _TABLE_CACHE[key] = (mtime, df)
     return df
 
 
-# Last temp-view registration per application, so repeated spark.sql
-# queries against the same fixture directory skip 10 no-op
+# Last temp-view registration per SparkSession (views live in the
+# session catalog, not the application), so repeated spark.sql queries
+# against the same fixture directory skip 10 no-op
 # createOrReplaceTempView round-trips.
-_VIEWS_REGISTERED: dict[str, tuple[str, tuple[int, ...]]] = {}
+_VIEWS_REGISTERED: dict[int, tuple[str, tuple[int, ...]]] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -125,12 +136,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         sf_dir,
         tuple(_source_mtime(f"{sf_dir}/{t}.parquet") for t in TABLES),
     )
-    app = spark.sparkContext.applicationId
-    if _VIEWS_REGISTERED.get(app) == stamp:
+    skey = _session_key(spark)
+    if _VIEWS_REGISTERED.get(skey) == stamp:
         return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    _VIEWS_REGISTERED[app] = stamp
+    _VIEWS_REGISTERED[skey] = stamp
 
 
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:

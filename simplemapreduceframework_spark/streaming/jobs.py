@@ -31,14 +31,35 @@ def read_events_stream(
     static fixture in one batch — one state-store commit cycle instead
     of one per file, which is the fast shape for the batch-equivalence
     harness and exactly what a backfill run would use."""
-    from ..sources.readers import _normalize_events, _normalize_ntz
+    from ..sources.readers import _normalize_events
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_events(
+        read_table_stream(
+            spark, sf_dir, "events", max_files_per_trigger=max_files_per_trigger
+        )
+    )
+
+
+def read_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-scan any fixture table (schema pinned from the batch
+    read) — the generic ingest source for streaming pipeline stages
+    (events, hygiene-at-ingest over `documents`). This is the ONE copy
+    of the single-file-vs-directory layout handling; read_events_stream
+    delegates here so the 0-row-glob regression class has a single fix
+    point."""
+    from ..sources.readers import _normalize_ntz
+
     # NTZ-annotated parquet must surface as plain TIMESTAMP: watermarks
     # reject TIMESTAMP_NTZ event-time columns (and the batch twins read
     # the same way via load_table).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{name}.parquet"
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     # Layout detection through the Hadoop FS (not os.path): sf_dir may
@@ -54,35 +75,10 @@ def read_events_stream(
     else:
         # Single-file fixture: the file-stream source lists a
         # directory, so list sf_dir and glob just this table's file.
-        reader = reader.option("pathGlobFilter", "events.parquet")
+        reader = reader.option("pathGlobFilter", f"{name}.parquet")
         src = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(src)
-    return _normalize_events(_normalize_ntz(raw))
-
-
-def read_table_stream(
-    spark: SparkSession, sf_dir: str, name: str
-) -> DataFrame:
-    """Stream-scan any fixture table (schema pinned from the batch
-    read), with the same single-file-vs-directory layout handling as
-    read_events_stream — the generic ingest source for streaming
-    pipeline stages (e.g. hygiene-at-ingest over `documents`)."""
-    from ..sources.readers import _normalize_ntz
-
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = f"{sf_dir}/{name}.parquet"
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.getFileStatus(hpath).isDirectory():
-        src = path
-    else:
-        reader = reader.option("pathGlobFilter", f"{name}.parquet")
-        src = sf_dir
     return _normalize_ntz(reader.parquet(src))
 
 
