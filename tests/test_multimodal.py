@@ -295,3 +295,27 @@ def test_decode_real_null_payload_yields_null_features():
     [out] = list(decode_real(iter([bmp_and_null])))
     assert out["width"].isna().tolist() == [True, False]
     assert out["format"].tolist()[1] == "bmp"
+
+
+def test_jpeg_parser_skips_fill_bytes():
+    """Spec-legal 0xFF padding between segments (JPEG B.1.1.2) must not
+    derail the SOF dimension walk."""
+    import struct
+
+    import pandas as pd
+
+    from simplemapreduceframework_spark.operators.multimodal import decode_real
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", 120, 160)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    jpeg = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [jpeg]})
+    [out] = list(decode_real(iter([pdf])))
+    r = next(out.itertuples())
+    assert (r.width, r.height, r.format) == (160, 120, "jpeg")

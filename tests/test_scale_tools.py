@@ -395,3 +395,21 @@ def test_operators_with_null_embedding_rows(spark, tmp_path):
         assert registry.QUERIES["ann_ivf_topk"](spark, nd).count() > 0
     finally:
         con.close()
+
+
+def test_new_session_gets_its_own_views_and_scans(spark):
+    """Temp views and analyzed scans are per-SparkSession: a sibling
+    session from newSession() (same applicationId, separate catalog)
+    must get real registrations, not a skipped stamp or a cached
+    DataFrame bound to the other session."""
+    from simplemapreduceframework_spark.sources import load_table, register_views
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    assert spark.sql("SELECT COUNT(*) FROM nation").collect()[0][0] > 0
+    # sibling shares the SparkContext — do not stop() it
+    sib = spark.newSession()
+    register_views(sib, sf)
+    assert sib.sql("SELECT COUNT(*) FROM nation").collect()[0][0] > 0
+    df = load_table(sib, sf, "nation")
+    assert df.sparkSession is sib
