@@ -523,12 +523,39 @@ def ann_search_ivf(
     )
 
 
+def _with_int8_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, q, scale, e) — int8 codes + per-vector scale (the ONE
+    quantizer definition, see _quantizer_base/embedding_quantize) plus
+    the dequantized vectors, from a (vec_id, e) float frame. Index
+    geometry (norms, centroids, assignment) is computed over the
+    DEQUANTIZED vectors so searches score exactly what is stored."""
+    m = F.array_max(F.transform("e", lambda x: F.abs(x.cast("double"))))
+    scaled = emb.select(
+        "vec_id",
+        F.transform("e", lambda x: x.cast("double")).alias("e0"),
+        F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)).alias("scale"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.transform(
+            "e0", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+        ).alias("q"),
+        "scale",
+        F.transform(
+            "e0",
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("double")
+            * F.col("scale"),
+        ).alias("e"),
+    )
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
     cells: int | None = None,
     iters: int = _IVF_ITERS,
     train_cap: int = 1_000_000,
+    quantize: bool = False,
 ) -> int:
     """Train and PERSIST an IVF index — the cluster-real index
     lifecycle (build once, search many), replacing the in-session memo
@@ -552,8 +579,24 @@ def build_ann_index(
     that is the difference between an index build costing iters
     corpus scans and costing one (the final full-corpus assignment
     pass, which is unavoidable and embarrassingly parallel).
+
+    quantize=True stores int8 codes + a per-vector scale instead of
+    the float vectors (~4x smaller index on disk; the
+    embedding_quantize scheme, whose recall is gated by
+    ann_quantized_gate). Norms, centroids, and cell assignment are all
+    computed over the DEQUANTIZED vectors, and _live_index
+    reconstructs them at read time — searchers are oblivious.
     """
-    emb = with_norm(corpus.select("vec_id", F.col("embedding").alias("e"))).persist()
+    raw = corpus.select("vec_id", F.col("embedding").alias("e"))
+    if quantize:
+        coded = _with_int8_codes(raw)
+        emb = (
+            coded.withColumn("nrm", F.sqrt(dot_seq(F.col("e"), F.col("e"))))
+            .filter(F.col("e").isNotNull())
+            .persist()
+        )
+    else:
+        emb = with_norm(raw).persist()
     n = emb.count()
     cells = ivf_cells_for(n) if cells is None else max(1, min(cells, n))
     train = emb
@@ -569,8 +612,11 @@ def build_ann_index(
         train = sampled if sampled.count() >= cells else emb
     C = _kmeans_centroids(train, cells, iters)
     assign = _make_assign_udf(C)
+    stored = (
+        ["vec_id", "q", "scale", "nrm"] if quantize else ["vec_id", "e", "nrm"]
+    )
     (
-        emb.select("vec_id", "e", "nrm", assign(F.col("e")).alias("cell"))
+        emb.select(*stored, assign(F.col("e")).alias("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/index")
@@ -610,10 +656,22 @@ def add_to_ann_index(corpus: DataFrame, path: str) -> None:
     rebuild trigger, not an incremental path."""
     spark = corpus.sparkSession
     C = load_ann_centroids(spark, path)
-    emb = with_norm(corpus.select("vec_id", F.col("embedding").alias("e")))
+    raw = corpus.select("vec_id", F.col("embedding").alias("e"))
+    # match the existing index's storage scheme (quantized or float)
+    quantized = "q" in spark.read.parquet(f"{path}/index").columns
+    if quantized:
+        emb = (
+            _with_int8_codes(raw)
+            .withColumn("nrm", F.sqrt(dot_seq(F.col("e"), F.col("e"))))
+            .filter(F.col("e").isNotNull())
+        )
+        stored = ["vec_id", "q", "scale", "nrm"]
+    else:
+        emb = with_norm(raw)
+        stored = ["vec_id", "e", "nrm"]
     assign = _make_assign_udf(C)
     (
-        emb.select("vec_id", "e", "nrm", assign(F.col("e")).alias("cell"))
+        emb.select(*stored, assign(F.col("e")).alias("cell"))
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/index")
@@ -646,8 +704,20 @@ def remove_from_ann_index(corpus: DataFrame, path: str) -> None:
 
 def _live_index(spark: SparkSession, path: str) -> DataFrame:
     """The index minus tombstones (anti-join only when tombstones
-    exist, so the common no-delete path stays a bare pruned scan)."""
+    exist, so the common no-delete path stays a bare pruned scan).
+    A quantized index (int8 codes + scale) reconstructs its vectors
+    here — a row-local projection on the pruned scan — so searchers
+    see the same (vec_id, e, nrm, cell) shape either way."""
     index = spark.read.parquet(f"{path}/index")
+    if "q" in index.columns:
+        index = index.select(
+            "vec_id",
+            F.transform(
+                "q", lambda c: c.cast("double") * F.col("scale")
+            ).alias("e"),
+            "nrm",
+            "cell",
+        )
     try:
         dead = spark.read.parquet(f"{path}/tombstones")
     except Exception:

@@ -764,3 +764,48 @@ def test_embedding_quantize_error_bounded_by_half_scale(spark, sf_dir):
     for r in rows:
         assert r["scale"] > 0
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+
+
+def test_ann_index_quantized_build_and_search(spark, sf_dir, tmp_path):
+    """quantize=True stores int8 codes + scale (no float vectors on
+    disk), reconstructs at read time, and searching the quantized index
+    reproduces the float-index top-k within the quantization recall
+    floor; incremental adds keep the quantized scheme."""
+    from simplemapreduceframework_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_search_ivf_indexed,
+        build_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fpath = str(tmp_path / "ivf_float")
+    qpath = str(tmp_path / "ivf_int8")
+    build_ann_index(emb, fpath)
+    build_ann_index(emb, qpath, quantize=True)
+
+    stored = spark.read.parquet(f"{qpath}/index")
+    assert "q" in stored.columns and "scale" in stored.columns
+    assert "e" not in stored.columns
+    assert dict(stored.dtypes)["q"] == "array<int>"
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qtop = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search_ivf_indexed(spark, qpath, queries, k=6).collect()
+    }
+    ftop = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search_ivf_indexed(spark, fpath, queries, k=6).collect()
+    }
+    assert len(qtop & ftop) / len(ftop) >= 0.8
+
+    # incremental add into a quantized index keeps the int8 scheme
+    extra = emb.limit(5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    add_to_ann_index(extra, qpath)
+    after = spark.read.parquet(f"{qpath}/index")
+    assert "q" in after.columns and "e" not in after.columns
+    assert after.filter(F.col("vec_id") >= 100000).count() == 5
