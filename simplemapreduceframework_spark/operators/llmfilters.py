@@ -639,3 +639,83 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("chunk", " ").alias("chunk_text"),
         F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
     )
+
+
+_CHUNKED_ORACLE = rf"""
+WITH {_TOKS_CTE},
+{_REP_CTES},
+{_DECON_CTES},
+kept AS (
+    SELECT d.doc_id, d.source, tk.t
+    FROM documents d
+    JOIN rep r ON r.doc_id = d.doc_id
+    JOIN toks tk ON tk.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE r.keep
+      AND d.doc_id % {_DECON_MOD} <> 0
+      AND COALESCE(h.n_shared, 0) = 0
+),
+chunks AS (
+    SELECT doc_id, source,
+           LEN(t[1 + cid*{_CHUNK_STRIDE} : cid*{_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS n_chunk_tokens
+    FROM (SELECT doc_id, source, t,
+                 UNNEST(range(0, CASE WHEN LEN(t) <= {_CHUNK_SIZE} THEN 1
+                                      ELSE (LEN(t) - {_CHUNK_SIZE - _CHUNK_STRIDE + 1}) // {_CHUNK_STRIDE} + 1
+                                 END)) AS cid
+          FROM kept WHERE LEN(t) >= 1)
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens
+FROM chunks
+GROUP BY source
+"""
+
+
+@query("pipeline_chunked_corpus", oracle=_CHUNKED_ORACLE)
+def pipeline_chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG/embedding corpus-prep composition in ONE Catalyst plan:
+    repetition filter -> decontamination -> overlapping chunking ->
+    per-source chunk stats. Stages reuse the standalone operators'
+    DataFrames lazily and the oracle chains the same shared CTE
+    strings plus text_chunk's integer chunk arithmetic.
+
+    Shape at scale: the two per-doc verdicts fuse into doc_id-keyed
+    stages, chunking is a row-local slice-and-explode on the shrunken
+    survivor set, and the rollup is a partial-aggregated groupBy on
+    the tiny source dimension.
+    """
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    rep = text_repetition_filter(spark, sf_dir).select("doc_id", "keep")
+    dec = text_decontaminate(spark, sf_dir).select("doc_id", "n_shared")
+    kept = (
+        docs.select(
+            "doc_id", "source", tokens_regex(F.lower(F.col("text"))).alias("t")
+        )
+        .join(rep, "doc_id")
+        .join(dec, "doc_id")
+        .filter(F.col("keep") & (F.col("n_shared") == 0) & (F.size("t") >= 1))
+        .withColumn(
+            "n_chunks",
+            F.when(F.size("t") <= size, F.lit(1)).otherwise(
+                F.expr(f"(size(t) - {size - stride + 1}) div {stride} + 1")
+            ),
+        )
+    )
+    chunks = kept.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, n_chunks - 1), "
+                f"cid -> size(slice(t, 1 + cid * {stride}, {size})))"
+            )
+        ).alias("n_chunk_tokens"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
+    )
