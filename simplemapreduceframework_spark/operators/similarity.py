@@ -731,10 +731,19 @@ def maybe_rebuild_ann_index(
     """Maintenance policy in one call: rebuild the index iff
     ann_index_stats says it needs it (occupancy drift or tombstone
     load). Returns whether a rebuild ran — the idempotent step a
-    scheduled maintenance job executes after each ingest wave."""
+    scheduled maintenance job executes after each ingest wave.
+
+    The rebuild preserves the existing index's storage scheme: a
+    quantized index rebuilds quantized unless the caller explicitly
+    passes quantize= (a maintenance job must not silently change the
+    on-disk format)."""
     spark = corpus.sparkSession
     if not ann_index_stats(spark, path)["needs_rebuild"]:
         return False
+    if "quantize" not in build_kwargs:
+        build_kwargs["quantize"] = (
+            "q" in spark.read.parquet(f"{path}/index").columns
+        )
     build_ann_index(corpus, path, **build_kwargs)
     return True
 

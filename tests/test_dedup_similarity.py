@@ -809,3 +809,19 @@ def test_ann_index_quantized_build_and_search(spark, sf_dir, tmp_path):
     after = spark.read.parquet(f"{qpath}/index")
     assert "q" in after.columns and "e" not in after.columns
     assert after.filter(F.col("vec_id") >= 100000).count() == 5
+
+
+def test_maybe_rebuild_preserves_quantized_scheme(spark, sf_dir, tmp_path, monkeypatch):
+    """A maintenance rebuild of a quantized index must stay quantized
+    unless explicitly told otherwise."""
+    from simplemapreduceframework_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_q")
+    sim.build_ann_index(emb, path, quantize=True)
+    monkeypatch.setattr(
+        sim, "ann_index_stats", lambda s, p: {"needs_rebuild": True}
+    )
+    assert sim.maybe_rebuild_ann_index(emb, path) is True
+    after = spark.read.parquet(f"{path}/index")
+    assert "q" in after.columns and "e" not in after.columns
