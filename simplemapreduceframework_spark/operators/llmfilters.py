@@ -719,3 +719,81 @@ def pipeline_chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.sum("n_chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
     )
+
+
+_HEALTH_ORACLE = rf"""
+WITH {_TOKS_CTE},
+{_REP_CTES},
+{_DECON_CTES},
+base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(LEN(t)), 0) AS BIGINT) AS n_tokens
+    FROM toks
+),
+uniq AS (
+    SELECT CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique
+    FROM documents
+),
+repc AS (
+    SELECT CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_scored
+    FROM rep
+),
+dec AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated FROM hits
+)
+SELECT b.n_docs, b.n_tokens, u.n_unique,
+       b.n_docs - u.n_unique AS n_exact_dups,
+       r.n_keep, r.n_scored,
+       c.n_contaminated
+FROM base b, uniq u, repc r, dec c
+"""
+
+
+@query("corpus_health_report", oracle=_HEALTH_ORACLE)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard — the daily monitoring query a
+    pipeline runs over its working set: document/token volume, exact
+    duplicate count (md5), repetition-filter pass counts, and
+    contaminated-doc count, all in one result.
+
+    Each counter reuses the standalone operator's exact formula (the
+    oracle chains the same shared CTE strings); all values are integer
+    counts -> engine-exact. Shape at scale: four independent
+    aggregations, each collapsing to one row on the map side, cross
+    joined at the end — total driver-side state is 7 integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_regex(F.lower(F.col("text"))).alias("t"))
+    base = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.size("t")), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    uniq = docs.agg(
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique")
+    )
+    rep = text_repetition_filter(spark, sf_dir)
+    repc = rep.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+    )
+    dec = text_decontaminate(spark, sf_dir)
+    decc = dec.filter(F.col("contaminated")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated")
+    )
+    return (
+        base.crossJoin(uniq)
+        .crossJoin(repc)
+        .crossJoin(decc)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dups"),
+            "n_keep",
+            "n_scored",
+            "n_contaminated",
+        )
+    )

@@ -78,6 +78,7 @@ CHECK_PRIORITY: list[str] = [
     "q38_disjunctive_predicate",  # new: Q19-shape OR pushdown
     "events_outlier_zscore",  # new: decimal-exact per-group z-score flags
     "pipeline_chunked_corpus",  # new: hygiene -> chunking composition
+    "corpus_health_report",  # new: one-row corpus monitoring dashboard
     "multimodal_decode_real",  # new: stdlib BMP/PPM decode roundtrip
     "ann_ivf_indexed_gate",  # new: persisted-index lifecycle gate
     "dedup_ngram_jaccard",  # bucket cap added to engine + oracle
@@ -119,7 +120,6 @@ CHECK_PRIORITY: list[str] = [
     "q21_json_extract",
     "q23_pivot",
     "q24_multiset_ops",
-    "q25_array_agg",
 ]
 
 

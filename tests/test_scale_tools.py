@@ -351,6 +351,8 @@ def test_operators_with_null_text_rows(spark, tmp_path):
             "text_repetition_filter",
             "text_decontaminate",
             "pipeline_hygiene",
+            "pipeline_chunked_corpus",
+            "corpus_health_report",
             "dedup_winnow",
         ]:
             problems = compare_query(
