@@ -773,10 +773,10 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique")
     )
     rep = text_repetition_filter(spark, sf_dir)
+    # COUNT(CASE WHEN ...) like the oracle — a SUM over zero rows would
+    # yield NULL where the oracle's COUNT yields 0
     repc = rep.agg(
-        F.sum(F.when(F.col("keep"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_keep"),
+        F.count(F.when(F.col("keep"), 1)).cast("bigint").alias("n_keep"),
         F.count(F.lit(1)).cast("bigint").alias("n_scored"),
     )
     dec = text_decontaminate(spark, sf_dir)

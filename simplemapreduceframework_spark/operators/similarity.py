@@ -524,27 +524,35 @@ def ann_search_ivf(
 
 
 def _with_int8_codes(emb: DataFrame) -> DataFrame:
-    """(vec_id, q, scale, e) — int8 codes + per-vector scale (the ONE
-    quantizer definition, see _quantizer_base/embedding_quantize) plus
-    the dequantized vectors, from a (vec_id, e) float frame. Index
-    geometry (norms, centroids, assignment) is computed over the
-    DEQUANTIZED vectors so searches score exactly what is stored."""
+    """(vec_id, e0, scale, q, e) from a (vec_id, e) float frame — THE
+    one definition of the int8 quantizer: per-vector scale = max|e|/127
+    (zero-vector guard), codes q = floor(e0/scale + 0.5), dequantized
+    e = q * scale. embedding_quantize, _dequantized, and the persisted
+    quantized index all build on this frame, so the recall gate always
+    validates the quantizer that ships. Index geometry (norms,
+    centroids, assignment) is computed over the DEQUANTIZED vectors so
+    searches score exactly what is stored."""
     m = F.array_max(F.transform("e", lambda x: F.abs(x.cast("double"))))
     scaled = emb.select(
         "vec_id",
         F.transform("e", lambda x: x.cast("double")).alias("e0"),
         F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)).alias("scale"),
     )
-    return scaled.select(
+    coded = scaled.select(
         "vec_id",
+        "e0",
+        "scale",
         F.transform(
             "e0", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
         ).alias("q"),
+    )
+    return coded.select(
+        "vec_id",
+        "e0",
         "scale",
+        "q",
         F.transform(
-            "e0",
-            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("double")
-            * F.col("scale"),
+            "q", lambda c: c.cast("double") * F.col("scale")
         ).alias("e"),
     )
 
@@ -589,12 +597,12 @@ def build_ann_index(
     """
     raw = corpus.select("vec_id", F.col("embedding").alias("e"))
     if quantize:
-        coded = _with_int8_codes(raw)
-        emb = (
-            coded.withColumn("nrm", F.sqrt(dot_seq(F.col("e"), F.col("e"))))
-            .filter(F.col("e").isNotNull())
-            .persist()
-        )
+        # with_norm is the one NULL-dropping load boundary: it filters
+        # BEFORE the dot_seq UDF (np.vstack over a NULL vector crashes
+        # the worker) — never hand-roll the nrm column around it.
+        emb = with_norm(
+            _with_int8_codes(raw).select("vec_id", "q", "scale", "e")
+        ).persist()
     else:
         emb = with_norm(raw).persist()
     n = emb.count()
@@ -660,10 +668,8 @@ def add_to_ann_index(corpus: DataFrame, path: str) -> None:
     # match the existing index's storage scheme (quantized or float)
     quantized = "q" in spark.read.parquet(f"{path}/index").columns
     if quantized:
-        emb = (
-            _with_int8_codes(raw)
-            .withColumn("nrm", F.sqrt(dot_seq(F.col("e"), F.col("e"))))
-            .filter(F.col("e").isNotNull())
+        emb = with_norm(
+            _with_int8_codes(raw).select("vec_id", "q", "scale", "e")
         )
         stored = ["vec_id", "q", "scale", "nrm"]
     else:
@@ -738,12 +744,11 @@ def maybe_rebuild_ann_index(
     passes quantize= (a maintenance job must not silently change the
     on-disk format)."""
     spark = corpus.sparkSession
-    if not ann_index_stats(spark, path)["needs_rebuild"]:
+    stats = ann_index_stats(spark, path)
+    if not stats["needs_rebuild"]:
         return False
     if "quantize" not in build_kwargs:
-        build_kwargs["quantize"] = (
-            "q" in spark.read.parquet(f"{path}/index").columns
-        )
+        build_kwargs["quantize"] = stats["quantized"]
     build_ann_index(corpus, path, **build_kwargs)
     return True
 
@@ -760,6 +765,7 @@ def ann_index_stats(spark: SparkSession, path: str) -> dict:
     damage. Thresholds are advisory; callers can apply their own.
     """
     index = spark.read.parquet(f"{path}/index")
+    quantized = "q" in index.columns
     occ = index.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     counts = [r["n"] for r in occ]
     n_vec = sum(counts)
@@ -777,6 +783,7 @@ def ann_index_stats(spark: SparkSession, path: str) -> dict:
         "n_tombstones": n_dead,
         "occupancy_skew": skew,
         "dead_fraction": dead_fraction,
+        "quantized": quantized,
         "needs_rebuild": skew > 4.0 or dead_fraction > 0.2,
     }
 
@@ -1032,24 +1039,16 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression trees -> bit-exact across engines; max is
     order-independent. Row-local -> zero shuffles at any scale.
     """
-    scaled = _quantizer_base(spark, sf_dir).withColumnRenamed("e0", "e")
-
-    def code(x):
-        return F.floor(x / F.col("scale") + F.lit(0.5))
-
-    return scaled.select(
+    coded = _quantizer_corpus(spark, sf_dir)
+    return coded.select(
         "vec_id",
-        F.size("e").cast("bigint").alias("n_dims"),
+        F.size("e0").cast("bigint").alias("n_dims"),
         "scale",
         F.md5(
-            F.array_join(
-                F.transform("e", lambda x: code(x).cast("string")), ","
-            )
+            F.array_join(F.transform("q", lambda c: c.cast("string")), ",")
         ).alias("qhash"),
         F.array_max(
-            F.transform(
-                "e", lambda x: F.abs(x - code(x).cast("double") * F.col("scale"))
-            )
+            F.zip_with("e0", "e", lambda x, d: F.abs(x - d))
         ).alias("max_abs_err"),
     )
 
@@ -1061,37 +1060,23 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANT_RECALL_FLOOR = 0.9
 
 
-def _quantizer_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, e0, scale) — the ONE definition of the int8 quantizer's
-    inputs (double-cast vector, per-vector scale = max|e|/127 with the
-    zero-vector guard). embedding_quantize and _dequantized both build
-    on this, so the gate always validates the quantizer that ships."""
+def _quantizer_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table through _with_int8_codes (NULL vectors
+    dropped) — every quantization consumer (the gated operator, the
+    dequantized search, the persisted index) derives from this single
+    frame, so no second definition of the scheme can drift."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("embedding").isNotNull()).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e0"),
+    raw = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", F.col("embedding").alias("e")
     )
-    m = F.array_max(F.transform("e0", lambda x: F.abs(x)))
-    return base.select(
-        "vec_id",
-        "e0",
-        F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)).alias("scale"),
-    )
+    return _with_int8_codes(raw)
 
 
 def _dequantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, e) with every component reconstructed from its int8
-    code: e_i -> floor(e_i/scale + 0.5) * scale — the EXACT vectors a
-    quantized ANN server scores against (embedding_quantize's codes,
-    decoded)."""
-    return _quantizer_base(spark, sf_dir).select(
-        "vec_id",
-        F.transform(
-            "e0",
-            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("double")
-            * F.col("scale"),
-        ).alias("e"),
-    )
+    code — the EXACT vectors a quantized ANN server scores against
+    (embedding_quantize's codes, decoded)."""
+    return _quantizer_corpus(spark, sf_dir).select("vec_id", "e")
 
 
 @query(

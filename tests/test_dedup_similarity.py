@@ -819,9 +819,14 @@ def test_maybe_rebuild_preserves_quantized_scheme(spark, sf_dir, tmp_path, monke
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     path = str(tmp_path / "ivf_q")
     sim.build_ann_index(emb, path, quantize=True)
-    monkeypatch.setattr(
-        sim, "ann_index_stats", lambda s, p: {"needs_rebuild": True}
-    )
+
+    real_stats = sim.ann_index_stats
+
+    def force_rebuild(s, p):
+        # real stats (incl. the quantized-scheme detection), rebuild forced
+        return {**real_stats(s, p), "needs_rebuild": True}
+
+    monkeypatch.setattr(sim, "ann_index_stats", force_rebuild)
     assert sim.maybe_rebuild_ann_index(emb, path) is True
     after = spark.read.parquet(f"{path}/index")
     assert "q" in after.columns and "e" not in after.columns
