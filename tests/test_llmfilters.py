@@ -216,3 +216,39 @@ def test_text_chunk_covers_every_token_with_correct_overlap(spark, sf_dir):
             else:
                 rebuilt.extend(ctoks)
         assert rebuilt == toks, doc_id
+
+
+def test_corpus_health_report_on_empty_corpus(spark, tmp_path):
+    """Over an empty corpus the report is one row of zeros, and the
+    engine matches the oracle exactly (COUNT semantics — a SUM-based
+    counter would yield NULL and break the hash)."""
+    import os
+
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+    from simplemapreduceframework_spark.testing import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    src = "/root/testdata/sf0.001"
+    empty_dir = str(tmp_path / "sf_empty_health")
+    os.makedirs(empty_dir, exist_ok=True)
+    for t in TABLES:
+        load_table(spark, src, t).limit(0).write.parquet(
+            f"{empty_dir}/{t}.parquet"
+        )
+    con = duckdb_connection(empty_dir)
+    try:
+        problems = compare_query(
+            spark,
+            con,
+            Q["corpus_health_report"],
+            registry.ORACLES["corpus_health_report"],
+            empty_dir,
+        )
+        assert not problems, problems
+        [row] = Q["corpus_health_report"](spark, empty_dir).collect()
+        assert row["n_docs"] == 0 and row["n_keep"] == 0
+        assert row["n_contaminated"] == 0
+    finally:
+        con.close()
