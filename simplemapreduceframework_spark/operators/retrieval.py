@@ -1,0 +1,184 @@
+"""Sparse-retrieval operators: BM25 and TF-IDF ranking over the
+documents corpus — the lexical-search leg a training-data pipeline
+pairs with the dense ANN tier (similarity.py) for hybrid retrieval.
+
+The reference has no search tier; this extends its text workloads
+(reference fernan/functions.py:5 tokenization, counting_words.py word
+counts) to ranked retrieval, Spark-first: one tokenize-explode scan
+feeds both the per-doc length aggregate and the per-term posting
+counts, query terms are a broadcast literal set, and the final score is
+a fixed-order expression so both engines add doubles identically.
+
+Numeric policy: every count (tf, df, dl, N) is integer-exact; avgdl and
+the BM25/IDF algebra derive in doubles through expression trees kept
+IDENTICAL on both engines. ln() is the one primitive where DuckDB
+(glibc) and Spark (JVM) can disagree by 1 ulp (measured ~2% of inputs),
+so gated outputs round scores to 4 decimals — a 1-ulp input wiggle only
+crosses a round-4 boundary if the true value sits within ~1e-12 of a
+half-step, which the corpus-derived irrational scores never do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens_regex
+from ..registry import query
+from ..sources import load_table
+
+# The fixed search query: a user searching the synthetic systems corpus
+# for "vector merge scan query". Order matters only for the fixed-order
+# score sum (t1 + t2 + t3 + t4), which both engines evaluate
+# left-to-right.
+_BM25_TERMS: list[str] = ["vector", "merge", "scan", "query"]
+_K1 = 1.2
+_B = 0.75
+_TOPK = 20
+
+
+def _terms_sql() -> str:
+    return ", ".join(f"('{t}')" for t in _BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    contrib = " + ".join(f"c_{t}" for t in _BM25_TERMS)
+    pivots = ",\n           ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN c END), 0.0) AS c_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH qterms(term) AS (VALUES {_terms_sql()}),
+tok AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\w+')) AS word
+    FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT t.doc_id, t.word AS term, COUNT(*) AS tf
+    FROM tok t JOIN qterms q ON t.word = q.term
+    GROUP BY t.doc_id, t.word
+),
+idf AS (
+    -- tf is unique per (doc_id, term), so COUNT(*) IS the document
+    -- frequency; COUNT(DISTINCT ...) would cost a second exchange.
+    SELECT term,
+           ln(1.0 + (CAST(c.n AS DOUBLE) - COUNT(*) + 0.5)
+                    / (COUNT(*) + 0.5)) AS idf
+    FROM tf, corpus c
+    GROUP BY term, c.n
+),
+contrib AS (
+    SELECT tf.doc_id, tf.term,
+           idf.idf * (tf.tf * ({_K1} + 1.0))
+               / (tf.tf + {_K1} * (1.0 - {_B}
+                   + {_B} * (CAST(dl.dl AS DOUBLE) / c.avgdl))) AS c
+    FROM tf
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN idf ON idf.term = tf.term
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT doc_id, {pivots}
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, ROUND({contrib}, 4) AS bm25
+FROM scored
+ORDER BY ROUND({contrib}, 4) DESC, doc_id ASC
+LIMIT {_TOPK}
+"""
+
+
+@query("text_bm25", oracle=_bm25_oracle())
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query over the documents corpus.
+
+    Shape at scale: ONE tokenize-explode scan feeds both the per-doc
+    length aggregate and the term-filtered posting counts (the filter
+    on 4 literal terms prunes the explode output before its shuffle);
+    idf is a constant-size per-term aggregate that broadcasts back;
+    the final ranking is a TakeOrderedAndProject top-k, never a global
+    sort. No Python in the plan. At 100 TB the only wide exchanges are
+    the two hash aggregates on doc_id — both partial-aggregated.
+
+    The per-term contributions pivot into fixed columns so the score
+    sum has a deterministic addition order on both engines (double
+    addition is not associative); see module docstring for the round-4
+    ln() policy.
+    """
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(tokens_regex(F.lower(F.col("text")))).alias("word"),
+        )
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("word").isin(_BM25_TERMS))
+        .groupBy("doc_id", F.col("word").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # tf is unique per (doc_id, term): COUNT(*) is the document
+    # frequency without countDistinct's extra expand + exchange.
+    idf = (
+        tf.crossJoin(F.broadcast(corpus))
+        .groupBy("term", "n")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            F.log(
+                1.0
+                + (F.col("n").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * (_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _K1
+                    * (
+                        1.0
+                        - _B
+                        + _B * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    pivoted = contrib.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
+            ).alias(f"c_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    score = sum(
+        (F.col(f"c_{t}") for t in _BM25_TERMS[1:]),
+        F.col(f"c_{_BM25_TERMS[0]}"),
+    )
+    return (
+        pivoted.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_TOPK)
+    )

@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
         dedup,
+        linkage,
         llmfilters,
         multimodal,
         pipeline,
@@ -49,6 +50,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        retrieval,
         similarity,
         streamingq,
         textanalysis,
@@ -64,6 +66,9 @@ def load_all() -> None:
 # are listed first; long-green queries fall to the tail where a cap
 # costs nothing (their round-1 rows stand).
 CHECK_PRIORITY: list[str] = [
+    # round 5 late additions — never driver-checked, check first
+    "text_bm25",  # new: BM25 top-k lexical retrieval
+    "fuzzy_match_parts",  # new: blocked levenshtein record linkage
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
