@@ -1,0 +1,109 @@
+"""Time-series operators over the events stream: regular-grid
+resampling with gap filling and forward fill — the densification pass a
+metrics pipeline runs before charting or model features (every hour
+gets a row, gaps carry the last observation forward).
+
+The reference has no temporal tier; this extends its grouped
+aggregation surface (reference README.md:25-36 grouped recipe) to
+time-grid semantics, Spark-first: the hourly rollup is one
+partial-aggregated groupBy, the grid is a generated `sequence()`
+explode over a constant-size (type, bounds) frame, and the forward
+fill is `last(ignorenulls)` over an unbounded-preceding running frame
+— all built-ins, no Python.
+
+Numeric policy: counts are integers; the filled metric is the DECIMAL
+hourly sum (order-independent, engine-exact), never a double, so every
+carried-forward value matches DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "events_resample_ffill",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           date_trunc('hour', ts) AS h,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sv
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+    SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+    FROM hourly GROUP BY event_type
+),
+grid AS (
+    SELECT event_type,
+           UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+    FROM bounds
+)
+SELECT g.event_type,
+       g.h AS hour,
+       COALESCE(hy.n, 0) AS n_events,
+       hy.n IS NULL AS is_gap,
+       last_value(hy.sv IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sum_value_ffill
+FROM grid g
+LEFT JOIN hourly hy ON hy.event_type = g.event_type AND hy.h = g.h
+""",
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a dense per-type hourly grid: every hour
+    between each type's first and last observation gets a row; empty
+    hours are flagged as gaps with n_events 0 and the hourly value sum
+    carried forward from the last observed hour.
+
+    Shape at scale: the only fact-scale exchange is the hourly groupBy
+    (partial-aggregated); bounds collapse to one row per type, the
+    grid explode is |types| x |hours| (dimension-sized), and the
+    left join broadcasts the hourly rollup (equally dimension-sized)
+    under the grid. The forward-fill window partitions by type — with
+    few hot types and years of hours that partition is the resample's
+    inherent sequential pass; a 100 TB deployment would segment it
+    (type, month) with a per-segment seed carried from the previous
+    segment's last value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # left-outer broadcast joins build the RIGHT side, so broadcast the
+    # hourly rollup (also dimension-sized: |types| x |observed hours|).
+    return (
+        grid.join(F.broadcast(hourly), ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+            F.last("sv", ignorenulls=True).over(w).alias("sum_value_ffill"),
+        )
+    )

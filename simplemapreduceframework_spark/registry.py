@@ -54,6 +54,7 @@ def load_all() -> None:
         similarity,
         streamingq,
         textanalysis,
+        timeseries,
         traindata,
         udfs,
     )
@@ -69,6 +70,7 @@ CHECK_PRIORITY: list[str] = [
     # round 5 late additions — never driver-checked, check first
     "text_bm25",  # new: BM25 top-k lexical retrieval
     "fuzzy_match_parts",  # new: blocked levenshtein record linkage
+    "events_resample_ffill",  # new: hourly grid resample + forward fill
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
