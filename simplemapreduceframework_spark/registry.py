@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
         dedup,
+        graph,
         linkage,
         llmfilters,
         multimodal,
@@ -71,6 +72,7 @@ CHECK_PRIORITY: list[str] = [
     "text_bm25",  # new: BM25 top-k lexical retrieval
     "fuzzy_match_parts",  # new: blocked levenshtein record linkage
     "events_resample_ffill",  # new: hourly grid resample + forward fill
+    "graph_pagerank",  # new: fixed-point PageRank over co-supply graph
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter

@@ -1,0 +1,83 @@
+"""Unit tests for the graph tier (graph.py): fixed-point PageRank
+semantics on hand-built graphs plus conservation/shape invariants on
+the co-supply query. Oracle parity is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from simplemapreduceframework_spark import registry
+from simplemapreduceframework_spark.operators.graph import (
+    _DAMP_DEN,
+    _DAMP_NUM,
+    _ITERS,
+    _SCALE,
+    pagerank_fixed_point,
+)
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def _reference_pagerank(
+    edges: list[tuple[int, int]], iters: int
+) -> dict[int, int]:
+    """Plain-Python twin of the fixed-point contract."""
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n = len(out)
+    teleport = (_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN // n
+    r = {v: _SCALE // n for v in out}
+    for _ in range(iters):
+        incoming: dict[int, int] = {}
+        for s, ds in out.items():
+            c = r[s] // len(ds)
+            for d in ds:
+                incoming[d] = incoming.get(d, 0) + c
+        r = {
+            d: teleport + (_DAMP_NUM * inc) // _DAMP_DEN
+            for d, inc in incoming.items()
+        }
+    return r
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    # undirected star: hub 0 <-> leaves 1..4
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs],
+        "s long, d long",
+    )
+    ranks, _ = pagerank_fixed_point(edges, iters=_ITERS)
+    got = {r["node"]: r["r"] for r in ranks.collect()}
+    want = _reference_pagerank(
+        [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs], _ITERS
+    )
+    assert got == want
+    hub, leaves = got[0], [got[i] for i in range(1, 5)]
+    assert all(hub > leaf for leaf in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+
+
+def test_pagerank_chain_graph_matches_reference(spark):
+    # undirected chain 0-1-2-3: inner nodes outrank endpoints
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    both = [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs]
+    edges = spark.createDataFrame(both, "s long, d long")
+    ranks, _ = pagerank_fixed_point(edges, iters=_ITERS)
+    got = {r["node"]: r["r"] for r in ranks.collect()}
+    assert got == _reference_pagerank(both, _ITERS)
+    assert got[1] > got[0] and got[2] > got[3]
+
+
+def test_cosupply_pagerank_mass_and_shape(spark, sf_dir):
+    rows = Q["graph_pagerank"](spark, sf_dir).collect()
+    assert rows
+    # every rank positive, degrees consistent, one row per node
+    assert all(r["rank_fp"] > 0 and r["degree"] > 0 for r in rows)
+    assert len({r["s_suppkey"] for r in rows}) == len(rows)
+    # total mass stays within quantization loss of 1.0:
+    # each iteration floors once per edge + once per node
+    total = sum(r["rank_fp"] for r in rows)
+    assert total <= _SCALE
+    n_edges = sum(r["degree"] for r in rows)
+    assert total >= _SCALE - _ITERS * (n_edges + len(rows) + _DAMP_DEN)
