@@ -31,6 +31,13 @@ _SCALE = 10**12
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 _ITERS = 3
 
+# Co-supply edge sets, persisted + memoized per (application, sf_dir):
+# every unrolled iteration joins the edge set, so without a persist the
+# fact-scale derivation (distinct + self-join on the order key) would
+# rerun once per iteration — same shared-state discipline as
+# textanalysis._VOCAB_CACHE.
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _pagerank_oracle() -> str:
     teleport = (_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN  # 0.15 mass
@@ -86,16 +93,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-wide node count is a single collected scalar (constant
     driver state, same policy as dedup.py's corpus scalar).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    a = pairs.select("l_orderkey", F.col("l_suppkey").alias("s"))
-    b = pairs.select("l_orderkey", F.col("l_suppkey").alias("d"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("s") != F.col("d"))
-        .select("s", "d")
-        .distinct()
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGE_CACHE:
+        li = load_table(spark, sf_dir, "lineitem")
+        pairs = li.select("l_orderkey", "l_suppkey").distinct()
+        a = pairs.select("l_orderkey", F.col("l_suppkey").alias("s"))
+        b = pairs.select("l_orderkey", F.col("l_suppkey").alias("d"))
+        _EDGE_CACHE[key] = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("s") != F.col("d"))
+            .select("s", "d")
+            .distinct()
+            .persist()
+        )
+    edges = _EDGE_CACHE[key]
     ranks, deg = pagerank_fixed_point(edges, iters=_ITERS)
     return ranks.join(deg, ranks.node == deg.s).select(
         F.col("node").alias("s_suppkey"),
