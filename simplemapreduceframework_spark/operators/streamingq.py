@@ -100,9 +100,9 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_session_10m",
-    oracle="""
+# Shared by the batch query and its streaming_session_live twin: the
+# gaps-and-islands formulation of session_window's merge rule.
+_SESSION_ORACLE = """
 WITH marked AS (
     SELECT user_id, ts, event_id,
            CASE WHEN LAG(ts) OVER w IS NULL
@@ -123,8 +123,10 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM sess
 GROUP BY user_id, sess_id
-""",
-)
+"""
+
+
+@query("events_session_10m", oracle=_SESSION_ORACLE)
 def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 10-minute gap per user (batch form of the
     stateful streaming operator).
@@ -330,6 +332,26 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     result = tumbling_counts_stream(events)
     return run_available_now(result, spark)
+
+
+@query("streaming_session_live", oracle=_SESSION_ORACLE)
+def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on a LIVE stream: readStream(parquet) ->
+    watermark -> session_window(gap 10m) agg -> availableNow -> memory
+    sink — Spark's native stateful session operator, one state entry
+    per OPEN session, closed (and emitted) as the watermark passes
+    gap-end.
+
+    Gated against the SAME gaps-and-islands oracle as the batch
+    events_session_10m: the static fixture arrives within the
+    availableNow run, complete output mode emits every closed-or-open
+    session, and the 1h watermark drops nothing — streaming equals
+    batch equals oracle.
+    """
+    from ..streaming import read_events_stream, run_available_now, sessionized_stream
+
+    events = read_events_stream(spark, sf_dir)
+    return run_available_now(sessionized_stream(events), spark)
 
 
 def _hygiene_oracle() -> str:

@@ -73,6 +73,7 @@ CHECK_PRIORITY: list[str] = [
     "fuzzy_match_parts",  # new: blocked levenshtein record linkage
     "events_resample_ffill",  # new: hourly grid resample + forward fill
     "graph_pagerank",  # new: fixed-point PageRank over co-supply graph
+    "streaming_session_live",  # new: stateful session windows on a live stream
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
