@@ -382,3 +382,55 @@ def events_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_outlier"),
         )
     )
+
+
+# MAD outliers: one SQL text, run verbatim on both engines. Everything
+# is decimal/integer-exact: medians are DISCRETE (percentile_disc picks
+# an actual data value, no interpolation to disagree on — Spark returns
+# it as a double, so the cast back to DECIMAL(18,2) re-pins the exact
+# 2-decimal data value on both engines), deviations
+# are decimal subtractions, and the 3 x 1.4826 sigma-equivalence factor
+# enters as the exact integer cross-multiplication 10000*adev >
+# 44478*mad — no doubles anywhere in the decision.
+_MAD_SQL = """
+WITH med AS (
+    SELECT event_type,
+           CAST(percentile_disc(0.5)
+               WITHIN GROUP (ORDER BY CAST(value AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.value, m.med,
+           ABS(CAST(e.value AS DECIMAL(18,2)) - m.med) AS adev
+    FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+    SELECT event_type,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+               AS DECIMAL(18,2)) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+       10000 * d.adev > 44478 * a.mad AS is_outlier
+FROM dev d JOIN mad a ON a.event_type = d.event_type
+"""
+
+
+@query("events_outlier_mad", oracle=_MAD_SQL)
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation
+    with the 1.4826 normal-consistency factor — the heavy-tail-safe
+    twin of events_outlier_zscore (a single wild value shifts a mean
+    and explodes a stddev, but moves neither median).
+
+    Shape at scale: two partial-aggregated groupBys over the fact scan
+    (median, then MAD of deviations) each collapsing to one row per
+    type, broadcast back onto the scan; exact medians sort within
+    groups only. The monitoring deployment at 100 TB would swap
+    percentile_disc for approx_percentile (the approx_distinct_gate
+    pattern) once group cardinality exceeds executor sort memory.
+    Identical SQL text runs on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_MAD_SQL)

@@ -74,6 +74,7 @@ CHECK_PRIORITY: list[str] = [
     "events_resample_ffill",  # new: hourly grid resample + forward fill
     "graph_pagerank",  # new: fixed-point PageRank over co-supply graph
     "streaming_session_live",  # new: stateful session windows on a live stream
+    "events_outlier_mad",  # new: decimal-exact MAD robust outliers
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
