@@ -107,3 +107,83 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sv", ignorenulls=True).over(w).alias("sum_value_ffill"),
         )
     )
+
+
+@query(
+    "events_state_intervals",
+    oracle="""
+WITH runs AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grp AS (
+    SELECT user_id, ts, event_type,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM runs
+),
+intervals AS (
+    SELECT user_id, event_type AS state, run_id,
+           MIN(ts) AS valid_from, COUNT(*) AS n_events
+    FROM grp GROUP BY user_id, event_type, run_id
+)
+SELECT user_id, state,
+       STRFTIME(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       STRFTIME(LEAD(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       n_events
+FROM intervals
+""",
+)
+def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build from an event stream: collapse each user's
+    consecutive same-type events into state intervals with
+    [valid_from, valid_to) validity — valid_to NULL marks the current
+    state. The change-data-capture shape a warehouse maintains for
+    dimension history.
+
+    Shape at scale: classic gaps-and-islands — one exchange on
+    user_id, then every window and the run groupBy reuse that
+    partitioning (the run aggregate keys on (user_id, ...) so no new
+    shuffle); per-user sequential scans are the operator's inherent
+    cost and users are plentiful, so parallelism is wide. All outputs
+    are integers, strings, and formatted timestamps — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    grp = runs.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    intervals = grp.groupBy("user_id", F.col("event_type").alias("state"), "run_id").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return intervals.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(w2), fmt).alias("valid_to"),
+        "n_events",
+    )
