@@ -273,6 +273,11 @@ def sample_stratified_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # copies resolve deterministically per doc (salted-hash bucket against
 # the fractional part), so the mixed multiset is exactly reproducible
 # — integer basis points keep the compare exact in both engines.
+# Curriculum schedule memo per (application, sf_dir): the ranked frame
+# inside is persisted (see functions.ranking), so repeated invocations
+# must reuse one copy — same discipline as textanalysis._VOCAB_CACHE.
+_CURRICULUM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 _MIX_BP = {"high": 20000, "mid": 10000, "low": 2500}
 # TRY_CAST on both engines: a source name that doesn't end in a number
 # ("web-crawl") lands in the 'low' tier instead of failing the whole
@@ -381,6 +386,91 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.sum(F.col("doc_id") * F.col("copy_id")).alias("mix_checksum"),
     )
+
+
+@query(
+    "curriculum_schedule",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tok,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
+    FROM documents
+),
+kept AS (SELECT doc_id, n_tok FROM base WHERE 2 * n_alpha >= n_chars),
+phased AS (
+    SELECT doc_id, n_tok,
+           NTILE(4) OVER (ORDER BY n_tok, doc_id) AS phase
+    FROM kept
+)
+SELECT doc_id, n_tok, phase,
+       ROW_NUMBER() OVER (PARTITION BY phase
+                          ORDER BY n_tok, doc_id) AS rank_in_phase
+FROM phased
+""",
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: hygiene-filter the corpus (mostly-
+    alphabetic docs only — the integer cross-multiply 2*n_alpha >=
+    n_chars keeps the gate exact), then order easy-to-hard by token
+    count and deal docs into 4 curriculum phases (NTILE) with a
+    deterministic rank inside each phase — the easy-first ordering a
+    training run consumes phase by phase.
+
+    Shape at scale: the metrics are row-local codegen'd regex counts.
+    The oracle states the schedule as NTILE + ROW_NUMBER over a global
+    order, but a global Window in Spark plans as a SINGLE-PARTITION
+    WindowExec (the classic funnel) — so the engine side instead ranks
+    with functions.ranking.global_row_number (range-partitioned sort +
+    monotonic-id prefix-sum, fully JVM-side, no Window node) and then
+    derives phase and rank_in_phase from the global rank by exact
+    integer arithmetic replicating NTILE's first-(n%k)-tiles-get-one-
+    extra rule. All outputs integers — engine-exact.
+    """
+    from ..functions.ranking import global_row_number
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _CURRICULUM_CACHE:
+        return _CURRICULUM_CACHE[memo_key]
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_regex("text")).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), 0))
+        .cast("bigint")
+        .alias("n_alpha"),
+    )
+    kept = base.filter(2 * F.col("n_alpha") >= F.col("n_chars")).select(
+        "doc_id", "n_tok"
+    )
+    ranked, n = global_row_number(kept, [F.col("n_tok"), F.col("doc_id")])
+    k = 4
+    size, rem = n // k, n % k
+    big = rem * (size + 1)  # rows living in the first `rem` larger tiles
+    # `div` is Spark's integral division — no double roundtrip that
+    # could misfloor near 2^53 at extreme scale
+    phase = (
+        F.when(
+            F.col("rn") <= big, F.expr(f"(rn - 1) div {size + 1}")
+        )
+        .otherwise(rem + F.expr(f"(rn - 1 - {big}) div {max(size, 1)}"))
+        + 1
+    ).cast("int").alias("phase")
+    out = ranked.select("doc_id", "n_tok", "rn", phase)
+    # rank_in_phase = rn - (rows in earlier phases), again pure integer
+    start = F.when(
+        F.col("phase") <= rem, (F.col("phase") - 1) * (size + 1)
+    ).otherwise(big + (F.col("phase") - 1 - rem) * size)
+    result = out.select(
+        "doc_id",
+        "n_tok",
+        "phase",
+        (F.col("rn") - start).cast("bigint").alias("rank_in_phase"),
+    )
+    _CURRICULUM_CACHE[memo_key] = result
+    return result
 
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402

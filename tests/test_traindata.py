@@ -198,3 +198,29 @@ def test_corpus_mix_floor_semantics_with_half_fraction(spark, sf_dir, monkeypatc
     orows = [dict(zip(ocols, row)) for row in orc.fetchall()]
     cols = sorted(sdf.columns)
     assert fingerprint(srows, cols) == fingerprint(orows, cols)
+
+
+def test_curriculum_phases_balanced_and_ranks_contiguous(spark, sf_dir):
+    rows = Q["curriculum_schedule"](spark, sf_dir).collect()
+    assert rows
+    by_phase: dict[int, list] = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], []).append(r)
+    sizes = sorted(len(v) for v in by_phase.values())
+    assert set(by_phase) == {1, 2, 3, 4}
+    assert sizes[-1] - sizes[0] <= 1  # NTILE balance
+    for recs in by_phase.values():
+        ranks = sorted(r["rank_in_phase"] for r in recs)
+        assert ranks == list(range(1, len(recs) + 1))
+    # easy-to-hard: every phase-p doc is <= every phase-(p+1) doc
+    for p in (1, 2, 3):
+        assert max(r["n_tok"] for r in by_phase[p]) <= min(
+            r["n_tok"] for r in by_phase[p + 1]
+        )
+
+
+def test_curriculum_plan_has_no_window_node(spark, sf_dir):
+    from simplemapreduceframework_spark.plans import explain_str
+
+    plan = explain_str(Q["curriculum_schedule"](spark, sf_dir))
+    assert "Window" not in plan, plan
