@@ -41,14 +41,16 @@ def _terms_sql() -> str:
     return ", ".join(f"('{t}')" for t in _BM25_TERMS)
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """CTE chain ending in fused(doc_id, bm25) — shared verbatim by the
+    text_bm25 oracle and the hybrid_search_rrf oracle (the llmfilters
+    shared-CTE discipline)."""
     contrib = " + ".join(f"c_{t}" for t in _BM25_TERMS)
     pivots = ",\n           ".join(
         f"COALESCE(MAX(CASE WHEN term = '{t}' THEN c END), 0.0) AS c_{t}"
         for t in _BM25_TERMS
     )
-    return f"""
-WITH qterms(term) AS (VALUES {_terms_sql()}),
+    return f"""qterms(term) AS (VALUES {_terms_sql()}),
 tok AS (
     SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\w+')) AS word
     FROM documents
@@ -86,10 +88,16 @@ contrib AS (
 scored AS (
     SELECT doc_id, {pivots}
     FROM contrib GROUP BY doc_id
-)
-SELECT doc_id, ROUND({contrib}, 4) AS bm25
-FROM scored
-ORDER BY ROUND({contrib}, 4) DESC, doc_id ASC
+),
+bm AS (SELECT doc_id, ROUND({contrib}, 4) AS bm25 FROM scored)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_ctes()}
+SELECT doc_id, bm25
+FROM bm
+ORDER BY bm25 DESC, doc_id ASC
 LIMIT {_TOPK}
 """
 
@@ -111,6 +119,17 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition is not associative); see module docstring for the round-4
     ln() policy.
     """
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_TOPK)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document containing a query term —
+    the Spark twin of the `bm` CTE, shared by text_bm25 and
+    hybrid_search_rrf."""
     tok = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -177,8 +196,118 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"c_{t}") for t in _BM25_TERMS[1:]),
         F.col(f"c_{_BM25_TERMS[0]}"),
     )
-    return (
-        pivoted.select("doc_id", F.round(score, 4).alias("bm25"))
+    return pivoted.select("doc_id", F.round(score, 4).alias("bm25"))
+
+
+_FUSE_K = 50  # depth of each retrieval leg entering the fusion
+_RRF_K = 60  # the standard RRF dampening constant
+_DENSE_QUERY_ID = 0  # the fixed dense query: embedding of vec_id 0
+
+
+def _hybrid_oracle() -> str:
+    return f"""
+WITH {_bm25_ctes()},
+lex AS (
+    SELECT doc_id, bm25 FROM bm
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {_FUSE_K}
+),
+lexr AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+    FROM lex
+),
+nv AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE embedding IS NOT NULL)
+),
+dense AS (
+    SELECT c.vec_id AS doc_id,
+           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_sim
+    FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id = {_DENSE_QUERY_ID}
+    ORDER BY cos_sim DESC, c.vec_id ASC LIMIT {_FUSE_K}
+),
+denser AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS r_dense
+    FROM dense
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       l.r_lex AS lex_rank,
+       d.r_dense AS dense_rank,
+       COALESCE(1.0 / ({_RRF_K} + l.r_lex), 0.0)
+         + COALESCE(1.0 / ({_RRF_K} + d.r_dense), 0.0) AS rrf
+FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {_TOPK}
+"""
+
+
+@query("hybrid_search_rrf", oracle=_hybrid_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical leg
+    (fixed term query over documents) with the dense cosine leg (fixed
+    query vector over embeddings, doc_id = vec_id) — the
+    sparse-plus-dense ranking a RAG/search pipeline serves.
+
+    Each leg independently takes its top-50 as a TakeOrderedAndProject
+    (never a global sort), then ranks WITHIN that constant-50-row frame
+    (the single-partition window is over 50 rows by construction, not
+    data-sized). Fusion is a full outer join of two 50-row frames —
+    broadcast-trivial — and the RRF sum 1/(60+r) adds its two terms in
+    a fixed order, so every double matches the oracle bit-for-bit.
+    At 100 TB each leg scales as its own operator (text_bm25's
+    partial-agg pipeline; ann's bucketed index) while the fusion stays
+    constant-size.
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import dot_seq, with_norm
+
+    lex = (
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(_TOPK)
+        .limit(_FUSE_K)
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lexr = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("bigint").alias("r_lex")
+    )
+    emb = with_norm(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("e")
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == _DENSE_QUERY_ID).select(
+        F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != _DENSE_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot_seq(F.col("qe"), F.col("e"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        .limit(_FUSE_K)
+    )
+    w_dense = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    denser = dense.select(
+        "doc_id", F.row_number().over(w_dense).cast("bigint").alias("r_dense")
+    )
+    fused = lexr.join(denser, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("r_lex").alias("lex_rank"),
+        F.col("r_dense").alias("dense_rank"),
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_dense")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
+        _TOPK
     )

@@ -58,3 +58,19 @@ def test_bm25_plan_is_topk_not_global_sort(spark, sf_dir):
     df = Q["text_bm25"](spark, sf_dir)
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    rows = Q["hybrid_search_rrf"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= _TOPK
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # docs present in both legs outrank equal-rank single-leg docs;
+    # at least one fused doc should carry both ranks on this corpus
+    both = [r for r in rows if r["lex_rank"] and r["dense_rank"]]
+    assert both
+    for r in rows:
+        want = (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0
+        )
+        assert r["rrf"] == want
