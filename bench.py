@@ -75,6 +75,16 @@ HEADLINE = [
     "text_decontaminate",
     "pipeline_hygiene",
     "embedding_quantize",
+    # round 5 late additions — retrieval, linkage, time series, graph,
+    # robust stats, curriculum. Same cross-round comparison policy.
+    "text_bm25",
+    "hybrid_search_rrf",
+    "fuzzy_match_parts",
+    "events_resample_ffill",
+    "events_state_intervals",
+    "events_outlier_mad",
+    "graph_pagerank",
+    "curriculum_schedule",
 ]
 
 

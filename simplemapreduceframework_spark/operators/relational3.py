@@ -434,3 +434,44 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_MAD_SQL)
+
+
+# Data profiling: per-column statistics as one UNION ALL of per-column
+# aggregates, each a partial-aggregated scan — the ANALYZE TABLE /
+# data-catalog pass. Exact distinct counts here (each column its own
+# aggregate, so no multi-distinct Expand blowup); the 100 TB default
+# would flip to approx_count_distinct per the approx_distinct_gate
+# pattern. One SQL text, both engines; min/max rendered as strings so
+# every profiled type shares a schema.
+_PROFILE_COLS = ["l_returnflag", "l_shipdate", "l_quantity", "l_partkey"]
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("table_profile", oracle=_PROFILE_SQL)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the fact table: row count, null
+    count, exact distinct cardinality, and min/max per profiled column
+    — the statistics a catalog (or a CBO) maintains per table.
+
+    Each column profiles in its own aggregate branch (a UNION ALL arm
+    = one scan + one partial agg collapsing to a single row), so there
+    is no multi-distinct Expand multiplying the fact table by the
+    column count; Catalyst runs the arms as independent stages. At
+    100 TB the same shape holds with approx_count_distinct swapped in
+    (and column-group batching to share scans). Identical SQL text on
+    both engines; min/max stringified so heterogeneous column types
+    union cleanly.
+    """
+    register_views(spark, sf_dir)
+    # Spark renders dates/decimals identically to DuckDB under CAST AS
+    # STRING for these column types (date ISO format, plain decimal).
+    return spark.sql(_PROFILE_SQL.replace("AS VARCHAR", "AS STRING"))

@@ -187,3 +187,59 @@ def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.lead("valid_from").over(w2), fmt).alias("valid_to"),
         "n_events",
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+    FROM events
+)
+SELECT STRFTIME(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       (CAST(epoch(a.week) AS BIGINT) - CAST(epoch(f.cohort_week) AS BIGINT))
+           // 604800 AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN firsts f ON f.user_id = a.user_id
+GROUP BY f.cohort_week, week_offset
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each later week they return — the product-analytics triangle
+    every activity warehouse serves.
+
+    Shape at scale: both the first-touch aggregate and the distinct
+    weekly-activity set are partial-aggregated groupBys on user_id
+    (the SAME key, so AQE/co-partitioning reuses one exchange); the
+    cohort join is user-keyed and the final rollup is cohort x offset
+    (constant-size output). Week arithmetic is pure integer epoch
+    division — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                (
+                    F.unix_timestamp("week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / F.lit(604800)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

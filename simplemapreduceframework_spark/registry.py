@@ -78,6 +78,8 @@ CHECK_PRIORITY: list[str] = [
     "events_state_intervals",  # new: SCD-2 state history from events
     "curriculum_schedule",  # new: easy-to-hard curriculum phases, no Window
     "hybrid_search_rrf",  # new: BM25 + dense cosine reciprocal-rank fusion
+    "events_cohort_retention",  # new: weekly cohort retention triangle
+    "table_profile",  # new: per-column ANALYZE-style profiling
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
