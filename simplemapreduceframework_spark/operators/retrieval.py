@@ -311,3 +311,107 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
         _TOPK
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 30
+
+
+@query(
+    "text_pmi_pairs",
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS a
+    FROM documents
+),
+uni AS (
+    SELECT word, COUNT(*) AS n_w
+    FROM (SELECT UNNEST(a) AS word FROM toks)
+    GROUP BY word
+),
+n_uni AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n FROM uni),
+bi AS (
+    SELECT w1, w2, COUNT(*) AS n_ab
+    FROM (SELECT UNNEST(list_transform(range(1, GREATEST(LEN(a), 1)),
+                                       i -> struct_pack(w1 := a[i],
+                                                        w2 := a[i + 1])),
+                        recursive := true)
+          FROM toks)
+    GROUP BY w1, w2
+),
+n_bi AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM bi),
+scored AS (
+    SELECT b.w1, b.w2, b.n_ab,
+           ROUND(ln((CAST(b.n_ab AS DOUBLE) / nb.n)
+                    / ((CAST(u1.n_w AS DOUBLE) / nu.n)
+                       * (CAST(u2.n_w AS DOUBLE) / nu.n))), 4) AS pmi
+    FROM bi b
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2
+    CROSS JOIN n_bi nb CROSS JOIN n_uni nu
+    WHERE b.n_ab >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, n_ab, pmi
+FROM scored
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {_PMI_TOPK}
+""",
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent word pairs by pointwise mutual
+    information — the distributional-semantics statistic behind phrase
+    detection (word2vec preprocessing) and keyphrase extraction.
+
+    Shape at scale: bigram construction is ROW-LOCAL (a transform over
+    the token array — no positional self-join), so the plan is two
+    partial-aggregated groupBys (unigrams, bigrams) plus broadcast
+    joins of the vocabulary-sized unigram counts back onto the
+    min-count-filtered bigram table, finished by a TakeOrdered top-k.
+    Counts are all integers; PMI derives in one identical double
+    expression per engine with the module's round-4 ln() policy.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_regex(F.lower(F.col("text"))).alias("a")
+    )
+    uni = (
+        toks.select(F.explode("a").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_uni = uni.agg(F.sum("n_w").cast("bigint").alias("nu"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(a) - 1, 0)),"
+                    " i -> struct(a[i - 1] AS w1, a[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n_bi = bi.agg(F.sum("n_ab").cast("bigint").alias("nb"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n_w").alias("n_w2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") / F.col("nb"))
+            / (
+                (F.col("n_w1").cast("double") / F.col("nu"))
+                * (F.col("n_w2").cast("double") / F.col("nu"))
+            )
+        ),
+        4,
+    )
+    return (
+        bi.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select("w1", "w2", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(_PMI_TOPK)
+    )

@@ -80,6 +80,7 @@ CHECK_PRIORITY: list[str] = [
     "hybrid_search_rrf",  # new: BM25 + dense cosine reciprocal-rank fusion
     "events_cohort_retention",  # new: weekly cohort retention triangle
     "table_profile",  # new: per-column ANALYZE-style profiling
+    "text_pmi_pairs",  # new: adjacent-bigram PMI collocations
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
