@@ -127,6 +127,13 @@ def pagerank_fixed_point(
     """
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # constant scalar: graph node count
+    if n == 0:
+        # empty graph: no nodes, no ranks — return the empty frame with
+        # the contract schema instead of dividing the teleport by zero
+        empty = deg.select(
+            F.col("s").alias("node"), F.lit(0).cast("long").alias("r")
+        )
+        return empty, deg
     teleport = (_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN // n
     ranks = deg.select(
         F.col("s").alias("node"), F.lit(_SCALE // n).cast("long").alias("r")

@@ -289,9 +289,27 @@ def test_operators_on_empty_tables(spark, tmp_path):
         # or silently stream the wrong path (the round-5 layout-probe
         # regression class)
         "streaming_hygiene_live",
+        # round-5 late tier: retrieval, linkage, time series, graph,
+        # robust stats, curriculum, collocations
+        "text_bm25",
+        "hybrid_search_rrf",
+        "fuzzy_match_parts",
+        "events_resample_ffill",
+        "events_state_intervals",
+        "events_outlier_mad",
+        "events_cohort_retention",
+        "curriculum_schedule",
+        "graph_pagerank",
+        "text_pmi_pairs",
     ]:
         rows = registry.QUERIES[name](spark, empty_dir).collect()
         assert rows == [], (name, rows[:3])
+
+    # table_profile is the documented identity case: a profile of an
+    # empty table is one all-zero row per profiled column
+    prows = registry.QUERIES["table_profile"](spark, empty_dir).collect()
+    assert len(prows) == 4
+    assert all(r["n_rows"] == 0 and r["n_distinct"] == 0 for r in prows)
 
     # IVF is the documented exception: an index over nothing is
     # undefined, and the failure must be a clear driver-side error,
