@@ -382,9 +382,15 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = (
         toks.select(
             F.explode(
+                # the >= 2 guard matters: sequence(1, 0) in Spark is the
+                # DESCENDING [1, 0], which would fabricate two
+                # NULL-word bigrams per single-token doc and silently
+                # inflate the corpus bigram total
                 F.expr(
-                    "transform(sequence(1, greatest(size(a) - 1, 0)),"
-                    " i -> struct(a[i - 1] AS w1, a[i] AS w2))"
+                    "CASE WHEN size(a) >= 2 THEN "
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(a[i - 1] AS w1, a[i] AS w2)) "
+                    "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
                 )
             ).alias("p")
         )

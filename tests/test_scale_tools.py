@@ -372,6 +372,10 @@ def test_operators_with_null_text_rows(spark, tmp_path):
             "pipeline_chunked_corpus",
             "corpus_health_report",
             "dedup_winnow",
+            "text_bm25",
+            "text_pmi_pairs",
+            "curriculum_schedule",
+            "hybrid_search_rrf",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
