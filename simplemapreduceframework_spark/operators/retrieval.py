@@ -147,6 +147,16 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("word").alias("term"))
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_from_components(tf, dl, corpus)
+
+
+def _bm25_from_components(
+    tf: DataFrame, dl: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """BM25 scoring from its relational components — tf(doc_id, term,
+    tf), dl(doc_id, dl), corpus(n, avgdl) — shared by the scan path
+    (_bm25_scored) and the persisted-index path (search_text_index),
+    so both produce bit-identical scores."""
     # tf is unique per (doc_id, term): COUNT(*) is the document
     # frequency without countDistinct's extra expand + exchange.
     idf = (
@@ -421,3 +431,82 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(_PMI_TOPK)
     )
+
+
+# Persisted-text-index lifecycle (the build-once / search-many shape a
+# cluster runs for lexical retrieval — the BM25 twin of similarity.py's
+# build_ann_index): postings are PARTITIONED BY the leading word
+# character, so a term lookup prunes the scan to the probed partitions
+# exactly as the IVF search prunes to probed cells. At 100 TB the
+# partition key widens (2-3 chars or a hash bucket) to keep partitions
+# balanced; the lifecycle is key-width-agnostic.
+_TEXT_INDEX_DIR_CACHE: dict[tuple[str, str], str] = {}
+
+
+def build_text_index(docs: DataFrame, path: str) -> None:
+    """Materialize the inverted index for BM25 search at ``path``:
+    postings/(word, doc_id, tf) partitioned by the word's first
+    character, doclen/(doc_id, dl), stats/(n, avgdl) — everything
+    search_text_index needs without touching the corpus again."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_regex(F.lower(F.col("text")))).alias("word")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        tok.groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("p", F.substring("word", 1, 1))
+    )
+    postings.write.mode("overwrite").partitionBy("p").parquet(
+        f"{path}/postings"
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def search_text_index(
+    spark: SparkSession, path: str, terms: list[str], k: int = _TOPK
+) -> DataFrame:
+    """BM25 top-k over a persisted index: the postings scan prunes to
+    the partitions of the query terms' leading characters (partition
+    filter) plus a pushed word IN (...) filter — no corpus scan, no
+    tokenize. Scores are bit-identical to the scan path because both
+    feed the same _bm25_from_components expression tree."""
+    prefixes = sorted({t[:1] for t in terms})
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("p").isin(prefixes) & F.col("word").isin(list(terms)))
+        .select("doc_id", F.col("word").alias("term"), "tf")
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    corpus = spark.read.parquet(f"{path}/stats")
+    return (
+        _bm25_from_components(tf, dl, corpus)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+@query("text_bm25_indexed", oracle=_bm25_oracle())
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the persisted text-index lifecycle:
+    build_text_index writes postings/doclen/stats once per session,
+    then search_text_index answers the fixed query from the index
+    alone — and must hash-match the SAME oracle as the scan-path
+    text_bm25 (a full value gate, stronger than a recall bool: the
+    index roundtrip may not move a single score by one ulp)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _TEXT_INDEX_DIR_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="smrf_text_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_text_index(load_table(spark, sf_dir, "documents"), path)
+        _TEXT_INDEX_DIR_CACHE[key] = path
+    return search_text_index(spark, path, _BM25_TERMS, k=_TOPK)

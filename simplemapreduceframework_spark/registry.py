@@ -81,6 +81,7 @@ CHECK_PRIORITY: list[str] = [
     "events_cohort_retention",  # new: weekly cohort retention triangle
     "table_profile",  # new: per-column ANALYZE-style profiling
     "text_pmi_pairs",  # new: adjacent-bigram PMI collocations
+    "text_bm25_indexed",  # new: persisted inverted-index BM25, full value gate
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter

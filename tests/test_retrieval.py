@@ -74,3 +74,21 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
             1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0
         )
         assert r["rrf"] == want
+
+
+def test_indexed_bm25_equals_scan_path(spark, sf_dir):
+    scan = Q["text_bm25"](spark, sf_dir).collect()
+    idx = Q["text_bm25_indexed"](spark, sf_dir).collect()
+    key = lambda r: (r["doc_id"], r["bm25"])
+    assert sorted(map(key, scan)) == sorted(map(key, idx))
+
+
+def test_indexed_bm25_prunes_postings_partitions(spark, sf_dir):
+    plan = explain_str(Q["text_bm25_indexed"](spark, sf_dir))
+    # the postings scan must carry BOTH the partition filter on the
+    # leading-char key and the pushed word IN filter
+    assert "PartitionFilters: [" in plan
+    scan_lines = [
+        l for l in plan.splitlines() if "postings" in l or "p#" in l
+    ]
+    assert any("p#" in l and "IN" in l for l in plan.splitlines()), plan
