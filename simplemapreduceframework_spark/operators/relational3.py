@@ -475,3 +475,42 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark renders dates/decimals identically to DuckDB under CAST AS
     # STRING for these column types (date ISO format, plain decimal).
     return spark.sql(_PROFILE_SQL.replace("AS VARCHAR", "AS STRING"))
+
+
+_Q39_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2)))
+            AS DOUBLE) AS volume,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name IN ('NATION_18', 'NATION_19')
+  AND cn.n_name IN ('NATION_18', 'NATION_19')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, o_year
+"""
+
+
+@query("q39_nation_volume", oracle=_Q39_SQL)
+def q39_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation shipping volume (TPC-H Q7 shape): revenue flowing
+    between two chosen nations, by direction and order year — the
+    two-aliases-of-one-dimension pattern (nation joins the fact twice,
+    once through supplier, once through customer).
+
+    Shape at scale: supplier, customer, and both nation aliases are
+    broadcast (the nation IN-filters prune each alias before its
+    broadcast builds, and Catalyst pushes the derived supplier/customer
+    key sets down); the only fact-scale exchange is orders<->lineitem
+    on the order key. Decimal revenue sums are order-independent.
+    Identical SQL text runs on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q39_SQL)
