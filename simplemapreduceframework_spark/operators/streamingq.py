@@ -419,3 +419,46 @@ def streaming_decontaminate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_stream(spark, sf_dir, "documents")
     out = decontaminate_row_local(docs, bench)
     return run_available_now(out, spark, output_mode="append")
+
+
+@query(
+    "streaming_enrich_live",
+    oracle="""
+SELECT e.event_id, e.event_type, e.value, n.n_name AS user_nation
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+""",
+)
+def streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the LIVE event stream joined at ingest
+    to static dimension tables (customer -> nation) — the classic
+    enrich-on-the-wire shape (clickstream + user profile). The static
+    side is a broadcast hash join rebuilt per micro-batch; the stream
+    side carries NO state (append mode, no watermark needed for a
+    stateless join), so throughput is wire-speed at any scale and the
+    dimension refreshes by re-reading the static table.
+
+    Gated against the equivalent batch join oracle: static input +
+    append mode => streaming equals batch row-for-row.
+    """
+    from ..streaming import read_events_stream, run_available_now
+
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    enriched = (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("n_name").alias("user_nation"),
+        )
+    )
+    return run_available_now(enriched, spark, output_mode="append")
