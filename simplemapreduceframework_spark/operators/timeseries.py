@@ -47,7 +47,7 @@ grid AS (
     FROM bounds
 )
 SELECT g.event_type,
-       g.h AS hour,
+       STRFTIME(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
        COALESCE(hy.n, 0) AS n_events,
        hy.n IS NULL AS is_gap,
        last_value(hy.sv IGNORE NULLS)
@@ -101,7 +101,10 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(F.broadcast(hourly), ["event_type", "h"], "left")
         .select(
             "event_type",
-            F.col("h").alias("hour"),
+            # format to a string: a raw timestamp column would collect
+            # in the CLIENT's local timezone (the TZ stress probe's
+            # failure mode); every timestamp-emitting query formats
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
             F.col("n").isNull().alias("is_gap"),
             F.last("sv", ignorenulls=True).over(w).alias("sum_value_ffill"),

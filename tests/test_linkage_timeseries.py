@@ -55,7 +55,10 @@ def test_resample_grid_is_dense_per_type(spark, sf_dir):
         by_type.setdefault(r["event_type"], []).append(r)
     assert by_type
     for recs in by_type.values():
-        hours = sorted(r["hour"] for r in recs)
+        hours = sorted(
+            dt.datetime.strptime(r["hour"], "%Y-%m-%d %H:%M:%S")
+            for r in recs
+        )
         span = int((hours[-1] - hours[0]).total_seconds() // 3600) + 1
         assert len(hours) == span  # no missing grid point
         assert len(set(hours)) == len(hours)  # no duplicates
@@ -79,7 +82,7 @@ def test_resample_ffill_carries_last_observation(spark, sf_dir):
     for r in rows:
         by_type.setdefault(r["event_type"], []).append(r)
     for recs in by_type.values():
-        recs.sort(key=lambda r: r["hour"])
+        recs.sort(key=lambda r: r["hour"])  # ISO strings sort correctly
         last = None
         for r in recs:
             if not r["is_gap"]:
