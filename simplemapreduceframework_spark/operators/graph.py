@@ -31,12 +31,11 @@ _SCALE = 10**12
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 _ITERS = 3
 
-# Co-supply edge sets, persisted + memoized per (application, sf_dir):
-# every unrolled iteration joins the edge set, so without a persist the
-# fact-scale derivation (distinct + self-join on the order key) would
-# rerun once per iteration — same shared-state discipline as
-# textanalysis._VOCAB_CACHE.
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Memoized final PageRank frame per (application, sf_dir): the helper
+# persists its degree-annotated edge set, so repeated invocations
+# (bench passes, gates) must reuse ONE result rather than re-persist —
+# same shared-state discipline as textanalysis._VOCAB_CACHE.
+_PAGERANK_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _pagerank_oracle() -> str:
@@ -94,25 +93,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state, same policy as dedup.py's corpus scalar).
     """
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _EDGE_CACHE:
-        li = load_table(spark, sf_dir, "lineitem")
-        pairs = li.select("l_orderkey", "l_suppkey").distinct()
-        a = pairs.select("l_orderkey", F.col("l_suppkey").alias("s"))
-        b = pairs.select("l_orderkey", F.col("l_suppkey").alias("d"))
-        _EDGE_CACHE[key] = (
-            a.join(b, "l_orderkey")
-            .filter(F.col("s") != F.col("d"))
-            .select("s", "d")
-            .distinct()
-            .persist()
-        )
-    edges = _EDGE_CACHE[key]
+    if key in _PAGERANK_CACHE:
+        return _PAGERANK_CACHE[key]
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    a = pairs.select("l_orderkey", F.col("l_suppkey").alias("s"))
+    b = pairs.select("l_orderkey", F.col("l_suppkey").alias("d"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("s") != F.col("d"))
+        .select("s", "d")
+        .distinct()
+    )
     ranks, deg = pagerank_fixed_point(edges, iters=_ITERS)
-    return ranks.join(deg, ranks.node == deg.s).select(
+    out = ranks.join(deg, ranks.node == deg.s).select(
         F.col("node").alias("s_suppkey"),
         F.col("r").alias("rank_fp"),
         F.col("deg").alias("degree"),
     )
+    _PAGERANK_CACHE[key] = out
+    return out
 
 
 def pagerank_fixed_point(
@@ -125,8 +125,14 @@ def pagerank_fixed_point(
     each have at least one outgoing AND one incoming edge (true for
     any undirected edge set); dangling-node mass is out of contract.
     """
+    # Degree-annotated edges persist ONCE: every iteration re-reads the
+    # (s, d, deg) frame from executor storage instead of recomputing
+    # the edge derivation + degree groupBy per unrolled step. Callers
+    # invoking repeatedly should memoize the result (see
+    # _PAGERANK_CACHE) so one persist serves the session.
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.count()  # constant scalar: graph node count
+    edges_deg = edges.join(deg, "s").select("s", "d", "deg").persist()
+    n = edges_deg.select("s").distinct().count()  # graph node count
     if n == 0:
         # empty graph: no nodes, no ranks — return the empty frame with
         # the contract schema instead of dividing the teleport by zero
@@ -140,8 +146,7 @@ def pagerank_fixed_point(
     )
     for _ in range(iters):
         contrib = (
-            edges.join(deg, "s")
-            .join(ranks, F.col("s") == F.col("node"))
+            edges_deg.join(ranks, F.col("s") == F.col("node"))
             .select("d", F.expr("r div deg").alias("c"))
         )
         ranks = contrib.groupBy("d").agg(
