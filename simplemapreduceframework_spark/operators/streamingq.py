@@ -462,3 +462,72 @@ def streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(enriched, spark, output_mode="append")
+
+
+@query(
+    "events_range_join_bucketed",
+    oracle="""
+SELECT e.event_id AS error_id,
+       p.event_id AS purchase_id,
+       e.user_id,
+       CAST(EXTRACT(EPOCH FROM e.ts - p.ts) AS DOUBLE) AS seconds_before_error,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts >= e.ts - INTERVAL 30 MINUTE
+ AND p.ts <= e.ts
+""",
+)
+def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB formulation of events_range_join (same oracle, same
+    rows): widen the equi-key with a coarse 30-minute time bucket so
+    the shuffle co-partitions by (user_id, bucket), not user_id alone.
+
+    A plain user-keyed range join funnels a power user's entire history
+    through one reducer and compares every error x purchase pair in it;
+    bucketing bounds each task's comparisons to two bucket-widths of
+    data. Because the probe interval [ts-30m, ts] spans exactly two
+    30-minute buckets, each error row expands to 2 bucket keys (a
+    bounded, constant-factor explode on the SMALLER filtered side) and
+    every qualifying purchase matches on exactly one of them — no
+    duplicates, no post-dedup. The exact interval predicate still
+    applies after the join; only its search space shrank.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_micros(F.col("ts")) / F.lit(1_800_000_000)).cast("long")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("ets"),
+            bucket.alias("eb"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("eb") - 1, F.col("eb"))))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+        bucket.alias("p_bucket"),
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("bucket") == F.col("p_bucket"))
+        & (F.col("pts") >= F.col("ets") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("pts") <= F.col("ets")),
+    )
+    secs = (
+        (F.unix_micros("ets") - F.unix_micros("pts")).cast("double")
+        / 1_000_000.0
+    )
+    return joined.select(
+        "error_id",
+        "purchase_id",
+        "user_id",
+        secs.alias("seconds_before_error"),
+        "purchase_value",
+    )

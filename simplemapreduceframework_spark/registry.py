@@ -84,6 +84,7 @@ CHECK_PRIORITY: list[str] = [
     "text_bm25_indexed",  # new: persisted inverted-index BM25, full value gate
     "q39_nation_volume",  # new: TPC-H Q7-shape double nation alias
     "streaming_enrich_live",  # new: stream-static broadcast enrichment
+    "events_range_join_bucketed",  # new: (user, bucket)-co-partitioned range join
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
