@@ -531,3 +531,42 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         secs.alias("seconds_before_error"),
         "purchase_value",
     )
+
+
+@query(
+    "streaming_stateful_totals_live",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))) AS BIGINT)
+           AS total_cents
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_stateful_totals_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSTOM stateful streaming (applyInPandasWithState) under the
+    driver gate: per-user running totals folded in Arrow batches with
+    two integers of state per user, run with availableNow in update
+    mode. The memory sink accumulates one emission per (user, batch);
+    the final state per user is the row with the max running count
+    (n_events is strictly monotone per user), which must equal the
+    batch COUNT/SUM oracle exactly — the integer-cents state makes the
+    total independent of micro-batch boundaries, so this is a full
+    value gate over an arbitrary-state operator.
+    """
+    from ..streaming import read_events_stream, run_available_now
+    from ..streaming.stateful import running_user_totals_exact
+
+    events = read_events_stream(spark, sf_dir)
+    updates = run_available_now(
+        running_user_totals_exact(events), spark, output_mode="update"
+    )
+    final = F.max(F.struct("n_events", "total_cents")).alias("m")
+    return updates.groupBy("user_id").agg(final).select(
+        "user_id",
+        F.col("m.n_events").alias("n_events"),
+        F.col("m.total_cents").alias("total_cents"),
+    )

@@ -124,3 +124,49 @@ except ImportError:  # pragma: no cover - older Spark without the API
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)
+
+
+EXACT_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
+EXACT_STATE_SCHEMA = "n bigint, cents bigint"
+
+
+def _update_user_totals_exact(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Integer-cents running totals: the hash-gateable form. Values are
+    2-decimal currency, so round(value*100) is an exact integer and the
+    state folds with INTEGER addition — batch boundaries and arrival
+    order cannot move the result by an ulp (a float accumulator would
+    make the emitted totals depend on micro-batch splits)."""
+    if state.exists:
+        n, cents = state.get
+    else:
+        n, cents = 0, 0
+    for pdf in batches:
+        n += len(pdf)
+        if len(pdf):
+            cents += int(
+                (pdf["value"] * 100).round().astype("int64").sum()
+            )
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def running_user_totals_exact(events: DataFrame) -> DataFrame:
+    """Stateful running (count, integer-cents sum) per user — the
+    deterministic twin of running_user_totals used by the driver gate."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals_exact,
+            outputStructType=EXACT_OUTPUT_SCHEMA,
+            stateStructType=EXACT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
