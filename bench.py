@@ -85,6 +85,12 @@ HEADLINE = [
     "events_outlier_mad",
     "graph_pagerank",
     "curriculum_schedule",
+    "text_pmi_pairs",
+    "text_bm25_indexed",
+    "events_cohort_retention",
+    "table_profile",
+    "q39_nation_volume",
+    "events_range_join_bucketed",
 ]
 
 
