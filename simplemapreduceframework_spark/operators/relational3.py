@@ -514,3 +514,36 @@ def q39_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q39_SQL)
+
+
+_Q40_SQL = """
+SELECT o_custkey, o_orderkey,
+       PERCENT_RANK() OVER wp AS price_pct_rank,
+       CUME_DIST() OVER wp AS price_cume_dist,
+       FIRST_VALUE(o_orderkey) OVER wf AS cheapest_order,
+       LAST_VALUE(o_orderkey) OVER wf AS priciest_order,
+       NTH_VALUE(o_orderkey, 2) OVER wf AS second_cheapest_order
+FROM orders
+WHERE o_custkey % 20 = 0
+WINDOW wp AS (PARTITION BY o_custkey
+              ORDER BY o_totalprice ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_custkey
+              ORDER BY o_totalprice ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("q40_window_distribution", oracle=_Q40_SQL)
+def q40_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-function window gauntlet: PERCENT_RANK, CUME_DIST,
+    FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit unbounded
+    frame — the window family q20_window_suite doesn't cover.
+
+    Both distribution functions are ratios of the SAME integers
+    ((rank-1)/(n-1), rows<=current/n) so the doubles match DuckDB
+    bit-for-bit; the value functions pick actual o_orderkey values
+    under a tie-broken total order. All windows share one partition
+    key -> one exchange + sort. Identical SQL text on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q40_SQL)

@@ -86,6 +86,7 @@ CHECK_PRIORITY: list[str] = [
     "streaming_enrich_live",  # new: stream-static broadcast enrichment
     "events_range_join_bucketed",  # new: (user, bucket)-co-partitioned range join
     "streaming_stateful_totals_live",  # new: applyInPandasWithState, full value gate
+    "q40_window_distribution",  # new: percent_rank/cume_dist/nth_value gauntlet
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
