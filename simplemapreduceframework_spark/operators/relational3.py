@@ -547,3 +547,39 @@ def q40_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q40_SQL)
+
+
+_SKEW_COLS = ["l_returnflag", "l_suppkey", "l_partkey", "l_quantity"]
+_SKEW_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       t.n_rows,
+       m.top_value,
+       m.top_count,
+       CAST(m.top_count AS DOUBLE) / t.n_rows AS top_share
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem) t
+CROSS JOIN (
+    SELECT CAST({c} AS VARCHAR) AS top_value,
+           CAST(COUNT(*) AS BIGINT) AS top_count
+    FROM lineitem GROUP BY {c}
+    ORDER BY top_count DESC, top_value ASC LIMIT 1
+) m"""
+    for c in _SKEW_COLS
+)
+
+
+@query("table_skew_report", oracle=_SKEW_SQL)
+def table_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew report: each grouping candidate column's most
+    frequent value and its share of the table — the statistic that
+    decides between a plain groupBy, AQE skew handling, and the salted
+    two-stage aggregate (skewed_agg_salted): l_returnflag's top share
+    is ~1/3 (salt it), l_partkey's is ~1/|parts| (don't).
+
+    Each UNION ALL arm is one partial-aggregated groupBy collapsing to
+    a single TakeOrdered row plus a count — never a global sort; at
+    100 TB the same report runs with approx top-k (CMS heavy hitters)
+    per the cms_heavy_hitters pattern. Ratios divide identical
+    integers. Identical SQL text on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SKEW_SQL.replace("AS VARCHAR", "AS STRING"))

@@ -87,6 +87,7 @@ CHECK_PRIORITY: list[str] = [
     "events_range_join_bucketed",  # new: (user, bucket)-co-partitioned range join
     "streaming_stateful_totals_live",  # new: applyInPandasWithState, full value gate
     "q40_window_distribution",  # new: percent_rank/cume_dist/nth_value gauntlet
+    "table_skew_report",  # new: hot-key share report feeding the salting decision
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
