@@ -797,3 +797,84 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_contaminated",
         )
     )
+
+
+# Fixed model weights for the linear quality classifier — the shape of
+# a fasttext-style quality scorer with the training done offline; the
+# engine's job is the distributed SCORING pass. Literals shared with
+# the oracle.
+_QC_W = {"stop_r": 10.0, "alpha_r": 4.0, "tok_d": 6.0, "bias": -5.0}
+
+
+@query(
+    "text_quality_classifier",
+    oracle=rf"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '\w+')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS tok_d,
+           CAST(LEN(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE)
+               / GREATEST(LEN(regexp_extract_all(text, '\w+')), 1) AS stop_r,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS alpha_r
+    FROM documents
+)
+SELECT doc_id,
+       (({_QC_W['stop_r']} * stop_r + {_QC_W['alpha_r']} * alpha_r)
+         + {_QC_W['tok_d']} * tok_d) + {_QC_W['bias']} AS margin,
+       ROUND(1.0 / (1.0 + exp(-((({_QC_W['stop_r']} * stop_r
+             + {_QC_W['alpha_r']} * alpha_r)
+             + {_QC_W['tok_d']} * tok_d) + {_QC_W['bias']}))), 4) AS score,
+       (({_QC_W['stop_r']} * stop_r + {_QC_W['alpha_r']} * alpha_r)
+         + {_QC_W['tok_d']} * tok_d) + {_QC_W['bias']} > 0.0 AS keep
+FROM f
+""",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight linear classifier
+    (fasttext-quality shape, trained offline) scored distributedly —
+    margin, sigmoid probability, and the keep verdict per document.
+
+    Determinism: the features are ratios of identical integers, the
+    margin is a FIXED-ORDER linear expression of them (bit-exact on
+    both engines), and the keep flag compares that exact margin to
+    zero — so classification is hash-gateable with no tolerance. Only
+    the sigmoid touches a transcendental (exp); it rounds to 4
+    decimals under the module's ulp policy. Row-local -> zero
+    shuffles, embarrassingly parallel at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        (
+            F.size(tokens_regex("text")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("tok_d"),
+        (
+            F.size(
+                F.regexp_extract_all(
+                    "text", F.lit(r"\b(the|a|of|and|to)\b"), 0
+                )
+            ).cast("double")
+            / F.greatest(F.size(tokens_regex("text")), F.lit(1))
+        ).alias("stop_r"),
+        (
+            F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), 0)).cast(
+                "double"
+            )
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("alpha_r"),
+    )
+    margin = (
+        (
+            _QC_W["stop_r"] * F.col("stop_r")
+            + _QC_W["alpha_r"] * F.col("alpha_r")
+        )
+        + _QC_W["tok_d"] * F.col("tok_d")
+    ) + _QC_W["bias"]
+    return f.select(
+        "doc_id",
+        margin.alias("margin"),
+        F.round(1.0 / (1.0 + F.exp(-margin)), 4).alias("score"),
+        (margin > 0.0).alias("keep"),
+    )
