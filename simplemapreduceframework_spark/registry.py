@@ -89,6 +89,7 @@ CHECK_PRIORITY: list[str] = [
     "q40_window_distribution",  # new: percent_rank/cume_dist/nth_value gauntlet
     "table_skew_report",  # new: hot-key share report feeding the salting decision
     "text_quality_classifier",  # new: fixed-weight linear quality model scoring
+    "text_bm25_batch",  # new: multi-query BM25 from one corpus pass
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
