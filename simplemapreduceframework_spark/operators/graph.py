@@ -158,3 +158,92 @@ def pagerank_fixed_point(
             .alias("r")
         ).select(F.col("d").alias("node"), "r")
     return ranks, deg
+
+
+_BASKET_MIN_PAIR = 3
+_BASKET_TOPK = 25
+
+
+@query(
+    "basket_part_pairs",
+    oracle=f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+isup AS (SELECT l_partkey, COUNT(*) AS n_i FROM items GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       CAST(p.n_ab AS DOUBLE) / o.n AS support,
+       (CAST(p.n_ab AS DOUBLE) * o.n)
+           / (CAST(ia.n_i AS DOUBLE) * ib.n_i) AS lift
+FROM pairs p
+JOIN isup ia ON ia.l_partkey = p.part_a
+JOIN isup ib ON ib.l_partkey = p.part_b
+CROSS JOIN n_orders o
+WHERE p.n_ab >= {_BASKET_MIN_PAIR}
+ORDER BY (CAST(p.n_ab AS DOUBLE) * o.n)
+           / (CAST(ia.n_i AS DOUBLE) * ib.n_i) DESC,
+         p.part_a ASC, p.part_b ASC
+LIMIT {_BASKET_TOPK}
+""",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: part pairs bought together more often
+    than chance — top pairs by lift with support, the co-purchase
+    statistic behind "frequently bought together".
+
+    Shape at scale: baskets collapse to DISTINCT (order, part) first;
+    the pair join is per-order (quadratic only in basket width, which
+    is small and bounded — the same reason the co-supply PageRank edge
+    derivation scales); item supports are a dimension-sized aggregate
+    broadcast back; final ranking is a TakeOrdered top-k. All counts
+    integer; support and lift are single-expression doubles over
+    identical operands — engine-exact, no transcendentals.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
+    )
+    ia = isup.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_i").alias("n_a")
+    )
+    ib = isup.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_i").alias("n_b")
+    )
+    lift = (F.col("n_ab").cast("double") * F.col("n")) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n")).alias("support"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(_BASKET_TOPK)
+    )

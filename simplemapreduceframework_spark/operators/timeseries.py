@@ -246,3 +246,60 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_trend_slope",
+    oracle="""
+WITH m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS sx,
+           SUM((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600)
+               * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600)) AS sxx,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+           SUM((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600)
+               * CAST(value AS DECIMAL(18,2))) AS sxy
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope_per_hour
+FROM m
+""",
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: the slope of metric value over
+    time (units: value per hour) for each event type — the drift
+    detector a metrics pipeline fits continuously.
+
+    Numeric policy: x is INTEGER hours (FLOOR(epoch) div 3600 — the
+    explicit FLOOR matters: a bare DuckDB double->bigint cast ROUNDS
+    sub-second timestamps up while Spark's unix_timestamp truncates,
+    the corpus_mix_weighted gotcha), y is the
+    DECIMAL(18,2) value, so all five regression moments (n, Sx, Sxx,
+    Sy, Sxy) are integer/decimal sums — order-independent, exact, and
+    bounded (hours^2 ~ 2e11 stays far inside decimal(38) even with
+    trillions of rows). The slope divides two exactly-computed values
+    in one double division — engine-exact. ONE partial-aggregated
+    groupBy over the fact scan; constant output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600")
+    y = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return m.select(
+        "event_type", "n", (num / den).cast("double").alias("slope_per_hour")
+    )

@@ -90,6 +90,8 @@ CHECK_PRIORITY: list[str] = [
     "table_skew_report",  # new: hot-key share report feeding the salting decision
     "text_quality_classifier",  # new: fixed-weight linear quality model scoring
     "text_bm25_batch",  # new: multi-query BM25 from one corpus pass
+    "basket_part_pairs",  # new: market-basket support/lift pairs
+    "events_trend_slope",  # new: exact-moment least-squares drift
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
