@@ -81,3 +81,24 @@ def test_cosupply_pagerank_mass_and_shape(spark, sf_dir):
     assert total <= _SCALE
     n_edges = sum(r["degree"] for r in rows)
     assert total >= _SCALE - _ITERS * (n_edges + len(rows) + _DAMP_DEN)
+
+
+def test_pagerank_random_graphs_property(spark):
+    """Property: the distributed fixed-point loop matches the plain-
+    Python reference on random undirected graphs (5 seeds, varying
+    density) — every node's 1e-12-unit rank, exactly."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        n = rng.randrange(4, 12)
+        base = {(a, b) for a in range(n) for b in range(n) if a < b}
+        keep = {e for e in base if rng.random() < 0.5}
+        # ensure no isolated node: chain everything once
+        keep |= {(i, i + 1) for i in range(n - 1)}
+        both = [(s, d) for s, d in keep] + [(d, s) for s, d in keep]
+        edges = spark.createDataFrame(both, "s long, d long")
+        ranks, _ = pagerank_fixed_point(edges, iters=_ITERS)
+        got = {r["node"]: r["r"] for r in ranks.collect()}
+        want = _reference_pagerank(both, _ITERS)
+        assert got == want, (seed, got, want)
