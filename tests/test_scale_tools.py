@@ -411,7 +411,12 @@ def test_operators_with_null_embedding_rows(spark, tmp_path):
         df.write.parquet(f"{nd}/{t}.parquet")
     con = duckdb_connection(nd)
     try:
-        for name in ["ann_cosine_topk", "ann_lsh_bucketed", "dedup_embedding_cosine"]:
+        for name in [
+            "ann_cosine_topk",
+            "ann_lsh_bucketed",
+            "dedup_embedding_cosine",
+            "hybrid_search_rrf",
+        ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
             )
