@@ -141,6 +141,54 @@ SHOWCASE = [
         "chunk counts are integer arithmetic, each chunk a row-local "
         "array slice — no shuffle at any scale.",
     ),
+    (
+        "text_bm25",
+        "BM25: one tokenize-explode feeds doc-length agg and "
+        "term-pruned postings; idf broadcasts back; ranking is "
+        "TakeOrderedAndProject — never a global sort.",
+    ),
+    (
+        "text_bm25_indexed",
+        "Persisted inverted index: the postings scan prunes to the "
+        "query terms' leading-char PARTITIONS (PartitionFilters) plus "
+        "a pushed word IN filter — no corpus scan, no tokenize.",
+    ),
+    (
+        "curriculum_schedule",
+        "Global NTILE without a Window node: range-partitioned sort + "
+        "monotonic-id prefix-sum ranking, phase/rank derived by "
+        "integer arithmetic — no single-partition funnel anywhere.",
+    ),
+    (
+        "graph_pagerank",
+        "Fixed-point PageRank: degree-annotated edges persist once "
+        "(InMemoryTableScan per iteration); each unrolled step is one "
+        "equi-join + one partial-aggregated groupBy.",
+    ),
+    (
+        "events_resample_ffill",
+        "Dense-grid resample: hourly rollup is the only fact-scale "
+        "exchange; the grid explode is dimension-sized and the rollup "
+        "BROADCASTS under it; forward fill reuses the window sort.",
+    ),
+    (
+        "events_range_join_bucketed",
+        "Range join co-partitioned on (user, 30-min bucket): the join "
+        "keys include the bucket, bounding each task's comparisons to "
+        "two bucket widths regardless of per-user history length.",
+    ),
+    (
+        "fuzzy_match_parts",
+        "Record linkage: the part table collapses to DISTINCT names "
+        "BEFORE the quadratic step; the self-join is one hash "
+        "equi-join on the blocking noun.",
+    ),
+    (
+        "events_outlier_mad",
+        "MAD outliers: two per-type percentile_disc aggregates "
+        "broadcast back onto the fact scan — no hot-key window, the "
+        "fact table is scanned, not shuffled.",
+    ),
 ]
 
 
