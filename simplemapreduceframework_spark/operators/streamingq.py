@@ -28,6 +28,7 @@ SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM events
+WHERE ts IS NOT NULL  -- window() drops NULL event time
 GROUP BY date_trunc('hour', ts), event_type
 """,
 )
@@ -71,6 +72,7 @@ WITH w AS (
            make_timestamp(CAST((FLOOR(epoch(ts) / 1800) * 1800 - off) * 1000000 AS BIGINT)) AS wstart,
            ts
     FROM events e CROSS JOIN (SELECT UNNEST([0, 1800]) AS off) o
+    WHERE ts IS NOT NULL  -- window() drops NULL event time
 )
 SELECT STRFTIME(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n_events,
@@ -109,6 +111,7 @@ WITH marked AS (
                   OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
+    WHERE ts IS NOT NULL  -- session_window() drops NULL event time
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -315,6 +318,7 @@ SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL  -- window() drops NULL event time
 GROUP BY date_trunc('hour', ts), event_type
 """,
 )

@@ -442,3 +442,51 @@ def test_new_session_gets_its_own_views_and_scans(spark):
     assert sib.sql("SELECT COUNT(*) FROM nation").collect()[0][0] > 0
     df = load_table(sib, sf, "nation")
     assert df.sparkSession is sib
+
+
+def test_operators_with_null_event_rows(spark, tmp_path):
+    """A NULL-ridden event row (NULL ts/user/type/value) must neither
+    crash the events tier nor diverge from the oracle: Spark's
+    window()/session_window() DROP NULL event time, so the windowed
+    oracles filter ts IS NOT NULL to pin that contract; the rest of
+    the tier handles the row under plain SQL NULL semantics."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+    from simplemapreduceframework_spark.testing import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_null_events")
+    os.makedirs(nd, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "events":
+            null_ev = spark.createDataFrame(
+                [(999999, None, None, None, None, None)], df.schema
+            )
+            df = df.unionByName(null_ev)
+        df.write.parquet(f"{nd}/{t}.parquet")
+    con = duckdb_connection(nd)
+    try:
+        for name in [
+            "events_tumbling_1h",
+            "events_sliding_1h_30m",
+            "events_session_10m",
+            "events_outlier_mad",
+            "events_outlier_zscore",
+            "events_cohort_retention",
+            "events_state_intervals",
+            "events_resample_ffill",
+            "events_trend_slope",
+        ]:
+            problems = compare_query(
+                spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
+            )
+            assert not problems, (name, problems)
+    finally:
+        con.close()
