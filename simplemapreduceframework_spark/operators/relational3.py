@@ -583,3 +583,40 @@ def table_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_SKEW_SQL.replace("AS VARCHAR", "AS STRING"))
+
+
+_Q41_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2)))
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q41_top_supplier", oracle=_Q41_SQL)
+def q41_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): an
+    aggregate view consumed twice — once joined to the dimension, once
+    reduced to a global scalar MAX that filters it.
+
+    Catalyst plans the scalar subquery as a one-row subquery reuse
+    (the revenue aggregate computes once under AQE exchange reuse, not
+    twice); revenue sums are DECIMAL so the MAX-equality filter
+    compares exact values, never float-rounded ones — the classic Q15
+    trap where a double revenue makes "equal to max" nondeterministic.
+    The only fact-scale exchange is the groupBy on l_suppkey; the
+    supplier dimension broadcasts. Identical SQL text on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q41_SQL)
