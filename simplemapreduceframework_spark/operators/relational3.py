@@ -620,3 +620,79 @@ def q41_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q41_SQL)
+
+
+# RFM segmentation: one SQL text, both engines. Quartile thresholds are
+# three DISCRETE percentiles per metric (scalar subqueries -> broadcast
+# one-row frame), and each customer's scores are row-local comparisons
+# against them — the scale-correct alternative to a global NTILE
+# window (which would funnel every customer through one task; compare
+# curriculum_schedule's ranking note). percentile_disc returns DOUBLE
+# in Spark, so each threshold re-pins to its exact integral/decimal
+# type, the events_outlier_mad discipline.
+_RFM_SQL = """
+WITH base AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+),
+refd AS (SELECT MAX(last_order) AS ref FROM base),
+rfm AS (
+    SELECT b.o_custkey, b.frequency, b.monetary,
+           (CAST(FLOOR(epoch(r.ref)) AS BIGINT)
+            - CAST(FLOOR(epoch(b.last_order)) AS BIGINT)) // 86400
+               AS recency_days
+    FROM base b CROSS JOIN refd r
+),
+q AS (
+    SELECT
+      CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS BIGINT) AS r1,
+      CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days) AS BIGINT) AS r2,
+      CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS BIGINT) AS r3,
+      CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS BIGINT) AS f1,
+      CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency) AS BIGINT) AS f2,
+      CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS BIGINT) AS f3,
+      CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary) AS DECIMAL(18,2)) AS m1,
+      CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary) AS DECIMAL(18,2)) AS m2,
+      CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary) AS DECIMAL(18,2)) AS m3
+    FROM rfm
+)
+SELECT rfm.o_custkey,
+       rfm.recency_days, rfm.frequency,
+       CAST(rfm.monetary AS DOUBLE) AS monetary,
+       -- recency scores high when RECENT: invert the bucket
+       4 - (CAST(rfm.recency_days > q.r1 AS INT)
+            + CAST(rfm.recency_days > q.r2 AS INT)
+            + CAST(rfm.recency_days > q.r3 AS INT)) AS r_score,
+       1 + CAST(rfm.frequency > q.f1 AS INT)
+         + CAST(rfm.frequency > q.f2 AS INT)
+         + CAST(rfm.frequency > q.f3 AS INT) AS f_score,
+       1 + CAST(rfm.monetary > q.m1 AS INT)
+         + CAST(rfm.monetary > q.m2 AS INT)
+         + CAST(rfm.monetary > q.m3 AS INT) AS m_score
+FROM rfm CROSS JOIN q
+"""
+
+
+@query("customer_rfm_segments", oracle=_RFM_SQL)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-4 on recency,
+    frequency, and monetary value against corpus quartiles — the
+    marketing-analytics workload every activity warehouse runs.
+
+    Shape at scale: the per-customer rollup is one partial-aggregated
+    groupBy; the nine quartile thresholds collapse to a single row
+    that CROSS JOINs (broadcasts) back onto the customer frame, where
+    scoring is row-local integer comparisons — no global NTILE window,
+    no per-metric sort of the full table beyond the three in-group
+    percentile sorts. Recency is integer epoch-day arithmetic with the
+    explicit FLOOR (DuckDB double->bigint casts round, Spark
+    truncates). Identical SQL text on both engines.
+    """
+    register_views(spark, sf_dir)
+    # dialect shims: DuckDB's epoch()/'//' -> Spark's unix_timestamp()/div
+    return spark.sql(
+        _RFM_SQL.replace("epoch(", "unix_timestamp(").replace(" // ", " div ")
+    )
