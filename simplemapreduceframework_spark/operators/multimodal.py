@@ -446,3 +446,55 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)
+
+
+_N_FRAMES = 4
+_FRAME_BYTES = 16
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH src AS (
+    SELECT doc_id, text,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS total
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       UPPER(hex(ENCODE(substring(text,
+           CAST((i * GREATEST(total - {_FRAME_BYTES}, 0))
+                // {_N_FRAMES - 1} AS BIGINT) + 1,
+           {_FRAME_BYTES})))) AS frame_hex,
+       CAST(LEAST({_FRAME_BYTES},
+            total - (i * GREATEST(total - {_FRAME_BYTES}, 0))
+                // {_N_FRAMES - 1}) AS BIGINT) AS frame_bytes
+FROM src CROSS JOIN (SELECT UNNEST(range(0, {_N_FRAMES})) AS i) f
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling under the driver gate: each document's
+    binary payload fans out to 4 evenly spaced 16-byte "frames"
+    (ffmpeg keyframe extraction in a real deployment — the 1->N
+    mapInPandas fan-out, schema, and batch shape are the real thing;
+    only the slice body is the deterministic stand-in).
+
+    Gated by frame CONTENT: the oracle recomputes each slice and
+    compares hex digests. The oracle slices characters while the
+    engine slices utf-8 bytes — identical for this ASCII corpus (the
+    same ENCODE equivalence multimodal_decode's oracle relies on).
+    NULL payloads are filtered at the source on both sides (a real
+    sampler drops undecodable media to a quarantine path).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    frames = attach_payload(docs).mapInPandas(
+        make_frame_sampler(_N_FRAMES, _FRAME_BYTES), FRAME_SCHEMA
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.upper(F.hex(F.col("frame"))).alias("frame_hex"),
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+    )
