@@ -254,11 +254,11 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS sx,
-           SUM((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600)
-               * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600)) AS sxx,
+           SUM(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 - 473352) AS sx,
+           SUM((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 - 473352)
+               * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 - 473352)) AS sxx,
            SUM(CAST(value AS DECIMAL(18,2))) AS sy,
-           SUM((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600)
+           SUM((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 - 473352)
                * CAST(value AS DECIMAL(18,2))) AS sxy
     FROM events GROUP BY event_type
 )
@@ -273,19 +273,23 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     time (units: value per hour) for each event type — the drift
     detector a metrics pipeline fits continuously.
 
-    Numeric policy: x is INTEGER hours (FLOOR(epoch) div 3600 — the
-    explicit FLOOR matters: a bare DuckDB double->bigint cast ROUNDS
-    sub-second timestamps up while Spark's unix_timestamp truncates,
-    the corpus_mix_weighted gotcha), y is the
-    DECIMAL(18,2) value, so all five regression moments (n, Sx, Sxx,
-    Sy, Sxy) are integer/decimal sums — order-independent, exact, and
-    bounded (hours^2 ~ 2e11 stays far inside decimal(38) even with
-    trillions of rows). The slope divides two exactly-computed values
+    Numeric policy: x is INTEGER hours since the corpus epoch base
+    (FLOOR(epoch) div 3600 - 473352 = hours since 2024-01-01; the
+    explicit FLOOR matters — a bare DuckDB double->bigint cast ROUNDS
+    sub-second timestamps while Spark's unix_timestamp truncates, and
+    CENTERING matters — raw epoch hours make n*Sxx overflow int64 at
+    sf0.1 already, where DuckDB silently promotes SUM to int128 and
+    Spark throws ARITHMETIC_OVERFLOW; the slope is invariant to x
+    translation), y is the DECIMAL(18,2) value, so all five regression
+    moments (n, Sx, Sxx, Sy, Sxy) are integer/decimal sums —
+    order-independent, exact, and int64-bounded through petabyte row
+    counts (a production run over decades would widen to DECIMAL
+    moments). The slope divides two exactly-computed values
     in one double division — engine-exact. ONE partial-aggregated
     groupBy over the fact scan; constant output.
     """
     ev = load_table(spark, sf_dir, "events")
-    x = F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600")
+    x = F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600 - 473352")
     y = F.col("value").cast("decimal(18,2)")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
