@@ -307,3 +307,61 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "n", (num / den).cast("double").alias("slope_per_hour")
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+WITH ord AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+    WHERE ts IS NOT NULL  -- sequence position undefined without a time
+),
+trans AS (
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM ord WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+           / SUM(n) OVER (PARTITION BY from_type) AS probability
+FROM trans
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current type) — the behavioral
+    model a product-analytics or anomaly pipeline fits from the
+    clickstream.
+
+    Shape at scale: ONE exchange on user_id orders each user's
+    sequence (lead is per-user, embarrassingly parallel across users);
+    transitions then collapse to a |types|^2 aggregate, and the row
+    normalization windows over that constant-size matrix, not the fact
+    table. NULL event times are excluded on both engines (sequence
+    position is undefined — and Spark orders NULLS FIRST where DuckDB
+    defaults NULLS LAST, so leaving them in would diverge). Counts are
+    integers; probabilities divide identical integers — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wn)).alias(
+            "probability"
+        ),
+    )

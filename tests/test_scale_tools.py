@@ -483,6 +483,7 @@ def test_operators_with_null_event_rows(spark, tmp_path):
             "events_state_intervals",
             "events_resample_ffill",
             "events_trend_slope",
+            "events_transition_matrix",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
