@@ -1118,3 +1118,95 @@ def ann_quantized_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_gate_row(approx, exact, _QUANT_RECALL_FLOOR)
+
+
+_NDCG_FLOOR = 0.8
+
+
+def ndcg_gate_row(
+    approx: DataFrame, exact: DataFrame, floor: float = _NDCG_FLOOR
+) -> DataFrame:
+    """One-row NDCG@k gate: mean NDCG across queries >= floor.
+
+    Inputs are (query_id, neighbor_id, rank) rankings; the exact
+    ranking defines graded relevance rel = k - rank + 1 (top exact hit
+    most relevant). DCG = sum rel/log2(rank+1) over the approx
+    ranking's positions; IDCG is the exact ranking's own DCG. log2 is
+    transcendental, but the gate compares a mean strictly away from
+    the floor, so a 1-ulp wiggle cannot flip the boolean — the same
+    robustness argument as the recall gates. Shape: two k-row-per-
+    query frames join on (query, neighbor); everything downstream is
+    constant-size.
+    """
+    k_rel = exact.groupBy().agg(F.max("rank")).collect()[0][0] or 0
+    e = exact.select(
+        F.col("query_id").alias("eq"),
+        F.col("neighbor_id").alias("en"),
+        (F.lit(k_rel) - F.col("rank") + 1).cast("double").alias("rel"),
+    )
+    dcg = (
+        approx.join(
+            e,
+            (F.col("query_id") == F.col("eq"))
+            & (F.col("neighbor_id") == F.col("en")),
+            "left",
+        )
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("rel"), F.lit(0.0))
+                / F.log2(F.col("rank").cast("double") + 1.0)
+            ).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").alias("dcg"))
+    )
+    idcg = (
+        e.select(
+            F.col("eq").alias("query_id"),
+            (
+                F.col("rel")
+                / F.log2(
+                    F.row_number()
+                    .over(
+                        Window.partitionBy("eq").orderBy(F.col("rel").desc())
+                    )
+                    .cast("double")
+                    + 1.0
+                )
+            ).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").alias("idcg"))
+    )
+    per_q = dcg.join(idcg, "query_id").select(
+        (F.col("dcg") / F.col("idcg")).alias("ndcg")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (F.avg("ndcg") >= floor).alias("ndcg_ok"),
+    )
+
+
+@query(
+    "ann_ivf_ndcg_gate",
+    oracle=f"""
+SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries, TRUE AS ndcg_ok
+""",
+)
+def ann_ivf_ndcg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality gate for IVF: NDCG@k of the approximate ranking
+    against the brute-force exact ranking — a stricter statistic than
+    the recall gate (it penalizes returning the right neighbors in the
+    wrong ORDER, which recall cannot see). Measured IVF NDCG is
+    0.97-0.98 at validation scales, so the 0.8 floor has wide margin;
+    the corrupted-ranking test proves the gate can fail. (The LSH
+    tables measure ~0.57 here — candidate generation, not a ranker —
+    which is exactly the difference this gate exposes.)"""
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    return ndcg_gate_row(ivf, exact)

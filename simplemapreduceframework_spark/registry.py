@@ -96,6 +96,7 @@ CHECK_PRIORITY: list[str] = [
     "customer_rfm_segments",  # new: quartile-threshold RFM scoring
     "multimodal_frame_sample",  # new: 1->N frame fan-out, content-gated
     "events_transition_matrix",  # new: Markov next-event probabilities
+    "ann_ivf_ndcg_gate",  # new: ranking-order quality gate (can-fail tested)
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter

@@ -830,3 +830,39 @@ def test_maybe_rebuild_preserves_quantized_scheme(spark, sf_dir, tmp_path, monke
     assert sim.maybe_rebuild_ann_index(emb, path) is True
     after = spark.read.parquet(f"{path}/index")
     assert "q" in after.columns and "e" not in after.columns
+
+
+def test_ndcg_gate_can_fail_on_corrupted_ranking(spark, sf_dir):
+    """Feeding the NDCG gate a ranking of WRONG neighbors (shifted ids)
+    must flip ndcg_ok to false — proving the constant-true oracle is a
+    real gate, not a tautology."""
+    from pyspark.sql import functions as F
+
+    from simplemapreduceframework_spark.operators.similarity import (
+        ann_cosine_topk,
+        ndcg_gate_row,
+    )
+
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    corrupted = exact.select(
+        "query_id",
+        (F.col("neighbor_id") + 100000).alias("neighbor_id"),
+        "rank",
+    )
+    row = ndcg_gate_row(corrupted, exact).collect()[0]
+    assert row["ndcg_ok"] is False
+
+
+def test_ndcg_gate_passes_on_perfect_ranking(spark, sf_dir):
+    from simplemapreduceframework_spark.operators.similarity import (
+        ann_cosine_topk,
+        ndcg_gate_row,
+    )
+
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    row = ndcg_gate_row(exact, exact).collect()[0]
+    assert row["ndcg_ok"] is True
