@@ -91,6 +91,12 @@ HEADLINE = [
     "table_profile",
     "q39_nation_volume",
     "events_range_join_bucketed",
+    "text_quality_classifier",
+    "text_bm25_batch",
+    "basket_part_pairs",
+    "events_transition_matrix",
+    "customer_rfm_segments",
+    "multimodal_frame_sample",
 ]
 
 
