@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
+        bpe,
         dedup,
         graph,
         linkage,
@@ -97,6 +98,8 @@ CHECK_PRIORITY: list[str] = [
     "multimodal_frame_sample",  # new: 1->N frame fan-out, content-gated
     "events_transition_matrix",  # new: Markov next-event probabilities
     "ann_ivf_ndcg_gate",  # new: ranking-order quality gate (can-fail tested)
+    "bpe_first_merge_gate",  # new: BPE training iteration-1 hash gate
+    "bpe_learn_merges",  # new: full merge table (rows-only, ref-tested)
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
