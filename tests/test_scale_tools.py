@@ -301,6 +301,11 @@ def test_operators_on_empty_tables(spark, tmp_path):
         "curriculum_schedule",
         "graph_pagerank",
         "text_pmi_pairs",
+        "bpe_learn_merges",
+        "bpe_first_merge_gate",
+        "events_transition_matrix",
+        "text_quality_classifier",
+        "text_bm25_batch",
     ]:
         rows = registry.QUERIES[name](spark, empty_dir).collect()
         assert rows == [], (name, rows[:3])
