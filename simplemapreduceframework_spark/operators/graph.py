@@ -198,11 +198,12 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     than chance — top pairs by lift with support, the co-purchase
     statistic behind "frequently bought together".
 
-    Shape at scale: baskets collapse to DISTINCT (order, part) first;
-    the pair join is per-order (quadratic only in basket width, which
-    is small and bounded — the same reason the co-supply PageRank edge
-    derivation scales); item supports are a dimension-sized aggregate
-    broadcast back; final ranking is a TakeOrdered top-k. All counts
+    Shape at scale: baskets collapse to DISTINCT (order, part) and
+    then to one sorted part-array row per order (both on the SAME key,
+    one exchange); ordered pairs generate row-locally from each array
+    (quadratic only in basket width, bounded) — no self-join shuffle;
+    item supports are a dimension-sized aggregate broadcast back;
+    final ranking is a TakeOrdered top-k. All counts
     integer; support and lift are single-expression doubles over
     identical operands — engine-exact, no transcendentals.
     """
@@ -211,15 +212,28 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    n_orders = items.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    # one groupBy on the SAME key as the distinct (no second exchange)
+    # collapses each basket to a sorted part array; ordered pairs then
+    # generate ROW-LOCALLY (quadratic only in basket width, which is
+    # small and bounded) — no self-join shuffle at any scale.
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    isup = baskets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    "           y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
