@@ -574,3 +574,31 @@ def streaming_stateful_totals_live(
         F.col("m.n_events").alias("n_events"),
         F.col("m.total_cents").alias("total_cents"),
     )
+
+
+@query(
+    "streaming_sliding_live",
+    oracle="""
+WITH w AS (
+    SELECT make_timestamp(CAST((FLOOR(epoch(ts) / 1800) * 1800 - off)
+                               * 1000000 AS BIGINT)) AS wstart
+    FROM events e CROSS JOIN (SELECT UNNEST([0, 1800]) AS off) o
+    WHERE ts IS NOT NULL  -- window() drops NULL event time
+)
+SELECT STRFTIME(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM w
+GROUP BY wstart
+""",
+)
+def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows on a LIVE stream: readStream -> watermark ->
+    window(1h, slide 30m) agg -> availableNow -> memory sink. Each
+    event lands in exactly two overlapping windows; the oracle
+    materializes both memberships with the 0/-30min offset trick —
+    same gate shape as the batch events_sliding_1h_30m, restricted to
+    the streamed columns."""
+    from ..streaming import read_events_stream, run_available_now, sliding_counts_stream
+
+    events = read_events_stream(spark, sf_dir)
+    return run_available_now(sliding_counts_stream(events), spark)

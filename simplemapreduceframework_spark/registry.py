@@ -100,6 +100,7 @@ CHECK_PRIORITY: list[str] = [
     "ann_ivf_ndcg_gate",  # new: ranking-order quality gate (can-fail tested)
     "bpe_first_merge_gate",  # new: BPE training iteration-1 hash gate
     "bpe_learn_merges",  # new: full merge table (rows-only, ref-tested)
+    "streaming_sliding_live",  # new: overlapping windows on a live stream
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
