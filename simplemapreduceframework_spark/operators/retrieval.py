@@ -280,6 +280,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(_FUSE_K)
     )
+    # single-partition window BY CONSTRUCTION: the frame is <= 50 rows
+    # (Spark's "No Partition Defined" warning is expected and harmless
+    # here — a constant-key partitionBy folds away to the same plan)
     w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     lexr = lex.select(
         "doc_id", F.row_number().over(w_lex).cast("bigint").alias("r_lex")
