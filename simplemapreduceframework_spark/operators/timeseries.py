@@ -365,3 +365,106 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probability"
         ),
     )
+
+
+@query(
+    "part_monthly_demand_features",
+    oracle="""
+WITH monthly AS (
+    SELECT l_partkey,
+           STRFTIME(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY l_partkey, date_trunc('month', l_shipdate)
+)
+SELECT l_partkey, month, qty,
+       LAG(qty, 1) OVER w AS qty_lag1,
+       LAG(qty, 2) OVER w AS qty_lag2,
+       CAST(SUM(CAST(CAST(qty AS DECIMAL(18,2)) AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_partkey ORDER BY month
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS qty_rolling3,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS month_idx
+FROM monthly
+WINDOW w AS (PARTITION BY l_partkey ORDER BY month)
+""",
+)
+def part_monthly_demand_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecasting feature engineering: per part per month, the demand
+    plus its lag-1/lag-2 and rolling-3-month features — the wide table
+    a demand-forecast model trains on, built in one declarative plan.
+
+    Shape at scale: ONE partial-aggregated groupBy collapses the fact
+    table to part x month (dimension-sized); every window then shares
+    the single part-keyed exchange (lags, rolling sum, and index reuse
+    one sort). Monthly sums are DECIMAL (exact) surfaced as doubles;
+    lags/rolling re-enter decimal before summing so every feature is
+    engine-exact. Months sort correctly as ISO strings.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey",
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+            "month"
+        ),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("qty")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("month")
+    wr = w.rowsBetween(-2, Window.currentRow)
+    return monthly.select(
+        "l_partkey",
+        "month",
+        "qty",
+        F.lag("qty", 1).over(w).alias("qty_lag1"),
+        F.lag("qty", 2).over(w).alias("qty_lag2"),
+        F.sum(F.col("qty").cast("decimal(18,2)"))
+        .over(wr)
+        .cast("double")
+        .alias("qty_rolling3"),
+        F.row_number().over(w).cast("bigint").alias("month_idx"),
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+SELECT event_type,
+       CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY event_type, EXTRACT(HOUR FROM ts)
+""",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal seasonality profile: event volume and value by hour of
+    day per type — the seasonal decomposition input a forecasting or
+    anomaly pipeline conditions on.
+
+    One partial-aggregated groupBy to a types x 24 frame; the average
+    divides an exact decimal-derived double by an integer count
+    through identical trees. Hour extraction is UTC on both engines
+    (session timezone pinned at the read layer).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy(
+            "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec).cast("double").alias("total_value"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+    )

@@ -101,6 +101,8 @@ CHECK_PRIORITY: list[str] = [
     "bpe_first_merge_gate",  # new: BPE training iteration-1 hash gate
     "bpe_learn_merges",  # new: full merge table (rows-only, ref-tested)
     "streaming_sliding_live",  # new: overlapping windows on a live stream
+    "part_monthly_demand_features",  # new: lag/rolling forecast features
+    "events_hourly_seasonality",  # new: diurnal profile per event type
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
