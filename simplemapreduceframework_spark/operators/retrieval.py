@@ -130,6 +130,24 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for every document containing a query term —
     the Spark twin of the `bm` CTE, shared by text_bm25 and
     hybrid_search_rrf."""
+    return _score_sum(_bm25_pivoted(spark, sf_dir, _BM25_TERMS), _BM25_TERMS)
+
+
+def _score_sum(pivoted: DataFrame, terms: list[str]) -> DataFrame:
+    """Fixed-order BM25 total over pivoted per-term columns."""
+    score = sum(
+        (F.col(f"c_{t}") for t in terms[1:]), F.col(f"c_{terms[0]}")
+    )
+    return pivoted.select("doc_id", F.round(score, 4).alias("bm25"))
+
+
+def _bm25_pivoted(
+    spark: SparkSession, sf_dir: str, terms: list[str]
+) -> DataFrame:
+    """One corpus pass -> (doc_id, c_<term>...) pivoted contribution
+    frame for ``terms`` — shared by the single-query, batch, and
+    hybrid paths so every consumer scores through ONE expression
+    tree."""
     tok = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -143,20 +161,20 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        tok.filter(F.col("word").isin(_BM25_TERMS))
+        tok.filter(F.col("word").isin(list(terms)))
         .groupBy("doc_id", F.col("word").alias("term"))
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return _bm25_from_components(tf, dl, corpus)
+    return _bm25_from_components(tf, dl, corpus, terms)
 
 
 def _bm25_from_components(
-    tf: DataFrame, dl: DataFrame, corpus: DataFrame
+    tf: DataFrame, dl: DataFrame, corpus: DataFrame, terms: list[str]
 ) -> DataFrame:
-    """BM25 scoring from its relational components — tf(doc_id, term,
-    tf), dl(doc_id, dl), corpus(n, avgdl) — shared by the scan path
-    (_bm25_scored) and the persisted-index path (search_text_index),
-    so both produce bit-identical scores."""
+    """Pivoted BM25 contributions from relational components —
+    tf(doc_id, term, tf), dl(doc_id, dl), corpus(n, avgdl) — shared by
+    the scan path and the persisted-index path, so both produce
+    bit-identical scores."""
     # tf is unique per (doc_id, term): COUNT(*) is the document
     # frequency without countDistinct's extra expand + exchange.
     idf = (
@@ -194,19 +212,14 @@ def _bm25_from_components(
             ).alias("c"),
         )
     )
-    pivoted = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         *[
             F.coalesce(
                 F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
             ).alias(f"c_{t}")
-            for t in _BM25_TERMS
+            for t in terms
         ]
     )
-    score = sum(
-        (F.col(f"c_{t}") for t in _BM25_TERMS[1:]),
-        F.col(f"c_{_BM25_TERMS[0]}"),
-    )
-    return pivoted.select("doc_id", F.round(score, 4).alias("bm25"))
 
 
 _FUSE_K = 50  # depth of each retrieval leg entering the fusion
@@ -479,15 +492,19 @@ def search_text_index(
     tokenize. Scores are bit-identical to the scan path because both
     feed the same _bm25_from_components expression tree."""
     prefixes = sorted({t[:1] for t in terms})
+    # explicit schema: an empty corpus writes a partitioned postings
+    # dir with no parquet files, where schema INFERENCE would throw —
+    # with the schema pinned the read just yields zero rows
     tf = (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.schema("word string, doc_id bigint, tf bigint, p string")
+        .parquet(f"{path}/postings")
         .filter(F.col("p").isin(prefixes) & F.col("word").isin(list(terms)))
         .select("doc_id", F.col("word").alias("term"), "tf")
     )
     dl = spark.read.parquet(f"{path}/doclen")
     corpus = spark.read.parquet(f"{path}/stats")
     return (
-        _bm25_from_components(tf, dl, corpus)
+        _score_sum(_bm25_from_components(tf, dl, corpus, list(terms)), list(terms))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(k)
     )
@@ -607,63 +624,9 @@ def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key in _BATCH_CACHE:
         return _BATCH_CACHE[memo_key]
-    tok = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(tokens_regex(F.lower(F.col("text")))).alias("word"),
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        tok.filter(F.col("word").isin(_BATCH_TERMS))
-        .groupBy("doc_id", F.col("word").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idf = (
-        tf.crossJoin(F.broadcast(corpus))
-        .groupBy("term", "n")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select(
-            "term",
-            F.log(
-                1.0
-                + (F.col("n").cast("double") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
-    )
-    contrib = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.col("idf")
-                * (F.col("tf") * (_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + _K1
-                    * (
-                        1.0
-                        - _B
-                        + _B * (F.col("dl").cast("double") / F.col("avgdl"))
-                    )
-                )
-            ).alias("c"),
-        )
-    )
-    scored = contrib.groupBy("doc_id").agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
-            ).alias(f"c_{t}")
-            for t in _BATCH_TERMS
-        ]
-    ).persist()  # one shared frame serves every query's top-k
+    # one shared pivoted frame (the SAME expression tree as text_bm25,
+    # via _bm25_pivoted) serves every query's top-k
+    scored = _bm25_pivoted(spark, sf_dir, _BATCH_TERMS).persist()
     arms = []
     for qid, terms in sorted(_BATCH_QUERIES.items()):
         score = sum(

@@ -120,6 +120,8 @@ WITH runs AS (
            CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
                 THEN 1 ELSE 0 END AS chg
     FROM events
+    WHERE ts IS NOT NULL  -- run position undefined without a time; and
+                          -- Spark orders NULLS FIRST vs DuckDB's LAST
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 grp AS (
@@ -136,7 +138,7 @@ intervals AS (
 SELECT user_id, state,
        STRFTIME(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
        STRFTIME(LEAD(valid_from) OVER (PARTITION BY user_id
-                                       ORDER BY valid_from),
+                                       ORDER BY valid_from, run_id),
                 '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
        n_events
 FROM intervals
@@ -156,7 +158,7 @@ def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost and users are plentiful, so parallelism is wide. All outputs
     are integers, strings, and formatted timestamps — engine-exact.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     runs = ev.select(
         "user_id",
@@ -181,7 +183,10 @@ def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals = grp.groupBy("user_id", F.col("event_type").alias("state"), "run_id").agg(
         F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # run_id tie-breaks two runs sharing an identical min ts (two
+    # same-timestamp events of different types) — without it the LEAD
+    # chain is nondeterministic on BOTH engines
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return intervals.select(
         "user_id",

@@ -127,7 +127,7 @@ _pbv(__name__)
 
 
 EXACT_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
-EXACT_STATE_SCHEMA = "n bigint, cents bigint"
+EXACT_STATE_SCHEMA = "n bigint, cents bigint, m bigint"  # m = values folded
 
 
 def _update_user_totals_exact(
@@ -141,18 +141,29 @@ def _update_user_totals_exact(
     order cannot move the result by an ulp (a float accumulator would
     make the emitted totals depend on micro-batch splits)."""
     if state.exists:
-        n, cents = state.get
+        n, cents, m = state.get
     else:
-        n, cents = 0, 0
+        n, cents, m = 0, 0, 0
     for pdf in batches:
         n += len(pdf)
-        if len(pdf):
-            cents += int(
-                (pdf["value"] * 100).round().astype("int64").sum()
-            )
-    state.update((n, cents))
+        # the oracle's SUM skips NULLs while COUNT(*) keeps the row —
+        # mirror that: count every row, fold only finite values (a NaN
+        # would crash the int64 cast and kill the streaming task), and
+        # emit NULL (not 0) while nothing has been folded, exactly as
+        # SUM over an all-NULL group is NULL
+        vals = pdf["value"].dropna()
+        if len(vals):
+            cents += int((vals * 100).round().astype("int64").sum())
+            m += len(vals)
+    state.update((n, cents, m))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        {
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "n_events": pd.array([n], dtype="Int64"),
+            "total_cents": pd.array(
+                [cents if m else None], dtype="Int64"
+            ),
+        }
     )
 
 

@@ -106,7 +106,6 @@ def test_spark_bpe_matches_reference_on_random_words(spark):
                 break
             left, right, freq = best[0]["l"], best[0]["r"], int(best[0]["c"])
             got.append((rank, left, right, freq))
-            lcol, rcol = F.lit(left), F.lit(right)
             syms = syms.withColumn(
                 "syms",
                 F.udf(

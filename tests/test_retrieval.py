@@ -85,10 +85,18 @@ def test_indexed_bm25_equals_scan_path(spark, sf_dir):
 
 def test_indexed_bm25_prunes_postings_partitions(spark, sf_dir):
     plan = explain_str(Q["text_bm25_indexed"](spark, sf_dir))
-    # the postings scan must carry BOTH the partition filter on the
-    # leading-char key and the pushed word IN filter
-    assert "PartitionFilters: [" in plan
+    # the postings scan must carry BOTH a partition filter on the
+    # leading-char key and the pushed word IN filter — assert on the
+    # scan node lines themselves, not anywhere in the plan
     scan_lines = [
-        l for l in plan.splitlines() if "postings" in l or "p#" in l
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l or "PushedFilters" in l
     ]
-    assert any("p#" in l and "IN" in l for l in plan.splitlines()), plan
+    assert any(
+        "PartitionFilters" in l and "p#" in l and "IN" in l
+        for l in scan_lines
+    ), plan
+    assert any(
+        "PushedFilters" in l and "In(word" in l for l in scan_lines
+    ), plan
