@@ -303,6 +303,7 @@ def test_operators_on_empty_tables(spark, tmp_path):
         "text_pmi_pairs",
         "bpe_learn_merges",
         "bpe_first_merge_gate",
+        "text_bm25_indexed",
         "events_transition_matrix",
         "text_quality_classifier",
         "text_bm25_batch",
