@@ -696,3 +696,43 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RFM_SQL.replace("epoch(", "unix_timestamp(").replace(" // ", " div ")
     )
+
+
+_Q42_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))
+                - CAST(ps_supplycost AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(12,2)))
+            AS DOUBLE) AS profit,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+CROSS JOIN (SELECT CAST(10.00 AS DECIMAL(12,2)) AS ps_supplycost) c
+WHERE p.p_type LIKE '%ECONOMY%' OR p.p_name LIKE '%widget%'
+GROUP BY n.n_name, o_year
+"""
+
+
+@query("q42_product_profit", oracle=_Q42_SQL)
+def q42_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit by supplier nation and year (TPC-H Q9
+    shape): a five-table star with a LIKE filter on the part dimension
+    and a profit expression mixing revenue and cost terms. The
+    synthetic schema has no partsupp table, so supply cost enters as a
+    constant dimension row (the join/filter/expression shape — LIKE
+    pruning the part broadcast BEFORE the fact join, decimal profit
+    arithmetic — is what this query pins; the exact cost source is
+    orthogonal).
+
+    Shape at scale: part/supplier/nation broadcast; the only
+    fact-scale exchange is orders<->lineitem; profit terms stay
+    all-decimal through the sum (order-independent) and surface as one
+    double. Identical SQL text on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q42_SQL)

@@ -103,6 +103,7 @@ CHECK_PRIORITY: list[str] = [
     "streaming_sliding_live",  # new: overlapping windows on a live stream
     "part_monthly_demand_features",  # new: lag/rolling forecast features
     "events_hourly_seasonality",  # new: diurnal profile per event type
+    "q42_product_profit",  # new: TPC-H Q9-shape profit star with LIKE pruning
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
