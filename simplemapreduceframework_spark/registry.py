@@ -99,11 +99,14 @@ CHECK_PRIORITY: list[str] = [
     "events_transition_matrix",  # new: Markov next-event probabilities
     "ann_ivf_ndcg_gate",  # new: ranking-order quality gate (can-fail tested)
     "bpe_first_merge_gate",  # new: BPE training iteration-1 hash gate
-    "bpe_learn_merges",  # new: full merge table (rows-only, ref-tested)
     "streaming_sliding_live",  # new: overlapping windows on a live stream
     "part_monthly_demand_features",  # new: lag/rolling forecast features
     "events_hourly_seasonality",  # new: diurnal profile per event type
     "q42_product_profit",  # new: TPC-H Q9-shape profit star with LIKE pruning
+    # rows-only: the driver records only a weaker rows check, so it
+    # cedes its cap slot to the hash-gated entries above (its REAL
+    # verification is the first-merge gate + Python-reference tests)
+    "bpe_learn_merges",
     # round 5: new or gate-changed this round — check first
     "text_pii_scrub",  # new: PII detection/redaction
     "text_repetition_filter",  # new: Gopher-style repetition filter
