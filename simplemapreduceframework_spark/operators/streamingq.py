@@ -602,3 +602,49 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     return run_available_now(sliding_counts_stream(events), spark)
+
+
+@query(
+    "streaming_ingest_pipeline_live",
+    oracle="""
+SELECT e.event_id, e.event_type, e.value, n.n_name AS user_nation
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value, user_id
+      FROM events) e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE e.value > 100.0
+""",
+)
+def streaming_ingest_pipeline_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A COMPOSED ingest pipeline on one live stream: exact dedup
+    within the watermark horizon -> broadcast dimension enrichment ->
+    value filter, in a single streaming query — the
+    pipeline_clean_corpus of the streaming tier (each stage is an
+    individually-gated operator; this pins that they compose).
+
+    State is the dedup key set only (purged as the watermark advances);
+    the join and filter are stateless per micro-batch. Event ids are
+    unique in the fixture, so dedup is the identity and the batch
+    oracle's DISTINCT ON picks the same rows — with real duplicate
+    traffic the streaming semantics (first arrival wins) are the
+    operator contract, per events_dedup.
+    """
+    from ..streaming import dedup_stream, read_events_stream, run_available_now
+
+    events = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(events)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    out = (
+        deduped.filter(F.col("value") > 100.0)
+        .join(F.broadcast(dim), deduped.user_id == dim.c_custkey)
+        .select("event_id", "event_type", "value", F.col("n_name").alias("user_nation"))
+    )
+    return run_available_now(out, spark, output_mode="append")
