@@ -648,3 +648,69 @@ def streaming_ingest_pipeline_live(
         .select("event_id", "event_type", "value", F.col("n_name").alias("user_nation"))
     )
     return run_available_now(out, spark, output_mode="append")
+
+
+@query(
+    "events_session_stats",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM marked
+),
+per_session AS (
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+    FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
+       CAST(MAX(span_us) AS BIGINT) AS max_span_us
+FROM per_session
+GROUP BY user_id
+""",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level engagement summary per user: session count, total
+    and average events per session, and the longest session span — the
+    rollup a product-analytics dashboard reads on top of
+    sessionization.
+
+    Composes the session_window operator with a second per-user
+    aggregate: both group on user-rooted keys, so the rollup reuses
+    the session exchange. Spans are integer MICROSECOND differences
+    (epoch_us/unix_micros — no fractional-second doubles); the average
+    divides identical integers — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    per_session = (
+        ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("span_us"),
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "avg_events_per_session"
+        ),
+        F.max("span_us").cast("bigint").alias("max_span_us"),
+    )

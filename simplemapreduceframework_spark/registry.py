@@ -104,6 +104,7 @@ CHECK_PRIORITY: list[str] = [
     "events_hourly_seasonality",  # new: diurnal profile per event type
     "q42_product_profit",  # new: TPC-H Q9-shape profit star with LIKE pruning
     "streaming_ingest_pipeline_live",  # new: dedup->enrich->filter composed stream
+    "events_session_stats",  # new: per-user session engagement rollup
     # rows-only: the driver records only a weaker rows check, so it
     # cedes its cap slot to the hash-gated entries above (its REAL
     # verification is the first-merge gate + Python-reference tests)

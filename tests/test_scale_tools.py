@@ -491,6 +491,7 @@ def test_operators_with_null_event_rows(spark, tmp_path):
             "events_trend_slope",
             "events_transition_matrix",
             "streaming_stateful_totals_live",
+            "events_session_stats",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
