@@ -492,6 +492,13 @@ def test_operators_with_null_event_rows(spark, tmp_path):
             "events_transition_matrix",
             "streaming_stateful_totals_live",
             "events_session_stats",
+            "events_dedup",
+            "events_range_join",
+            "events_range_join_bucketed",
+            "asof_join_events",
+            "q21_json_extract",
+            "q34_event_funnel",
+            "events_hourly_seasonality",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
