@@ -359,7 +359,7 @@ SELECT o_custkey, o_orderkey,
        STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
               OVER (PARTITION BY o_custkey
-                    ORDER BY o_orderdate, o_orderkey
+                    ORDER BY o_orderdate NULLS LAST, o_orderkey
                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
 FROM orders
 WHERE o_custkey % 10 = 0
@@ -373,9 +373,12 @@ def q9_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    # explicit NULLS LAST: Spark sorts NULL dates FIRST, DuckDB LAST —
+    # a NULL o_orderdate would otherwise shift every running total in
+    # its partition (caught by the NULL-orders fixture)
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

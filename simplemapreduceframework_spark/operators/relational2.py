@@ -29,12 +29,15 @@ SELECT o_custkey, o_orderkey,
        CAST(DENSE_RANK() OVER wp AS BIGINT) AS price_dense_rank,
        CAST(NTILE(4) OVER wt AS BIGINT) AS quartile,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate NULLS LAST, o_orderkey
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3
 FROM orders
 WHERE o_custkey % 20 = 0
-WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+WINDOW wt AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate NULLS LAST, o_orderkey),
+       wp AS (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
 """,
 )
 def q20_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,13 +48,18 @@ def q20_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     them in a single exchange + sort (check: one Exchange in the plan).
     """
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
-    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # explicit NULLS LAST everywhere a nullable sort key feeds a window:
+    # Spark defaults NULLS FIRST asc / NULLS LAST desc, DuckDB the
+    # reverse convention — real warehouses have NULL dates/prices
+    wt = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     wp = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey")
     )
     rolling = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(-2, 0)
     )
     return orders.select(

@@ -506,3 +506,63 @@ def test_operators_with_null_event_rows(spark, tmp_path):
             assert not problems, (name, problems)
     finally:
         con.close()
+
+
+def test_operators_with_null_order_rows(spark, tmp_path):
+    """NULL-robustness for the orders tier: rows with NULL
+    custkey/orderdate/totalprice must not diverge. The window queries
+    are the live class here — Spark sorts NULL keys FIRST (asc) where
+    DuckDB sorts them LAST, so every window over a nullable sort key
+    pins NULLS LAST explicitly on both engines."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+    from simplemapreduceframework_spark.testing import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_null_orders")
+    os.makedirs(nd, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "orders":
+            null_o = spark.createDataFrame(
+                [
+                    (999999, None, None, None, None, None),
+                    # custkey 0 lands inside q9/q20's modulo filters
+                    (999980, 0, None, None, None, None),
+                ],
+                df.schema,
+            )
+            df = df.unionByName(null_o)
+        df.write.parquet(f"{nd}/{t}.parquet")
+    con = duckdb_connection(nd)
+    try:
+        for name in [
+            "q3_top_revenue_orders",
+            "q4_order_priority_semijoin",
+            "q8_window_topn_per_group",
+            "q9_running_total",
+            "q13_distinct_agg",
+            "q17_multisort_limit",
+            "q18_outer_join",
+            "q20_window_suite",
+            "q22_null_ordering",
+            "q28_hierarchical_rollup",
+            "q29_large_orders",
+            "q33_global_sales_opportunity",
+            "customer_rfm_segments",
+            "q39_nation_volume",
+            "q41_top_supplier",
+            "q42_product_profit",
+        ]:
+            problems = compare_query(
+                spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
+            )
+            assert not problems, (name, problems)
+    finally:
+        con.close()
