@@ -380,6 +380,7 @@ WITH monthly AS (
            STRFTIME(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
     FROM lineitem
+    WHERE l_shipdate IS NOT NULL  -- a NULL month has no lag position
     GROUP BY l_partkey, date_trunc('month', l_shipdate)
 )
 SELECT l_partkey, month, qty,
@@ -408,7 +409,9 @@ def part_monthly_demand_features(
     lags/rolling re-enter decimal before summing so every feature is
     engine-exact. Months sort correctly as ISO strings.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
     monthly = li.groupBy(
         "l_partkey",
         F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(

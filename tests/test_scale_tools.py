@@ -432,6 +432,58 @@ def test_operators_with_null_embedding_rows(spark, tmp_path):
         con.close()
 
 
+def test_operators_with_null_lineitem_rows(spark, tmp_path):
+    """NULL-robustness for the fact-table tier: a line item with NULL
+    shipdate/quantity/price must not diverge (aggregates skip NULLs
+    identically; the monthly feature window excludes the NULL month on
+    both engines — a NULL month has no lag position)."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+    from simplemapreduceframework_spark.testing import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_null_lineitem")
+    os.makedirs(nd, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "lineitem":
+            null_l = spark.createDataFrame(
+                [(0, 0, 0, 99, None, None, None, None, None, None, None)],
+                df.schema,
+            )
+            df = df.unionByName(null_l)
+        df.write.parquet(f"{nd}/{t}.parquet")
+    con = duckdb_connection(nd)
+    try:
+        for name in [
+            "q1_pricing_summary",
+            "q2_filter_project",
+            "q37_range_frame_window",
+            "part_monthly_demand_features",
+            "q10_rollup",
+            "exact_percentiles",
+            "histogram_equi_depth",
+            "skewed_agg_salted",
+            "stats_exact_moments",
+            "table_profile",
+            "table_skew_report",
+            "graph_pagerank",
+            "basket_part_pairs",
+        ]:
+            problems = compare_query(
+                spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
+            )
+            assert not problems, (name, problems)
+    finally:
+        con.close()
+
+
 def test_new_session_gets_its_own_views_and_scans(spark):
     """Temp views and analyzed scans are per-SparkSession: a sibling
     session from newSession() (same applicationId, separate catalog)
