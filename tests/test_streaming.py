@@ -334,3 +334,49 @@ def test_stream_reads_multifile_events_table(spark, sf_dir, tmp_path):
     batch = Q["events_tumbling_1h"](spark, sf_dir)
     cols = ["window_start", "event_type", "n_events", "total_value"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_session_and_custom_state_under_rocksdb(spark, sf_dir):
+    """The round-5 stateful additions — session windows and the
+    applyInPandasWithState integer-cents totals — must produce
+    provider-independent results under RocksDB, like the rest of the
+    tier."""
+    from simplemapreduceframework_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        sessionized_stream,
+    )
+    from simplemapreduceframework_spark.streaming.stateful import (
+        running_user_totals_exact,
+    )
+
+    sess = run_available_now(
+        sessionized_stream(read_events_stream(spark, sf_dir)),
+        spark,
+        state_store="rocksdb",
+    )
+    batch = Q["events_session_10m"](spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(sess, cols) == _rows(batch, cols)
+
+    totals = run_available_now(
+        running_user_totals_exact(read_events_stream(spark, sf_dir)),
+        spark,
+        output_mode="update",
+        state_store="rocksdb",
+    )
+    from pyspark.sql import functions as F
+
+    final = (
+        totals.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("m"))
+        .select("user_id", "m.n_events", "m.total_cents")
+    )
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(
+        map(
+            tuple,
+            Q["streaming_stateful_totals_live"](spark, sf_dir).collect(),
+        )
+    )
+    assert got == want
