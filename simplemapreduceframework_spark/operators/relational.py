@@ -631,7 +631,8 @@ def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
 FROM lineitem
-ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC, l_linenumber ASC
+ORDER BY l_returnflag ASC NULLS LAST, l_quantity DESC,
+         l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST
 LIMIT 100
 """,
 )
@@ -642,11 +643,15 @@ def q17_multisort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        # ASC keys pin NULLS LAST: Spark's ASC default is NULLS FIRST
+        # while DuckDB's is NULLS LAST, so an unpinned NULL returnflag
+        # would enter Spark's top-100 but not DuckDB's (DESC already
+        # agrees — both engines default NULLS LAST there)
         .orderBy(
-            F.col("l_returnflag").asc(),
+            F.col("l_returnflag").asc_nulls_last(),
             F.col("l_quantity").desc(),
-            F.col("l_orderkey").asc(),
-            F.col("l_linenumber").asc(),
+            F.col("l_orderkey").asc_nulls_last(),
+            F.col("l_linenumber").asc_nulls_last(),
         )
         .limit(100)
     )

@@ -49,8 +49,8 @@ def q20_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
     # explicit NULLS LAST everywhere a nullable sort key feeds a window:
-    # Spark defaults NULLS FIRST asc / NULLS LAST desc, DuckDB the
-    # reverse convention — real warehouses have NULL dates/prices
+    # Spark defaults NULLS FIRST under ASC where DuckDB defaults NULLS
+    # LAST under both directions — real warehouses have NULL dates/prices
     wt = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
     )

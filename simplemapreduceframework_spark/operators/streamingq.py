@@ -425,6 +425,21 @@ def streaming_decontaminate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, spark, output_mode="append")
 
 
+def _customer_nation_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer -> nation enrichment dimension (c_custkey, n_name),
+    shared by streaming_enrich_live and the composed ingest pipeline so
+    both enrich through ONE definition."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+
+
 @query(
     "streaming_enrich_live",
     oracle="""
@@ -449,21 +464,14 @@ def streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, run_available_now
 
     events = read_events_stream(spark, sf_dir)
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-    enriched = (
-        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            F.col("n_name").alias("user_nation"),
-        )
+    dim = _customer_nation_dim(spark, sf_dir)
+    enriched = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("n_name").alias("user_nation"),
     )
     return run_available_now(enriched, spark, output_mode="append")
 
@@ -635,17 +643,16 @@ def streaming_ingest_pipeline_live(
 
     events = read_events_stream(spark, sf_dir)
     deduped = dedup_stream(events)
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    dim = _customer_nation_dim(spark, sf_dir)
     out = (
-        deduped.filter(F.col("value") > 100.0)
-        .join(F.broadcast(dim), deduped.user_id == dim.c_custkey)
-        .select("event_id", "event_type", "value", F.col("n_name").alias("user_nation"))
+        deduped.join(F.broadcast(dim), deduped.user_id == dim.c_custkey)
+        .filter(F.col("value") > 100.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("n_name").alias("user_nation"),
+        )
     )
     return run_available_now(out, spark, output_mode="append")
 

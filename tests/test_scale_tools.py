@@ -464,7 +464,7 @@ def test_operators_with_null_lineitem_rows(spark, tmp_path):
         for name in [
             "q1_pricing_summary",
             "q2_filter_project",
-            "q37_range_frame_window",
+            "q17_multisort_limit",
             "part_monthly_demand_features",
             "q10_rollup",
             "exact_percentiles",
@@ -600,9 +600,8 @@ def test_operators_with_null_order_rows(spark, tmp_path):
             "q8_window_topn_per_group",
             "q9_running_total",
             "q13_distinct_agg",
-            "q17_multisort_limit",
-            "q18_outer_join",
             "q20_window_suite",
+            "q37_range_frame_window",
             "q22_null_ordering",
             "q28_hierarchical_rollup",
             "q29_large_orders",
