@@ -484,6 +484,60 @@ def test_operators_with_null_lineitem_rows(spark, tmp_path):
         con.close()
 
 
+def test_operators_with_null_dimension_rows(spark, tmp_path):
+    """NULL-robustness for the dimension tier: all-NULL customer and
+    supplier rows (the last uncovered tables) must not diverge —
+    inner joins drop NULL keys identically, the full outer join
+    groups them identically, and the subquery family decorrelates
+    NULL-safe on both engines."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+    from simplemapreduceframework_spark.testing import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_null_dims")
+    os.makedirs(nd, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "customer":
+            df = df.unionByName(
+                spark.createDataFrame(
+                    [(999999, None, None, None, None)], df.schema
+                )
+            )
+        if t == "supplier":
+            df = df.unionByName(
+                spark.createDataFrame([(999999, None, None, None)], df.schema)
+            )
+        df.write.parquet(f"{nd}/{t}.parquet")
+    con = duckdb_connection(nd)
+    try:
+        for name in [
+            "q5_region_revenue",
+            "q18_outer_join",
+            "q26_sql_api",
+            "q30_min_cost_supplier",
+            "q31_important_stock",
+            "q32_suppliers_who_kept_waiting",
+            "q33_global_sales_opportunity",
+            "q36_lateral_topn",
+            "customer_rfm_segments",
+            "streaming_enrich_live",
+        ]:
+            problems = compare_query(
+                spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
+            )
+            assert not problems, (name, problems)
+    finally:
+        con.close()
+
+
 def test_new_session_gets_its_own_views_and_scans(spark):
     """Temp views and analyzed scans are per-SparkSession: a sibling
     session from newSession() (same applicationId, separate catalog)
