@@ -35,7 +35,7 @@ _ITERS = 3
 # persists its degree-annotated edge set, so repeated invocations
 # (bench passes, gates) must reuse ONE result rather than re-persist —
 # same shared-state discipline as textanalysis._VOCAB_CACHE.
-_PAGERANK_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAGERANK_CACHE: dict[tuple[str, ...], DataFrame] = {}
 
 
 def _pagerank_oracle() -> str:
@@ -69,7 +69,7 @@ r0 AS (
     SELECT s AS node, CAST({_SCALE} AS BIGINT) // (SELECT n FROM n) AS r
     FROM deg
 ),{",".join(its)}
-SELECT p.node AS s_suppkey, p.r AS rank_fp, deg.deg AS degree
+SELECT p.node AS s_suppkey, CAST(p.r AS BIGINT) AS rank_fp, deg.deg AS degree
 FROM {prev} p JOIN deg ON deg.s = p.node
 """
 
@@ -158,6 +158,245 @@ def pagerank_fixed_point(
             .alias("r")
         ).select(F.col("d").alias("node"), "r")
     return ranks, deg
+
+
+def pagerank_dangling(
+    edges: DataFrame, iters: int = _ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """General DIRECTED fixed-point PageRank: dangling nodes (no
+    out-edges) are in contract — their rank mass is redistributed
+    uniformly over the full node universe each iteration, the standard
+    dangling-mass correction (Page et al. 1999 §2.5; same treatment as
+    Spark's own examples and GraphX).
+
+    Returns (ranks, deg): ranks has (node, r) in 1e-12 units over the
+    FULL node universe (sources UNION destinations); deg has (s, deg)
+    out-degrees (dangling nodes absent, by definition).
+
+    Fixed-point contract: per iteration each node receives
+    ``teleport + (85 * (incoming + dangling_mass div n)) div 100``
+    where ``incoming`` is the integer sum of ``r div deg`` over its
+    in-edges and ``dangling_mass`` is the integer sum of dangling
+    ranks — all floor arithmetic, order-independent, engine-exact.
+
+    Shape at scale: node universe and degree-annotated edges persist
+    once; each unrolled iteration is one equi-join + one partial-agg
+    groupBy (fact-scale), plus a node-scale anti-join aggregate for the
+    dangling mass whose 1-row result broadcasts into the update — no
+    driver round-trip inside the loop, the whole unroll is one Catalyst
+    plan.
+    """
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "s").select("s", "d", "deg").persist()
+    nodes = (
+        edges.select(F.col("s").alias("node"))
+        .union(edges.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        empty = nodes.select("node", F.lit(0).cast("long").alias("r"))
+        return empty, deg
+    teleport = (_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN // n
+    ranks = nodes.select(
+        "node", F.lit(_SCALE // n).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = edges_deg.join(
+            ranks, edges_deg.s == ranks.node
+        ).select("d", F.expr("r div deg").alias("c"))
+        csum = contrib.groupBy("d").agg(F.sum("c").alias("cs"))
+        dang = (
+            ranks.join(deg, ranks.node == deg.s, "left_anti")
+            .agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+            )
+        )
+        ranks = (
+            nodes.join(csum, nodes.node == csum.d, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({_DAMP_NUM} * (coalesce(cs, CAST(0 AS BIGINT))"
+                        f" + dm div {n})) div {_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks, deg
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    tol_fp: int = 10**7,
+    max_iters: int = 20,
+    dangling: bool = True,
+) -> tuple[DataFrame, int]:
+    """Iterate-until-delta PageRank: runs the dangling-aware update,
+    materializing and persisting the rank frame each iteration, until
+    the L1 rank delta (in 1e-12 units) drops below ``tol_fp`` or
+    ``max_iters`` is reached. Returns (ranks, iterations_run).
+
+    This is the production loop shape for 100 TB graphs: unrolling 20
+    iterations into one plan would blow the optimizer (persist alone
+    does NOT truncate the logical plan — analysis cost grows per
+    iteration until the driver OOMs), so each iteration
+    ``localCheckpoint``s its output, cutting lineage to the
+    materialized blocks — constant plan size in iteration count, one
+    plan per step. A fault-tolerant deployment would use reliable
+    ``checkpoint()`` to cluster storage instead (localCheckpoint
+    blocks die with an executor). The convergence check is a single
+    collected scalar per iteration (inherent to any convergence-gated
+    loop).
+    """
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "s").select("s", "d", "deg").persist()
+    nodes = (
+        edges.select(F.col("s").alias("node"))
+        .union(edges.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("r")), 0
+    teleport = (_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN // n
+    ranks = nodes.select(
+        "node", F.lit(_SCALE // n).cast("long").alias("r")
+    ).localCheckpoint()
+    done = 0
+    for i in range(max_iters):
+        contrib = edges_deg.join(
+            ranks, edges_deg.s == ranks.node
+        ).select("d", F.expr("r div deg").alias("c"))
+        csum = contrib.groupBy("d").agg(F.sum("c").alias("cs"))
+        if dangling:
+            dang = (
+                ranks.join(deg, ranks.node == deg.s, "left_anti")
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0))
+                    .cast("long")
+                    .alias("dm")
+                )
+            )
+            update = F.expr(
+                f"({_DAMP_NUM} * (coalesce(cs, CAST(0 AS BIGINT))"
+                f" + dm div {n})) div {_DAMP_DEN}"
+            )
+            nxt = (
+                nodes.join(csum, nodes.node == csum.d, "left")
+                .crossJoin(F.broadcast(dang))
+            )
+        else:
+            update = F.expr(
+                f"({_DAMP_NUM} * coalesce(cs, CAST(0 AS BIGINT)))"
+                f" div {_DAMP_DEN}"
+            )
+            nxt = nodes.join(csum, nodes.node == csum.d, "left")
+        new_ranks = nxt.select(
+            "node", (F.lit(teleport) + update).cast("long").alias("r")
+        ).localCheckpoint()
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("d1"))
+            .collect()[0]["d1"]
+        )
+        ranks = new_ranks
+        done = i + 1
+        if delta < tol_fp:
+            break
+    return ranks, done
+
+
+def _pagerank_dangling_oracle() -> str:
+    """Directed customer->supplier purchase graph: suppliers never buy,
+    so every supplier node is dangling — the oracle carries the same
+    per-iteration dangling-mass redistribution as the engine."""
+    scale_sql = f"CAST({_SCALE} AS BIGINT)"
+    tp = (
+        f"(({_DAMP_DEN - _DAMP_NUM} * {scale_sql}) // {_DAMP_DEN})"
+        " // (SELECT n FROM nn)"
+    )
+    its = []
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        its.append(f"""
+dang{i} AS (
+    SELECT COALESCE(SUM(r), 0) AS dm FROM {prev}
+    WHERE node NOT IN (SELECT s FROM deg)
+),
+it{i} AS (
+    SELECT nodes.node,
+           CAST({tp}
+             + ({_DAMP_NUM} * (COALESCE(cs.cs, 0)
+                 + (SELECT dm FROM dang{i}) // (SELECT n FROM nn)))
+               // {_DAMP_DEN} AS BIGINT) AS r
+    FROM nodes
+    LEFT JOIN (
+        SELECT e.d AS node, SUM({prev}.r // deg.deg) AS cs
+        FROM edges e
+        JOIN {prev} ON {prev}.node = e.s
+        JOIN deg ON deg.s = e.s
+        GROUP BY e.d
+    ) cs ON cs.node = nodes.node
+)""")
+        prev = f"it{i}"
+    return f"""
+WITH edges AS (
+    SELECT DISTINCT o.o_custkey * 2 AS s, l.l_suppkey * 2 + 1 AS d
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges),
+deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+    SELECT node, {scale_sql} // (SELECT n FROM nn) AS r FROM nodes
+),{",".join(its)}
+SELECT (node - 1) // 2 AS s_suppkey, CAST(r AS BIGINT) AS rank_fp
+FROM {prev} WHERE node % 2 = 1
+"""
+
+
+@query("graph_pagerank_dangling", oracle=_pagerank_dangling_oracle())
+def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the DIRECTED customer->supplier purchase graph
+    (customer links to every supplier they bought from). Suppliers have
+    no out-edges, so the entire supplier side is dangling — this query
+    is the driver-checked exercise of the dangling-mass redistribution
+    contract (`pagerank_dangling`), complementing `graph_pagerank`
+    whose undirected graph has none.
+
+    Node keys are parity-encoded (custkey*2, suppkey*2+1) so the two
+    key spaces cannot collide; output decodes supplier ranks only.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = ("dangling",) + key
+    if cache_key in _PAGERANK_CACHE:
+        return _PAGERANK_CACHE[cache_key]
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .distinct()
+    )
+    ranks, _deg = pagerank_dangling(edges, iters=_ITERS)
+    out = ranks.filter(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").cast("long").alias("s_suppkey"),
+        F.col("r").alias("rank_fp"),
+    )
+    _PAGERANK_CACHE[cache_key] = out
+    return out
 
 
 _BASKET_MIN_PAIR = 3

@@ -50,10 +50,10 @@ SELECT g.event_type,
        STRFTIME(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
        COALESCE(hy.n, 0) AS n_events,
        hy.n IS NULL AS is_gap,
-       last_value(hy.sv IGNORE NULLS)
+       CAST(last_value(hy.sv IGNORE NULLS)
            OVER (PARTITION BY g.event_type ORDER BY g.h
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS sum_value_ffill
+           AS DECIMAL(18,2)) AS sum_value_ffill
 FROM grid g
 LEFT JOIN hourly hy ON hy.event_type = g.event_type AND hy.h = g.h
 """,
@@ -107,7 +107,10 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
             F.col("n").isNull().alias("is_gap"),
-            F.last("sv", ignorenulls=True).over(w).alias("sum_value_ffill"),
+            F.last("sv", ignorenulls=True)
+            .over(w)
+            .cast("decimal(18,2)")
+            .alias("sum_value_ffill"),
         )
     )
 

@@ -457,7 +457,7 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(rem + F.expr(f"(rn - 1 - {big}) div {max(size, 1)}"))
         + 1
-    ).cast("int").alias("phase")
+    ).cast("bigint").alias("phase")
     out = ranked.select("doc_id", "n_tok", "rn", phase)
     # rank_in_phase = rn - (rows in earlier phases), again pure integer
     start = F.when(

@@ -10,6 +10,8 @@ from simplemapreduceframework_spark.operators.graph import (
     _DAMP_NUM,
     _ITERS,
     _SCALE,
+    pagerank_converged,
+    pagerank_dangling,
     pagerank_fixed_point,
 )
 
@@ -81,6 +83,90 @@ def test_cosupply_pagerank_mass_and_shape(spark, sf_dir):
     assert total <= _SCALE
     n_edges = sum(r["degree"] for r in rows)
     assert total >= _SCALE - _ITERS * (n_edges + len(rows) + _DAMP_DEN)
+
+
+def _reference_pagerank_dangling(
+    edges: list[tuple[int, int]], iters: int
+) -> dict[int, int]:
+    """Plain-Python twin of the dangling-aware directed contract."""
+    out: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+        nodes |= {s, d}
+    n = len(nodes)
+    teleport = (_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN // n
+    r = {v: _SCALE // n for v in nodes}
+    for _ in range(iters):
+        incoming = {v: 0 for v in nodes}
+        dm = sum(r[v] for v in nodes if v not in out)
+        for s, ds in out.items():
+            c = r[s] // len(ds)
+            for d in ds:
+                incoming[d] += c
+        r = {
+            v: teleport
+            + (_DAMP_NUM * (incoming[v] + dm // n)) // _DAMP_DEN
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_dangling_chain_matches_reference(spark):
+    # directed chain 0 -> 1 -> 2: node 2 is dangling (no out-edges);
+    # its mass must recirculate, not vanish
+    directed = [(0, 1), (1, 2)]
+    edges = spark.createDataFrame(directed, "s long, d long")
+    ranks, deg = pagerank_dangling(edges, iters=_ITERS)
+    got = {r["node"]: r["r"] for r in ranks.collect()}
+    want = _reference_pagerank_dangling(directed, _ITERS)
+    assert got == want
+    # dangling node 2 (absent from deg) still holds substantial mass
+    assert {r["s"] for r in deg.collect()} == {0, 1}
+    assert got[2] > 0
+    # mass conservation: with redistribution, total stays near SCALE
+    # (floor losses only), far above the no-redistribution total
+    assert sum(got.values()) > _SCALE * 8 // 10
+
+
+def test_pagerank_dangling_random_directed_property(spark):
+    import random
+
+    for seed in range(4):
+        rng = random.Random(7 + seed)
+        n = rng.randrange(4, 10)
+        directed = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(n)
+                if a != b and rng.random() < 0.35
+            }
+        )
+        if not directed:
+            directed = [(0, 1)]
+        edges = spark.createDataFrame(directed, "s long, d long")
+        ranks, _ = pagerank_dangling(edges, iters=_ITERS)
+        got = {r["node"]: r["r"] for r in ranks.collect()}
+        want = _reference_pagerank_dangling(directed, _ITERS)
+        assert got == want, (seed, got, want)
+
+
+def test_pagerank_converged_reaches_fixed_point(spark):
+    # undirected star converges fast; the loop must stop before
+    # max_iters and agree with running the reference that many rounds
+    pairs = [(0, i) for i in range(1, 5)]
+    both = [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs]
+    edges = spark.createDataFrame(both, "s long, d long")
+    # damping 0.85 contracts the L1 delta geometrically from ~SCALE
+    # (measured: 1.02e12 * 0.85^k), so tolerance 1e11 lands ~iter 15
+    ranks, iters = pagerank_converged(edges, tol_fp=10**11, max_iters=30)
+    assert 0 < iters < 30
+    got = {r["node"]: r["r"] for r in ranks.collect()}
+    want = _reference_pagerank_dangling(both, iters)
+    assert got == want
+    # hub still dominates at the fixed point
+    assert all(got[0] > got[i] for i in range(1, 5))
 
 
 def test_pagerank_random_graphs_property(spark):
