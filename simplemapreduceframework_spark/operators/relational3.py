@@ -15,9 +15,10 @@ output/comparison step, divisions of identical values.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources import register_views
+from ..sources import load_table, register_views
 
 # Q2 shape: for each large part, the supplier(s) selling it at the
 # minimum observed unit price — a correlated scalar MIN subquery.
@@ -456,25 +457,67 @@ FROM lineitem"""
 )
 
 
+_PROFILE_GROUP_SIZE = 2
+
+
+def _profile_column_group(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Profile ``cols`` in ONE scan: a single aggregate computes every
+    column's stats side by side, and the 1-row result unpivots into one
+    row per column via an explode over literal structs (a projection of
+    the SAME 1-row frame — never a self-union, which Catalyst would
+    inline into a second scan)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"min_{c}").alias("min_value"),
+            F.col(f"max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 @query("table_profile", oracle=_PROFILE_SQL)
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data profile of the fact table: row count, null
     count, exact distinct cardinality, and min/max per profiled column
     — the statistics a catalog (or a CBO) maintains per table.
 
-    Each column profiles in its own aggregate branch (a UNION ALL arm
-    = one scan + one partial agg collapsing to a single row), so there
-    is no multi-distinct Expand multiplying the fact table by the
-    column count; Catalyst runs the arms as independent stages. At
-    100 TB the same shape holds with approx_count_distinct swapped in
-    (and column-group batching to share scans). Identical SQL text on
-    both engines; min/max stringified so heterogeneous column types
-    union cleanly.
-    """
-    register_views(spark, sf_dir)
-    # Spark renders dates/decimals identically to DuckDB under CAST AS
-    # STRING for these column types (date ISO format, plain decimal).
-    return spark.sql(_PROFILE_SQL.replace("AS VARCHAR", "AS STRING"))
+    Columns profile in batches of {group} sharing ONE scan each (4
+    profiled columns = 2 fact scans, plan-asserted), the 1-row batch
+    aggregate unpivoting into per-column rows via explode. Batching
+    bounds the multi-distinct Expand at {group}+1 duplications of the
+    scanned rows — the scan-count/Expand-factor trade dial; a 100 TB
+    run widens batches with approx_count_distinct (no Expand at all)
+    per the approx_distinct_gate pattern. The oracle keeps the
+    one-arm-per-column UNION ALL form (DuckDB has no Expand concern);
+    min/max stringified so heterogeneous column types union cleanly —
+    Spark's CAST AS STRING renders dates/decimals identically to
+    DuckDB's AS VARCHAR for these types.
+    """.format(group=_PROFILE_GROUP_SIZE)
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        _profile_column_group(
+            li, _PROFILE_COLS[i : i + _PROFILE_GROUP_SIZE]
+        )
+        for i in range(0, len(_PROFILE_COLS), _PROFILE_GROUP_SIZE)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _Q39_SQL = """

@@ -185,6 +185,20 @@ def test_disjunctive_predicate_pushes_or_to_both_scans(spark, sf_dir):
     assert has_broadcast_hash_join(df), explain_str(df)
 
 
+def test_table_profile_shares_scans_across_column_batches(spark, sf_dir):
+    """4 profiled columns must cost at most 2 fact scans: columns are
+    batched two-per-aggregate and the 1-row batch result unpivots via
+    explode — never one UNION ALL arm (= one scan) per column."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import plan_fingerprint
+
+    fp = plan_fingerprint(Q["table_profile"](spark, sf_dir))
+    assert fp["scans"] <= 2, fp
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     """Runtime partition pruning: a fact table partitioned on the join
     key, joined to a filtered dimension, must plan a dynamicpruning
