@@ -156,10 +156,9 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bpe_first_merge_gate",
-    oracle=r"""
-WITH w AS (
+# First-merge learning CTEs, shared by the first-merge gate and the
+# encode gate (both must re-learn merge 1 inside DuckDB).
+_FIRST_MERGE_CTES = r"""w AS (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (SELECT UNNEST(regexp_extract_all(lower(text), '\w+')) AS word
           FROM documents)
@@ -172,7 +171,13 @@ p AS (
     FROM (SELECT word, freq, UNNEST(range(1, GREATEST(LENGTH(word), 1))) AS i
           FROM w)
     GROUP BY 1, 2
-)
+)"""
+
+
+@query(
+    "bpe_first_merge_gate",
+    oracle=f"""
+WITH {_FIRST_MERGE_CTES}
 SELECT l AS left_sym, r AS right_sym, CAST(c AS BIGINT) AS pair_freq
 FROM p
 ORDER BY c DESC, l ASC, r ASC
@@ -191,6 +196,147 @@ def bpe_first_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(left, right, freq) for _, left, right, freq in first],
         "left_sym string, right_sym string, pair_freq bigint",
     )
+
+
+def encode_word(word: str, merges: list[tuple]) -> list[str]:
+    """Tokenize one word with the learned merge table: start from
+    characters, apply each merge in rank order, leftmost-first
+    non-overlapping — the standard BPE encode convention (the exact
+    inverse-direction twin of the training loop's apply step)."""
+    syms = [c for c in word]
+    for _rank, left, right, _freq in merges:
+        syms = merge_pair_in_word(syms, left, right)
+    return syms
+
+
+def _encode_docs(
+    spark: SparkSession, sf_dir: str, merges: list[tuple]
+) -> DataFrame:
+    """Tokenize `documents` with a merge table: per doc, word count,
+    BPE token count, and md5 over the space-joined token sequence.
+
+    Spark-first shape: the corpus encodes by TYPE, not by occurrence —
+    distinct words (vocabulary-sized) run the Python merge application
+    once each in an Arrow-batched mapInPandas, then broadcast-join back
+    onto the positional word stream; per-doc sequences reassemble
+    row-locally (array_sort over collected (pos, tokens) structs).
+    Wordless and NULL-text docs keep a row (0 words, md5('') hash) via
+    the doc-id left join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words_pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens_regex(F.lower(F.col("text")))).alias(
+            "pos", "word"
+        ),
+    )
+    vocab = words_pos.select("word").distinct()
+
+    def encode_batch(
+        batches: Iterator[pd.DataFrame], _m=merges
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "toks": pdf["word"].map(
+                        lambda w: " ".join(encode_word(w, _m))
+                    ),
+                }
+            )
+
+    enc_vocab = vocab.mapInPandas(encode_batch, "word string, toks string")
+    per_doc = (
+        words_pos.join(F.broadcast(enc_vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.size(F.split(F.col("toks"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, toks))),"
+                        " s -> s.toks)"
+                    ),
+                )
+            ).alias("token_hash"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+            F.coalesce("token_hash", F.md5(F.lit(""))).alias("token_hash"),
+        )
+    )
+
+
+@query("bpe_encode")  # rows-only: merge table is data-dependent (learned)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the FULL learned merge table to the corpus — the missing
+    half of the tokenizer lifecycle (train via bpe_learn_merges, then
+    encode). Verification: bpe_encode_gate hash-gates the identical
+    machinery under the SQL-expressible single-merge table, and the
+    Python-reference property tests pin multi-merge encoding."""
+    return _encode_docs(spark, sf_dir, _train(spark, sf_dir))
+
+
+@query(
+    "bpe_encode_gate",
+    oracle=f"""
+WITH {_FIRST_MERGE_CTES},
+bp AS (
+    SELECT l, r FROM p ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+dw AS (
+    SELECT doc_id,
+           COALESCE(regexp_extract_all(lower(text), '\\w+'),
+                    CAST([] AS VARCHAR[])) AS ws
+    FROM documents
+),
+enc AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           array_to_string(
+               list_transform(ws, wrd ->
+                   replace(
+                       list_reduce(regexp_split_to_array(wrd, ''),
+                           (a, x) -> CASE
+                               WHEN regexp_extract(a, '[^|]*$') = bp.l
+                                    AND x = bp.r
+                               THEN regexp_replace(a, '[^|]*$',
+                                                   bp.l || bp.r)
+                               ELSE a || '|' || x END),
+                       '|', ' ')),
+               ' ') AS s
+    FROM dw CROSS JOIN bp
+)
+SELECT doc_id, n_words,
+       CASE WHEN s = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(string_split(s, ' ')) AS BIGINT) END AS n_tokens,
+       md5(s) AS token_hash
+FROM enc
+""",
+)
+def bpe_encode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible hash gate for the encode machinery: tokenize the
+    corpus with ONLY merge 1 (which DuckDB can re-learn in SQL) and
+    compare per-doc token counts and sequence hashes exactly. The
+    oracle applies the merge as a `list_reduce` left fold — replacing
+    the accumulator's tail symbol when (tail, next) equals the merge
+    pair reproduces leftmost-first non-overlapping application (a
+    merged token never equals its own left symbol, so no re-merge can
+    cascade within one pass)."""
+    merges = _train(spark, sf_dir)
+    return _encode_docs(spark, sf_dir, merges[:1])
 
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402

@@ -11,7 +11,9 @@ from simplemapreduceframework_spark import registry
 from simplemapreduceframework_spark.functions import tokens_regex
 from simplemapreduceframework_spark.operators.bpe import (
     _N_MERGES,
+    _train,
     bpe_reference,
+    encode_word,
     merge_pair_in_word,
 )
 from simplemapreduceframework_spark.sources import load_table
@@ -47,6 +49,60 @@ def test_spark_bpe_matches_reference_on_corpus(spark, sf_dir):
         .collect()
     ]
     assert got == want
+
+
+def test_encode_word_applies_merges_in_rank_order():
+    merges = [(1, "a", "b", 9), (2, "ab", "c", 5), (3, "d", "abc", 2)]
+    assert encode_word("abc", merges) == ["abc"]
+    assert encode_word("dabc", merges) == ["dabc"]
+    assert encode_word("abab", merges) == ["ab", "ab"]
+    assert encode_word("xyz", merges) == ["x", "y", "z"]
+    assert encode_word("a", merges) == ["a"]
+
+
+def test_bpe_encode_matches_python_reference_on_corpus(spark, sf_dir):
+    """Every doc's full-merge token sequence (via its md5) must equal
+    encoding the doc with the Python reference: same word regex, same
+    merge table, same leftmost-first application per rank."""
+    import hashlib
+    import re
+
+    merges = _train(spark, sf_dir)
+    assert merges, "training produced no merges"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["token_hash"])
+        for r in Q["bpe_encode"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        words = re.findall(r"\w+", (text or "").lower())
+        toks = [t for w in words for t in encode_word(w, merges)]
+        joined = " ".join(toks)
+        want = (
+            len(words),
+            len(toks),
+            hashlib.md5(joined.encode()).hexdigest(),
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_bpe_encode_roundtrips_and_compresses(spark, sf_dir):
+    """Invariants: concatenating a word's tokens restores the word, and
+    applying more merges never increases the corpus token count."""
+    merges = _train(spark, sf_dir)
+    for word in ["hello", "the", "a", "tokenization"]:
+        assert "".join(encode_word(word, merges)) == word
+    full = Q["bpe_encode"](spark, sf_dir)
+    gate = Q["bpe_encode_gate"](spark, sf_dir)
+    n_full = full.agg(F.sum("n_tokens")).collect()[0][0]
+    n_gate = gate.agg(F.sum("n_tokens")).collect()[0][0]
+    assert n_full <= n_gate  # 5 merges compress at least as much as 1
 
 
 def test_spark_bpe_matches_reference_on_random_words(spark):
