@@ -552,17 +552,96 @@ def decontaminate_row_local(
     )
 
 
-def benchmark_gram_set(spark: SparkSession, sf_dir: str) -> set[str]:
-    """The benchmark's distinct n-gram set, collected once — the static
-    index decontaminate_row_local broadcasts. At scale this collect is
-    bounded by the EVAL corpus (thousands of docs), not the training
-    stream."""
+def decontaminate_joined(
+    docs: DataFrame, bench_grams: DataFrame
+) -> DataFrame:
+    """The contamination check as a gram-keyed JOIN: explode each
+    training doc's distinct 5-grams and equi-join them against a
+    benchmark gram FRAME — the set never touches the driver, so an
+    adversarially large benchmark (a leaked training shard registered
+    as an "eval set") cannot OOM it. Same filter, output columns, and
+    membership semantics as decontaminate_row_local; the equivalence
+    test pins both formulations rowwise-identical.
+
+    Shape at scale: distinct per-doc grams on the training side only,
+    one equi-join on the gram (Spark broadcasts the benchmark side when
+    it fits, shuffle-joins when it doesn't — exactly the adaptive
+    behavior the driver-collect path forfeits), one partial-agg count
+    per doc.
+    """
+    n = _DECON_NGRAM
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    toks = train.select(
+        "doc_id", tokens_regex(F.lower(F.col("text"))).alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n - 1}), "
+                        f"i -> array_join(slice(t, i, {n}), ' '))"
+                    )
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        ).alias("g"),
+    )
+    hits = (
+        grams.join(bench_grams.select("g").distinct(), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# Above this many benchmark grams, decontaminate() refuses to collect
+# the set to the driver and joins instead. 5M grams x ~40 bytes is a
+# few hundred MB driver-side — the sensible ceiling for "eval-suite
+# sized"; real eval suites are orders of magnitude below it.
+_DECON_BROADCAST_MAX_GRAMS = 5_000_000
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    max_broadcast_grams: int = _DECON_BROADCAST_MAX_GRAMS,
+) -> DataFrame:
+    """Size-gated decontamination dispatcher: count the benchmark gram
+    frame first; at or under ``max_broadcast_grams`` collect it and run
+    the row-local broadcast-set path (streaming-friendly, zero join),
+    above it run the gram-keyed join that never materializes the set on
+    the driver. Both paths are hash-equivalent (see the equivalence
+    test and the shared oracle of text_decontaminate /
+    streaming_decontaminate_live)."""
+    distinct_grams = bench_grams.select("g").distinct()
+    if distinct_grams.count() <= max_broadcast_grams:
+        gram_set = {r["g"] for r in distinct_grams.collect()}
+        return decontaminate_row_local(docs, gram_set)
+    return decontaminate_joined(docs, distinct_grams)
+
+
+def benchmark_grams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benchmark's distinct n-gram set as a DataFrame (column
+    ``g``) — the join-side index for decontaminate_joined and the
+    source decontaminate()/benchmark_gram_set() collect from."""
     docs = load_table(spark, sf_dir, "documents")
     n = _DECON_NGRAM
     toks = docs.filter(F.col("doc_id") % _DECON_MOD == 0).select(
         tokens_regex(F.lower(F.col("text"))).alias("t")
     )
-    g = (
+    return (
         toks.filter(F.size("t") >= n)
         .select(
             F.explode(
@@ -574,7 +653,15 @@ def benchmark_gram_set(spark: SparkSession, sf_dir: str) -> set[str]:
         )
         .distinct()
     )
-    return {r["g"] for r in g.collect()}
+
+
+def benchmark_gram_set(spark: SparkSession, sf_dir: str) -> set[str]:
+    """The benchmark's distinct n-gram set, collected once — the static
+    index decontaminate_row_local broadcasts. At scale this collect is
+    bounded by the EVAL corpus (thousands of docs), not the training
+    stream; for an unbounded "benchmark" use decontaminate(), which
+    flips to the join formulation past its size threshold."""
+    return {r["g"] for r in benchmark_grams_df(spark, sf_dir).collect()}
 
 
 # Chunking parameters: 50-token windows with 10-token overlap (stride

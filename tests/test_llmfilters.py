@@ -94,6 +94,38 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     assert has_broadcast_hash_join(df), explain_str(df)
 
 
+def test_decontaminate_join_and_broadcast_formulations_agree(spark, sf_dir):
+    """The gram-keyed join path (driver-safe for adversarially large
+    benchmarks) and the collect+broadcast row-local path must produce
+    rowwise-identical output, and the size-gated dispatcher must pick
+    each side of its threshold correctly."""
+    from simplemapreduceframework_spark.operators.llmfilters import (
+        benchmark_gram_set,
+        benchmark_grams_df,
+        decontaminate,
+        decontaminate_joined,
+        decontaminate_row_local,
+    )
+    from simplemapreduceframework_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_df = benchmark_grams_df(spark, sf_dir)
+    local = sorted(
+        map(tuple, decontaminate_row_local(
+            docs, benchmark_gram_set(spark, sf_dir)
+        ).collect())
+    )
+    joined = sorted(map(tuple, decontaminate_joined(docs, bench_df).collect()))
+    assert local == joined
+    # dispatcher: threshold 0 forces the join path, huge allows collect
+    forced_join = sorted(
+        map(tuple, decontaminate(docs, bench_df, max_broadcast_grams=0).collect())
+    )
+    assert forced_join == local
+    dispatched = sorted(map(tuple, decontaminate(docs, bench_df).collect()))
+    assert dispatched == local
+
+
 def test_decontaminate_self_overlap_detected(spark, tmp_path):
     """A training doc that copies a benchmark doc's 5-gram is flagged;
     an unrelated doc is not."""
