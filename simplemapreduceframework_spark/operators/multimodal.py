@@ -226,6 +226,196 @@ def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# Pixel-level decode output: adds exact pixel statistics to the header
+# features — the gate that proves bytes were actually decoded, not just
+# headers skimmed.
+REAL_PIXEL_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, format string, "
+    "n_pixels bigint, pixel_sum bigint, mean_pixel double"
+)
+
+
+def _netpbm_data_offset(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, data_offset) for a binary netpbm file:
+    three whitespace-separated header integers ('#' comments legal),
+    raster begins after exactly ONE whitespace byte following maxval
+    (netpbm spec)."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1
+
+
+def _unfilter_png(raw: bytes, w: int, h: int, channels: int) -> bytes:
+    """Reverse PNG per-scanline filtering (spec §9 Filtering): each
+    scanline leads with a filter-type byte; types 0-4 (None / Sub / Up
+    / Average / Paeth) all implemented, so this decodes any 8-bit
+    filtered stream, not just the level-0/filter-0 files make_png
+    writes."""
+    stride = w * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                up = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = (
+                    a
+                    if pa <= pb and pa <= pc
+                    else (up if pb <= pc else c)
+                )
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_pixels(b: bytes) -> tuple[str, int, int, int, int]:
+    """FULL pixel decode, pure stdlib: returns (format, width, height,
+    channels, pixel_sum) with pixel_sum the exact integer sum of every
+    decoded sample byte (padding and filter bytes excluded).
+
+    Formats: BMP (24-bit uncompressed, bottom-up or top-down, 4-byte
+    row padding stripped), binary PPM (P6) / PGM (P5), and PNG (8-bit
+    RGB, all five scanline filters, multi-IDAT, via zlib). GIF and
+    JPEG entropy coding needs a real codec library — those raise
+    NotImplementedError (dimensions still available via decode_real).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:2] == b"BM":
+        w, h = _parse_bmp(b)
+        offset = struct.unpack_from("<I", b, 10)[0]
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        if bpp != 24:
+            raise NotImplementedError(f"{bpp}-bit BMP needs a palette codec")
+        stride = ((3 * w + 3) // 4) * 4
+        total = 0
+        for r in range(h):
+            row = b[offset + r * stride : offset + r * stride + 3 * w]
+            total += int(np.frombuffer(row, dtype=np.uint8).sum())
+        return "bmp", w, h, 3, total
+    if b[:2] in (b"P6", b"P5"):
+        w, h, _maxval, off = _netpbm_data_offset(b)
+        ch = 3 if b[:2] == b"P6" else 1
+        data = b[off : off + ch * w * h]
+        total = int(np.frombuffer(data, dtype=np.uint8).sum())
+        fmt = "ppm" if ch == 3 else "pgm"
+        return fmt, w, h, ch, total
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _parse_png(b)
+        bit_depth, color_type = b[24], b[25]
+        if (bit_depth, color_type) != (8, 2):
+            raise NotImplementedError(
+                f"PNG bit depth {bit_depth} / color type {color_type}: "
+                "only 8-bit RGB implemented"
+            )
+        idat = bytearray()
+        pos = 8
+        while pos < len(b):
+            (length,) = struct.unpack_from(">I", b, pos)
+            typ = b[pos + 4 : pos + 8]
+            if typ == b"IDAT":
+                idat += b[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        raw = zlib.decompress(bytes(idat))
+        pixels = _unfilter_png(raw, w, h, 3)
+        total = int(np.frombuffer(pixels, dtype=np.uint8).sum())
+        return "png", w, h, 3, total
+    raise NotImplementedError(
+        f"pixel decode for magic {b[:2]!r} requires PIL/ffmpeg — "
+        "not available here (dimensions via decode_real)"
+    )
+
+
+def decode_real_pixels(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Pixel-level real decode (mapInPandas body): header features PLUS
+    exact pixel count/sum/mean per image. Row-local, no shuffle; NULL
+    payloads yield NULL features (quarantine row, same policy as
+    decode_real)."""
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "n_bytes", "width", "height", "format",
+            "n_pixels", "pixel_sum",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rows["doc_id"].append(doc_id)
+            if payload is None:
+                for k in ("n_bytes", "width", "height", "format",
+                          "n_pixels", "pixel_sum"):
+                    rows[k].append(None)
+                continue
+            b = bytes(payload)
+            fmt, w, h, ch, total = decode_pixels(b)
+            rows["n_bytes"].append(len(b))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["format"].append(fmt)
+            rows["n_pixels"].append(w * h)
+            rows["pixel_sum"].append(total)
+        n_pix = pd.Series(rows["n_pixels"], dtype="Int64")
+        psum = pd.Series(rows["pixel_sum"], dtype="Int64")
+        channels = pd.Series(
+            [
+                (1 if f == "pgm" else 3) if f is not None else None
+                for f in rows["format"]
+            ],
+            dtype="Int64",
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="Int64"),
+                "width": pd.Series(rows["width"], dtype="Int32"),
+                "height": pd.Series(rows["height"], dtype="Int32"),
+                "format": pd.Series(rows["format"], dtype="object"),
+                "n_pixels": n_pix,
+                "pixel_sum": psum,
+                "mean_pixel": (
+                    psum.astype("Float64")
+                    / (n_pix * channels).astype("Float64")
+                ),
+            }
+        )
+
+
 def make_bmp(width: int, height: int, fill: int = 0) -> bytes:
     """A valid 24-bit uncompressed BMP, pure stdlib: 14-byte file
     header + 40-byte BITMAPINFOHEADER + rows padded to 4 bytes."""
@@ -421,27 +611,38 @@ SELECT doc_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
        CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-            WHEN 2 THEN 'png' ELSE 'pgm' END AS format
-FROM (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h FROM documents)
+            WHEN 2 THEN 'png' ELSE 'pgm' END AS format,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST((doc_id % 256) * ch * w * h AS BIGINT) AS pixel_sum,
+       CAST((doc_id % 256) * ch * w * h AS DOUBLE) / (ch * w * h)
+           AS mean_pixel
+FROM (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h,
+             CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END AS ch
+      FROM documents)
 """,
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-codec decode end-to-end: synthesize a genuine image file
-    per doc (BMP / PPM / PNG / PGM cycling on doc_id % 4, dimensions
-    derived from doc_id), then parse the actual headers back with the
-    stdlib decoder. The oracle recomputes byte size (BMP 4-byte row
-    padding, netpbm ASCII header lengths, PNG's closed-form
-    stored-deflate size 68 + h*(3w+1)) and dimensions from doc_id
-    alone, so the whole encode->decode roundtrip is hash-gated. Both
+    """REAL-codec decode end-to-end, down to the PIXELS: synthesize a
+    genuine image file per doc (BMP / PPM / PNG / PGM cycling on
+    doc_id % 4, dimensions and fill byte derived from doc_id), then
+    decode the actual bytes back with the stdlib codec —
+    BMP padding-stripped raster, netpbm raster, PNG via zlib inflate +
+    full five-filter scanline reversal (decode_pixels). The oracle
+    recomputes byte size (BMP 4-byte row padding, netpbm ASCII header
+    lengths, PNG's closed-form stored-deflate size 68 + h*(3w+1)),
+    dimensions, AND the exact pixel sum / mean (every sample byte is
+    the doc's fill value doc_id % 256, so pixel_sum =
+    fill * channels * w * h in closed form) — a wrong filter reversal,
+    stride, or padding slip changes pixel_sum and fails the hash. Both
     stages are chained row-local mapInPandas — one scan, no shuffle,
     payloads never leave their partition. GIF/JPEG dimensions decode
-    too (unit-tested); full pixel decode and audio stay behind the
-    NotImplementedError gate in decode_real."""
+    too (unit-tested); their entropy-coded pixels and audio stay
+    behind the NotImplementedError gate in decode_pixels."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_media, "doc_id bigint, payload binary"
     )
-    return payloads.mapInPandas(decode_real, REAL_FEATURE_SCHEMA)
+    return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA)
 
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402

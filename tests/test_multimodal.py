@@ -319,3 +319,113 @@ def test_jpeg_parser_skips_fill_bytes():
     [out] = list(decode_real(iter([pdf])))
     r = next(out.itertuples())
     assert (r.width, r.height, r.format) == (160, 120, "jpeg")
+
+
+def _png_with_filters(pixels, filters):
+    """Build a spec-valid 8-bit RGB PNG whose scanlines use the GIVEN
+    filter types — the fixture that proves decode_pixels reverses all
+    five filters, not just the filter-0 files make_png writes.
+    ``pixels`` is rows x (3*width) raw sample bytes."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0]) // 3
+    ch = 3
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(3 * w)
+    for row, ftype in zip(pixels, filters):
+        line = bytearray(row)
+        enc = bytearray(len(line))
+        for i in range(len(line)):
+            a = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (a + up) >> 1
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ftype]) + enc
+        prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_pixels_reverses_every_png_filter():
+    """PNGs filtered with each of the five scanline filter types (and a
+    mixed file using all of them) decode to the exact original pixel
+    sum."""
+    import random
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+    )
+
+    rng = random.Random(42)
+    w, h = 7, 5
+    pixels = [
+        bytes(rng.randrange(256) for _ in range(3 * w)) for _ in range(h)
+    ]
+    want = sum(sum(row) for row in pixels)
+    for ftype in range(5):
+        png = _png_with_filters(pixels, [ftype] * h)
+        fmt, gw, gh, ch, total = decode_pixels(png)
+        assert (fmt, gw, gh, ch) == ("png", w, h, 3)
+        assert total == want, f"filter {ftype}"
+    mixed = _png_with_filters(pixels, [0, 1, 2, 3, 4])
+    assert decode_pixels(mixed)[4] == want
+
+
+def test_decode_pixels_bmp_strips_row_padding():
+    """A BMP whose width forces row padding must sum only real pixel
+    bytes — padding bytes share the fill value, so a stride slip would
+    inflate the sum."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+        make_bmp,
+        make_pgm,
+        make_ppm,
+        make_png,
+    )
+
+    # width 3 -> row 9 bytes padded to 12: 3 pad bytes per row
+    fmt, w, h, ch, total = decode_pixels(make_bmp(3, 4, 200))
+    assert (fmt, w, h, ch) == ("bmp", 3, 4, 3)
+    assert total == 200 * 3 * 3 * 4
+    assert decode_pixels(make_ppm(5, 2, 7)) == ("ppm", 5, 2, 3, 7 * 3 * 5 * 2)
+    assert decode_pixels(make_pgm(5, 2, 9)) == ("pgm", 5, 2, 1, 9 * 5 * 2)
+    assert decode_pixels(make_png(4, 3, 50)) == ("png", 4, 3, 3, 50 * 3 * 4 * 3)
+
+
+def test_decode_pixels_rejects_entropy_coded_formats():
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"GIF89a" + b"\x00" * 20)
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 20)
