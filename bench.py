@@ -232,31 +232,39 @@ def main() -> None:
         json.dump(plans, f, indent=1, sort_keys=True)
     print(f"[bench] plan fingerprints -> {sidecar}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": int(
-                    os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
-                ),
-                "n_queries": len(timings),
-                "runs_per_query": 3,
-                # r5 policy change: the timed window now includes
-                # DataFrame construction (eager driver-side work some
-                # queries do while building), so r5+ numbers are not
-                # directly comparable to r1-r4, which timed execution
-                # only.
-                "includes_construction": True,
-                "cold_seconds": round(sum(cold.values()), 3),
-                "median_seconds": round(sum(medians.values()), 3),
-            }
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": "headline_query_set_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cpus": int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+            ),
+            "n_queries": len(timings),
+            "runs_per_query": 3,
+            # r5 policy change: the timed window now includes
+            # DataFrame construction (eager driver-side work some
+            # queries do while building), so r5+ numbers are not
+            # directly comparable to r1-r4, which timed execution
+            # only.
+            "includes_construction": True,
+            "cold_seconds": round(sum(cold.values()), 3),
+            "median_seconds": round(sum(medians.values()), 3),
+        }
     )
+    # Self-check the artifact contract before emitting: the final
+    # stdout line must be one standalone JSON object with the timing
+    # keys present (round 4 lost its per-query record to a silently
+    # malformed line; fail LOUD here instead, never after the fact).
+    parsed = json.loads(line)
+    for required in ("metric", "value", "unit", "queries", "sf"):
+        if required not in parsed:
+            raise RuntimeError(f"bench line missing key {required!r}")
+    if "\n" in line or len(parsed["queries"]) != len(HEADLINE):
+        raise RuntimeError("bench line malformed: not one full line")
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -14,21 +14,37 @@ to one task.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class GlobalRank(NamedTuple):
+    """Result of global_row_number. The CALLER owns the persisted
+    intermediate's lifecycle: call ``release()`` once the final output
+    is materialized (or memoized for the session) — without it every
+    invocation leaks one cached DataFrame into executor storage for
+    the session lifetime."""
+
+    df: DataFrame
+    count: int
+    release: "callable"
+
+
 def global_row_number(
     df: DataFrame, order: list[Column], out: str = "rn"
-) -> tuple[DataFrame, int]:
+) -> GlobalRank:
     """Total-order ``df`` by ``order`` and add a 1-based global rank
-    column ``out``. Returns (ranked_df, total_row_count).
+    column ``out``. Returns GlobalRank(ranked_df, total_row_count,
+    release).
 
-    The returned frame is persisted (the id stamps must be identical
-    in the sizes branch and the final projection —
-    monotonically_increasing_id is recompute-sensitive); callers that
-    invoke repeatedly should memoize per session like
-    textanalysis._VOCAB_CACHE. The row count falls out of the prefix
+    An intermediate frame is persisted (the id stamps must be
+    identical in the sizes branch and the final projection —
+    monotonically_increasing_id is recompute-sensitive); the caller
+    owns that cache entry via ``release()``: memoize the result for
+    the session (textanalysis._VOCAB_CACHE style) or release after the
+    final output materializes. The row count falls out of the prefix
     sum for free (constant driver state, <= one row per partition).
     """
     spark = df.sparkSession
@@ -51,4 +67,4 @@ def global_row_number(
         .withColumn(out, (F.col("_lidx") + F.col("_off") + 1).cast("bigint"))
         .drop("_pid", "_lidx", "_off")
     )
-    return ranked, acc
+    return GlobalRank(ranked, acc, lambda: with_id.unpersist())

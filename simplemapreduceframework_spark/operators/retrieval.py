@@ -491,6 +491,8 @@ def search_text_index(
     filter) plus a pushed word IN (...) filter — no corpus scan, no
     tokenize. Scores are bit-identical to the scan path because both
     feed the same _bm25_from_components expression tree."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
     prefixes = sorted({t[:1] for t in terms})
     # explicit schema: an empty corpus writes a partitioned postings
     # dir with no parquet files, where schema INFERENCE would throw —
@@ -543,10 +545,22 @@ _BATCH_QUERIES: dict[str, list[str]] = {
 _BATCH_TERMS = sorted({t for ts in _BATCH_QUERIES.values() for t in ts})
 _BATCH_TOPK = 5
 
-# Memoized batch result per (application, sf_dir): the shared pivoted
+# Memoized batch result per (SparkSession, sf_dir): the shared pivoted
 # frame inside is persisted, so repeated invocations reuse one copy
-# (the _VOCAB_CACHE discipline).
-_BATCH_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (the _VOCAB_CACHE discipline). Keyed on the session OBJECT, not
+# applicationId — newSession() siblings share an applicationId but have
+# separate catalogs/states, and a persisted DataFrame must never leak
+# across sessions. Values are (result, release): release unpersists
+# the pivoted frame (release_batch_cache drains the whole memo).
+_BATCH_CACHE: dict[tuple[int, str, str], tuple[DataFrame, object]] = {}
+
+
+def release_batch_cache() -> None:
+    """Unpersist every memoized batch pivot and clear the memo — for
+    callers that tear down retrieval state mid-session."""
+    for _out, release in _BATCH_CACHE.values():
+        release()
+    _BATCH_CACHE.clear()
 
 
 def _batch_oracle() -> str:
@@ -621,9 +635,9 @@ def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs scoring 0 for a query (none of its terms) are excluded from
     that query's ranking, mirroring an inverted-index serving path.
     """
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (id(spark), spark.sparkContext.applicationId, sf_dir)
     if memo_key in _BATCH_CACHE:
-        return _BATCH_CACHE[memo_key]
+        return _BATCH_CACHE[memo_key][0]
     # one shared pivoted frame (the SAME expression tree as text_bm25,
     # via _bm25_pivoted) serves every query's top-k
     scored = _bm25_pivoted(spark, sf_dir, _BATCH_TERMS).persist()
@@ -645,5 +659,5 @@ def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = arms[0]
     for a in arms[1:]:
         out = out.unionAll(a)
-    _BATCH_CACHE[memo_key] = out
+    _BATCH_CACHE[memo_key] = (out, lambda: scored.unpersist())
     return out

@@ -550,7 +550,7 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))) AS BIGINT)
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS total_cents
 FROM events
 GROUP BY user_id

@@ -445,7 +445,12 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = base.filter(2 * F.col("n_alpha") >= F.col("n_chars")).select(
         "doc_id", "n_tok"
     )
-    ranked, n = global_row_number(kept, [F.col("n_tok"), F.col("doc_id")])
+    # the memoized result below keeps the ranked frame's cache entry
+    # for the session, so the persist is owned by _CURRICULUM_CACHE —
+    # never released (GlobalRank.release is for non-memoizing callers)
+    ranked, n, _release = global_row_number(
+        kept, [F.col("n_tok"), F.col("doc_id")]
+    )
     k = 4
     size, rem = n // k, n % k
     big = rem * (size + 1)  # rows living in the first `rem` larger tiles

@@ -69,70 +69,21 @@ def load_all() -> None:
 # are listed first; long-green queries fall to the tail where a cap
 # costs nothing (their round-1 rows stand).
 CHECK_PRIORITY: list[str] = [
-    # round 5 late additions — never driver-checked, check first
-    "text_bm25",  # new: BM25 top-k lexical retrieval
-    "fuzzy_match_parts",  # new: blocked levenshtein record linkage
-    "events_resample_ffill",  # new: hourly grid resample + forward fill
-    "graph_pagerank",  # new: fixed-point PageRank over co-supply graph
-    "streaming_session_live",  # new: stateful session windows on a live stream
-    "events_outlier_mad",  # new: decimal-exact MAD robust outliers
-    "events_state_intervals",  # new: SCD-2 state history from events
-    "curriculum_schedule",  # new: easy-to-hard curriculum phases, no Window
-    "hybrid_search_rrf",  # new: BM25 + dense cosine reciprocal-rank fusion
-    "events_cohort_retention",  # new: weekly cohort retention triangle
-    "table_profile",  # new: per-column ANALYZE-style profiling
-    "text_pmi_pairs",  # new: adjacent-bigram PMI collocations
-    "text_bm25_indexed",  # new: persisted inverted-index BM25, full value gate
-    "q39_nation_volume",  # new: TPC-H Q7-shape double nation alias
-    "streaming_enrich_live",  # new: stream-static broadcast enrichment
-    "events_range_join_bucketed",  # new: (user, bucket)-co-partitioned range join
-    "streaming_stateful_totals_live",  # new: applyInPandasWithState, full value gate
-    "q40_window_distribution",  # new: percent_rank/cume_dist/nth_value gauntlet
-    "table_skew_report",  # new: hot-key share report feeding the salting decision
-    "text_quality_classifier",  # new: fixed-weight linear quality model scoring
-    "text_bm25_batch",  # new: multi-query BM25 from one corpus pass
-    "basket_part_pairs",  # new: market-basket support/lift pairs
-    "events_trend_slope",  # new: exact-moment least-squares drift
-    "q41_top_supplier",  # new: TPC-H Q15-shape scalar-max view reuse
-    "customer_rfm_segments",  # new: quartile-threshold RFM scoring
-    "multimodal_frame_sample",  # new: 1->N frame fan-out, content-gated
-    "events_transition_matrix",  # new: Markov next-event probabilities
-    "ann_ivf_ndcg_gate",  # new: ranking-order quality gate (can-fail tested)
-    "bpe_first_merge_gate",  # new: BPE training iteration-1 hash gate
-    "streaming_sliding_live",  # new: overlapping windows on a live stream
-    "part_monthly_demand_features",  # new: lag/rolling forecast features
-    "events_hourly_seasonality",  # new: diurnal profile per event type
-    "q42_product_profit",  # new: TPC-H Q9-shape profit star with LIKE pruning
-    "streaming_ingest_pipeline_live",  # new: dedup->enrich->filter composed stream
-    "events_session_stats",  # new: per-user session engagement rollup
-    # rows-only: the driver records only a weaker rows check, so it
-    # cedes its cap slot to the hash-gated entries above (its REAL
-    # verification is the first-merge gate + Python-reference tests)
-    "bpe_learn_merges",
-    # round 5: new or gate-changed this round — check first
-    "text_pii_scrub",  # new: PII detection/redaction
-    "text_repetition_filter",  # new: Gopher-style repetition filter
-    "text_decontaminate",  # new: benchmark n-gram decontamination
-    "pipeline_hygiene",  # new: composed repetition+decon+dedup pipeline
-    "dedup_winnow",  # new: winnow-fingerprint near-dup pairs
-    "embedding_quantize",  # new: int8 vector quantization, hash-gated
-    "ann_quantized_gate",  # new: recall gate over int8-reconstructed search
-    "streaming_hygiene_live",  # new: stateless hygiene filter on a live stream
-    "streaming_decontaminate_live",  # new: broadcast-set decontamination at ingest
-    "text_chunk",  # new: overlapping token chunking
-    "q38_disjunctive_predicate",  # new: Q19-shape OR pushdown
-    "events_outlier_zscore",  # new: decimal-exact per-group z-score flags
-    "pipeline_chunked_corpus",  # new: hygiene -> chunking composition
-    "corpus_health_report",  # new: one-row corpus monitoring dashboard
-    "multimodal_decode_real",  # new: stdlib BMP/PPM decode roundtrip
-    "ann_ivf_indexed_gate",  # new: persisted-index lifecycle gate
-    "dedup_ngram_jaccard",  # bucket cap added to engine + oracle
-    "text_lang_id",  # trigram-profile scorer, oracle updated
-    "corpus_mix_weighted",  # floor semantics pinned on both sides
-    # round 5: stale driver rows — the latest CORRECTNESS row for each
-    # of these predates the testdata regeneration (r1/r2 vintage);
-    # local parity is green on current fixtures, but the driver-visible
-    # sf0.01 record should rotate. Timestamp-touching queries first:
+    # round 6 head: the two r5-red rows, re-greened by pinning output
+    # types (CAST pagerank's DuckDB-HUGEINT rank to BIGINT, resample's
+    # ffill to DECIMAL(18,2) on both engines)
+    "events_resample_ffill",
+    "graph_pagerank",
+    # round 6 new queries
+    "graph_pagerank_dangling",  # new: directed graph, dangling-mass contract
+    "bpe_encode_gate",  # new: corpus encode under the SQL-learnable merge
+    "bpe_encode",  # new (rows-only): full-merge-table tokenization
+    # upgraded (pixel-level gate) + never driver-checked backlog
+    "multimodal_decode_real",  # upgraded: exact pixel sum/mean gate
+    "ann_ivf_indexed_gate",  # never driver-checked
+    # stale tail: latest CORRECTNESS row is round 1 (pre-testdata
+    # regeneration). Local parity is green on current fixtures; rotate
+    # the driver-visible record. Timestamp-touching family first:
     # BENCH_r03 proved that family is where fixture changes bite.
     "events_tumbling_1h",
     "asof_join_events",
@@ -165,6 +116,20 @@ CHECK_PRIORITY: list[str] = [
     "q21_json_extract",
     "q23_pivot",
     "q24_multiset_ops",
+    "q25_array_agg",
+    "q26_sql_api",
+    "q27_promo_revenue",
+    "q28_hierarchical_rollup",
+    "q29_large_orders",
+    "ann_cosine_topk",
+    "dedup_ngram_jaccard",
+    "exact_percentiles",
+    "stats_exact_moments",
+    # stale r2/r3 rows — same rotation, one vintage newer
+    "dedup_exact",
+    "q35_grouping_sets",
+    "q36_lateral_topn",
+    "q37_range_frame_window",
 ]
 
 

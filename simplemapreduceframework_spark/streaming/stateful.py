@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -136,7 +137,7 @@ def _update_user_totals_exact(
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
     """Integer-cents running totals: the hash-gateable form. Values are
-    2-decimal currency, so round(value*100) is an exact integer and the
+    2-decimal currency, so floor(value*100 + 0.5) is an exact integer and the
     state folds with INTEGER addition — batch boundaries and arrival
     order cannot move the result by an ulp (a float accumulator would
     make the emitted totals depend on micro-batch splits)."""
@@ -153,7 +154,13 @@ def _update_user_totals_exact(
         # SUM over an all-NULL group is NULL
         vals = pdf["value"].dropna()
         if len(vals):
-            cents += int((vals * 100).round().astype("int64").sum())
+            # floor(x*100 + 0.5): the engine-portable half-up cents
+            # convention (embedding_quantize's), NOT pandas .round()
+            # whose half-even would diverge from the oracle's FLOOR on
+            # exact .5 cents (3+ decimal inputs)
+            cents += int(
+                np.floor(vals * 100 + 0.5).astype("int64").sum()
+            )
             m += len(vals)
     state.update((n, cents, m))
     yield pd.DataFrame(
