@@ -97,6 +97,11 @@ HEADLINE = [
     "events_transition_matrix",
     "customer_rfm_segments",
     "multimodal_frame_sample",
+    # round 6 additions — dangling-mass PageRank, the BPE tokenizer
+    # encode leg, and the pixel-level real decode.
+    "graph_pagerank_dangling",
+    "bpe_encode_gate",
+    "multimodal_decode_real",
 ]
 
 
