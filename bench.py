@@ -102,6 +102,7 @@ HEADLINE = [
     "graph_pagerank_dangling",
     "bpe_encode_gate",
     "multimodal_decode_real",
+    "multimodal_audio_real",
 ]
 
 

@@ -474,6 +474,143 @@ def make_png(width: int, height: int, fill: int = 0) -> bytes:
     )
 
 
+def make_wav(
+    n_samples: int, sample_rate: int = 8000, channels: int = 1,
+    fill: int = 0,
+) -> bytes:
+    """A valid 16-bit PCM WAV (RIFF/WAVE, fmt + data chunks), pure
+    stdlib: every sample is the constant ``fill % 1000`` (kept small so
+    closed-form sums stay exact), little-endian int16."""
+    import struct
+
+    val = fill % 1000
+    data = struct.pack("<h", val) * (n_samples * channels)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, sample_rate int, channels int, "
+    "n_samples bigint, duration_ms bigint, sample_sum bigint, "
+    "peak_abs int"
+)
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int, int, int]:
+    """REAL WAV decode, pure stdlib: walks the RIFF chunk list, reads
+    the fmt chunk (16-bit PCM only), and decodes the data chunk's
+    int16 samples. Returns (sample_rate, channels, n_frames,
+    sample_sum, peak_abs) with sample_sum the exact integer sum over
+    every decoded sample and peak_abs the max absolute sample.
+    Compressed codecs (MP3/AAC/FLAC...) raise NotImplementedError —
+    that is the ffmpeg integration point."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"audio magic {b[:4]!r}: only RIFF/WAVE PCM decodes "
+            "stdlib-side; compressed codecs need ffmpeg"
+        )
+    pos = 12
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", b, pos + 8)
+            bits = struct.unpack_from("<H", b, pos + 22)[0]
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format {fmt_code} / {bits}-bit: only 16-bit "
+                    "PCM implemented"
+                )
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    n_frames = len(samples) // channels
+    total = int(samples.astype(np.int64).sum())
+    peak = int(np.abs(samples.astype(np.int64)).max()) if len(samples) else 0
+    return rate, channels, n_frames, total, peak
+
+
+def encode_sample_audio(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic audio synthesis (mapInPandas body): each doc gets
+    a REAL 16-bit PCM WAV whose frame count, channel count, and
+    constant sample value derive from doc_id, so the decode stage
+    parses genuine RIFF structure and the oracle recomputes every
+    feature from doc_id alone."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = [
+            make_wav(
+                n_samples=1 + d % 500,
+                sample_rate=8000,
+                channels=1 + d % 2,
+                fill=d,
+            )
+            for d in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def decode_real_audio(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Sample-level real audio decode (mapInPandas body): RIFF/PCM
+    features per clip. Row-local, no shuffle; NULL payloads yield NULL
+    features (quarantine-row policy shared with the image decoders)."""
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "n_bytes", "sample_rate", "channels", "n_samples",
+            "duration_ms", "sample_sum", "peak_abs",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rows["doc_id"].append(doc_id)
+            if payload is None:
+                for k in ("n_bytes", "sample_rate", "channels",
+                          "n_samples", "duration_ms", "sample_sum",
+                          "peak_abs"):
+                    rows[k].append(None)
+                continue
+            b = bytes(payload)
+            rate, ch, n_frames, total, peak = decode_wav(b)
+            rows["n_bytes"].append(len(b))
+            rows["sample_rate"].append(rate)
+            rows["channels"].append(ch)
+            rows["n_samples"].append(n_frames)
+            rows["duration_ms"].append(n_frames * 1000 // rate)
+            rows["sample_sum"].append(total)
+            rows["peak_abs"].append(peak)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="Int64"),
+                "sample_rate": pd.Series(rows["sample_rate"], dtype="Int32"),
+                "channels": pd.Series(rows["channels"], dtype="Int32"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="Int64"),
+                "duration_ms": pd.Series(rows["duration_ms"], dtype="Int64"),
+                "sample_sum": pd.Series(rows["sample_sum"], dtype="Int64"),
+                "peak_abs": pd.Series(rows["peak_abs"], dtype="Int32"),
+            }
+        )
+
+
 def encode_sample_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic media synthesis (mapInPandas body): each doc gets a
     REAL image file — BMP / PPM / PNG / PGM cycling on doc_id % 4 —
@@ -643,6 +780,41 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_sample_media, "doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA)
+
+
+@query(
+    "multimodal_audio_real",
+    oracle="""
+SELECT doc_id,
+       CAST(44 + 2 * f * ch AS BIGINT) AS n_bytes,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(f AS BIGINT) AS n_samples,
+       CAST((f * 1000) // 8000 AS BIGINT) AS duration_ms,
+       CAST((doc_id % 1000) * f * ch AS BIGINT) AS sample_sum,
+       CAST(doc_id % 1000 AS INTEGER) AS peak_abs
+FROM (SELECT doc_id, 1 + doc_id % 500 AS f, 1 + doc_id % 2 AS ch
+      FROM documents)
+""",
+)
+def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, down to the SAMPLES: synthesize a
+    genuine 16-bit PCM WAV per doc (frame count, channel count, and
+    constant sample value derived from doc_id), then decode the actual
+    RIFF bytes back — chunk walk, fmt parse, int16 sample decode
+    (decode_wav). The oracle recomputes byte size (44-byte header +
+    2 bytes/sample), sample-rate/channel metadata, duration, and the
+    exact integer sample sum and peak from doc_id alone, so the whole
+    encode->decode roundtrip is hash-gated; a chunk-alignment or
+    endianness slip changes sample_sum and fails the hash. Both stages
+    are chained row-local mapInPandas — one scan, no shuffle.
+    Compressed codecs (MP3/AAC/...) stay behind decode_wav's
+    NotImplementedError — the ffmpeg integration point."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_sample_audio, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(decode_real_audio, AUDIO_SCHEMA)
 
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402

@@ -429,3 +429,55 @@ def test_decode_pixels_rejects_entropy_coded_formats():
         decode_pixels(b"GIF89a" + b"\x00" * 20)
     with pytest.raises(NotImplementedError):
         decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 20)
+
+
+def test_decode_wav_roundtrip_and_chunk_walk():
+    """WAV decode recovers rate/channels/frames and exact sample sums;
+    an extra chunk before fmt/data (chunk-walk exercise) and odd-length
+    word alignment are handled; compressed magic is rejected."""
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+
+    rate, ch, n, total, peak = decode_wav(make_wav(100, 8000, 2, fill=7))
+    assert (rate, ch, n) == (8000, 2, 100)
+    assert total == 7 * 100 * 2 and peak == 7
+    # insert a LIST chunk with an odd length before fmt: the walker
+    # must skip it (word-aligned) and still find fmt + data
+    wav = make_wav(10, 8000, 1, fill=3)
+    chunks = wav[12:]  # fmt + data chunks, after RIFF<size>WAVE
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    body = b"WAVE" + odd + chunks
+    patched = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, n, total, peak = decode_wav(patched)
+    assert (rate, ch, n, total) == (8000, 1, 10, 30)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x04" + b"\x00" * 40)  # mp3
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"fLaC" + b"\x00" * 40)
+
+
+def test_decode_wav_negative_samples_sum_exactly():
+    """Hand-built WAV with mixed-sign samples: int16 decode must sum
+    and peak them exactly (an unsigned misread would explode the sum)."""
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    samples = [-32768, 32767, -1, 1, 0, -500]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, n, total, peak = decode_wav(wav)
+    assert (rate, ch, n) == (16000, 1, 6)
+    assert total == sum(samples)
+    assert peak == 32768
