@@ -103,6 +103,7 @@ HEADLINE = [
     "bpe_encode_gate",
     "multimodal_decode_real",
     "multimodal_audio_real",
+    "dedup_incremental",
 ]
 
 

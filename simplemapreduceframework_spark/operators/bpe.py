@@ -305,7 +305,10 @@ dw AS (
 enc AS (
     SELECT doc_id,
            CAST(len(ws) AS BIGINT) AS n_words,
-           array_to_string(
+           -- array_to_string of an EMPTY list is NULL in DuckDB, not
+           -- '' — coalesce so wordless docs hash md5('') like the
+           -- engine's concat_ws
+           COALESCE(array_to_string(
                list_transform(ws, wrd ->
                    replace(
                        list_reduce(regexp_split_to_array(wrd, ''),
@@ -316,7 +319,7 @@ enc AS (
                                                    bp.l || bp.r)
                                ELSE a || '|' || x END),
                        '|', ' ')),
-               ' ') AS s
+               ' '), '') AS s
     FROM dw CROSS JOIN bp
 )
 SELECT doc_id, n_words,

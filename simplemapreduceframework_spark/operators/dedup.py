@@ -815,3 +815,103 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             overlap.alias("overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs a PERSISTED fingerprint store — the
+# ingest-time shape of exact dedup at 100 TB (dedup today's crawl
+# against yesterday's corpus WITHOUT rescanning the corpus). Same
+# persisted-index lifecycle as retrieval's text index and similarity's
+# IVF index: build once per session, answer from the store alone.
+
+_INCR_MOD = 4  # doc_id % 4 == 0 plays the "new batch"; rest is corpus
+
+# Fingerprint-store directory per (application, sf_dir) — the
+# _TEXT_INDEX_DIR_CACHE discipline.
+_FP_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def build_fingerprint_store(docs: DataFrame, path: str) -> None:
+    """Write the corpus's distinct md5 fingerprints as the persistent
+    dedup store. At 100 TB this table is what survives between ingest
+    runs (distinct 16-byte hashes — orders of magnitude smaller than
+    the corpus), appended per batch; a real deployment bucketBys it on
+    the fingerprint so the ingest anti-join is co-partitioned."""
+    (
+        docs.select(F.md5("text").alias("f"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{path}/fingerprints")
+    )
+
+
+def dedup_against_store(batch: DataFrame, store: DataFrame) -> DataFrame:
+    """Flag each new-batch doc against the persisted store (known_dup)
+    and against earlier docs of its own batch (batch_dup). Null-safe
+    fingerprint equality on BOTH flags: a NULL-text doc duplicates
+    another NULL-text doc, matching dedup_exact's md5 NULL-group
+    semantics.
+
+    Shape at scale: one equi-join against the store (hash-partitioned
+    16-byte keys; co-partitioned when the store is bucketed) and one
+    batch-sized groupBy for first-occurrence — the batch never touches
+    the corpus itself."""
+    fp = batch.select("doc_id", F.md5("text").alias("f"))
+    firsts = fp.groupBy("f").agg(F.min("doc_id").alias("first_id"))
+    hits = store.select(F.col("f").alias("sf")).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        fp.join(hits, fp.f.eqNullSafe(hits.sf), "left")
+        .join(firsts.select(F.col("f").alias("ff"), "first_id"),
+              fp.f.eqNullSafe(F.col("ff")))
+        .select(
+            "doc_id",
+            F.col("f").alias("fingerprint"),
+            F.col("_hit").isNotNull().alias("known_dup"),
+            (F.col("doc_id") > F.col("first_id")).alias("batch_dup"),
+        )
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+WITH fp AS (SELECT doc_id, MD5(text) AS f FROM documents),
+store AS (SELECT DISTINCT f FROM fp WHERE doc_id % {_INCR_MOD} <> 0),
+batch AS (SELECT doc_id, f FROM fp WHERE doc_id % {_INCR_MOD} = 0),
+firsts AS (SELECT f, MIN(doc_id) AS first_id FROM batch GROUP BY f)
+SELECT b.doc_id,
+       b.f AS fingerprint,
+       EXISTS(SELECT 1 FROM store s
+              WHERE s.f IS NOT DISTINCT FROM b.f) AS known_dup,
+       b.doc_id > fi.first_id AS batch_dup
+FROM batch b JOIN firsts fi ON fi.f IS NOT DISTINCT FROM b.f
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup through the persisted-store lifecycle:
+    the "existing corpus" (doc_id % {mod} != 0) builds a fingerprint
+    parquet store once per session; the "new batch" (doc_id % {mod}
+    == 0) is then flagged from the STORE alone — known_dup (collides
+    with the corpus) and batch_dup (collides with an earlier doc in
+    the same batch). Hash-gated end-to-end against an oracle that
+    recomputes both flags from scratch, so a store write/read slip or
+    a null-safety mismatch fails the gate.""".format(mod=_INCR_MOD)
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _FP_STORE_CACHE.get(key)
+    docs = load_table(spark, sf_dir, "documents")
+    if path is None:
+        path = tempfile.mkdtemp(prefix="smrf_fp_store_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_fingerprint_store(
+            docs.filter(F.col("doc_id") % _INCR_MOD != 0), path
+        )
+        _FP_STORE_CACHE[key] = path
+    store = spark.read.schema("f string").parquet(f"{path}/fingerprints")
+    batch = docs.filter(F.col("doc_id") % _INCR_MOD == 0)
+    return dedup_against_store(batch, store)

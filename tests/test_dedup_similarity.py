@@ -866,3 +866,41 @@ def test_ndcg_gate_passes_on_perfect_ranking(spark, sf_dir):
     )
     row = ndcg_gate_row(exact, exact).collect()[0]
     assert row["ndcg_ok"] is True
+
+
+def test_incremental_dedup_flags_and_store_lifecycle(spark, tmp_path):
+    """known_dup fires only for fingerprints in the persisted store,
+    batch_dup only for later copies within the batch, and the batch
+    never rescans the corpus (store parquet is the only corpus
+    artifact touched)."""
+    from simplemapreduceframework_spark.operators.dedup import (
+        build_fingerprint_store,
+        dedup_against_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, None)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "store")
+    build_fingerprint_store(corpus, path)
+    store = spark.read.parquet(f"{path}/fingerprints")
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta"),   # known (in store)
+            (11, "fresh text"),   # novel
+            (12, "fresh text"),   # batch dup of 11
+            (13, None),           # NULL text: null-safe match to doc 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["known_dup"], r["batch_dup"])
+        for r in dedup_against_store(batch, store).collect()
+    }
+    assert got == {
+        10: (True, False),
+        11: (False, False),
+        12: (False, True),
+        13: (True, False),
+    }

@@ -382,6 +382,13 @@ def test_operators_with_null_text_rows(spark, tmp_path):
             "text_pmi_pairs",
             "curriculum_schedule",
             "hybrid_search_rrf",
+            # round 6: NULL text must fingerprint as the NULL group in
+            # the store (null-safe equality both engines), encode to
+            # the empty token sequence, and decode as quarantine rows
+            "dedup_incremental",
+            "bpe_encode_gate",
+            "multimodal_audio_real",
+            "multimodal_decode_real",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
