@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_decode_real",
     "multimodal_audio_real",
     "dedup_incremental",
+    "events_funnel",
 ]
 
 

@@ -479,3 +479,92 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH s0 AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s0 ON s0.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > s0.t
+    GROUP BY e.user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s1 ON s1.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s1.t
+    GROUP BY e.user_id
+),
+counts AS (
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL
+    SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
+)
+SELECT stage_idx, stage, n_users,
+       CAST(n_users AS DOUBLE)
+           / (SELECT n_users FROM counts WHERE stage_idx = 1)
+           AS conversion_from_top
+FROM counts
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ordered funnel (view -> click -> purchase): a user
+    converts a stage only with an event strictly AFTER their first
+    event of the previous stage. This is the exact-reachability twin
+    of q34_event_funnel's conditional-MIN form: q34 tests only each
+    type's GLOBAL first timestamp (a user who clicked before their
+    first view and again after is missed there — 3 timestamps of
+    state, one pass); this query re-minimizes per stage over
+    qualifying events only, so later in-order events count.
+
+    Shape at scale: stage k is one fact-scan filter on its event type
+    joined to the user-dimension-sized stage-(k-1) frame (broadcast),
+    then a partial-agg MIN per user — no windows, no per-user
+    sequences materialized; the funnel is |stages| chained
+    filter+join+agg passes. Counts are integers; conversion ratios
+    divide identical integers (engine-exact doubles).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stage_frames = []
+    prev = None
+    for st in _FUNNEL_STAGES:
+        cur = ev.filter(F.col("event_type") == st).select(
+            "user_id", F.col("ts").alias("ets")
+        )
+        if prev is not None:
+            cur = cur.join(
+                F.broadcast(prev), "user_id"
+            ).filter(F.col("ets") > F.col("t")).select("user_id", "ets")
+        stage = cur.groupBy("user_id").agg(F.min("ets").alias("t"))
+        stage_frames.append(stage)
+        prev = stage
+    counts = None
+    for i, (st, frame) in enumerate(zip(_FUNNEL_STAGES, stage_frames), 1):
+        c = frame.agg(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(st).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    top = counts.filter(F.col("stage_idx") == 1).select(
+        F.col("n_users").alias("n_top")
+    )
+    return counts.crossJoin(F.broadcast(top)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("n_top")).alias(
+            "conversion_from_top"
+        ),
+    )

@@ -80,6 +80,7 @@ CHECK_PRIORITY: list[str] = [
     "bpe_encode",  # new (rows-only): full-merge-table tokenization
     "multimodal_audio_real",  # new: RIFF/PCM WAV sample-level decode gate
     "dedup_incremental",  # new: batch-vs-persisted-fingerprint-store dedup
+    "events_funnel",  # new: exact ordered-reachability funnel
     # upgraded (pixel-level gate) + never driver-checked backlog
     "multimodal_decode_real",  # upgraded: exact pixel sum/mean gate
     "ann_ivf_indexed_gate",  # never driver-checked

@@ -611,6 +611,7 @@ def test_operators_with_null_event_rows(spark, tmp_path):
             "asof_join_events",
             "q21_json_extract",
             "q34_event_funnel",
+            "events_funnel",
             "events_hourly_seasonality",
         ]:
             problems = compare_query(
