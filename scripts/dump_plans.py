@@ -189,6 +189,38 @@ SHOWCASE = [
         "broadcast back onto the fact scan — no hot-key window, the "
         "fact table is scanned, not shuffled.",
     ),
+    (
+        "table_profile",
+        "Scan sharing: 4 profiled columns cost 2 fact scans — columns "
+        "batch two-per-aggregate (Expand bounded at batch+1) and the "
+        "1-row batch result unpivots via explode, never a "
+        "one-arm-per-column UNION.",
+    ),
+    (
+        "graph_pagerank_dangling",
+        "Directed PageRank with dangling-mass redistribution: each "
+        "unrolled iteration is one equi-join + one partial-agg groupBy "
+        "plus a node-scale anti-join aggregate whose 1-row dangling "
+        "mass broadcasts into the update; per-iteration rank frames "
+        "persist so the double consumption (contribution + dangling "
+        "branches) costs one materialization.",
+    ),
+    (
+        "dedup_incremental",
+        "Ingest-time dedup never rescans the corpus: the batch "
+        "equi-joins the persisted fingerprint store (16-byte keys) "
+        "and resolves batch-internal dups with one batch-sized "
+        "groupBy — the corpus appears only as its fingerprint "
+        "parquet.",
+    ),
+    (
+        "events_funnel",
+        "Exact ordered-reachability funnel: stage k is a fact filter "
+        "joined (broadcast) to the user-dimension-sized stage-(k-1) "
+        "frame then a partial-agg MIN; persisted stage frames keep "
+        "each fact filter to one scan — no windows, no per-user "
+        "sequence materialization.",
+    ),
 ]
 
 
