@@ -262,16 +262,15 @@ def main() -> None:
             "median_seconds": round(sum(medians.values()), 3),
         }
     )
-    # Self-check the artifact contract before emitting: the final
-    # stdout line must be one standalone JSON object with the timing
-    # keys present (round 4 lost its per-query record to a silently
-    # malformed line; fail LOUD here instead, never after the fact).
+    # Self-check before emitting: the line must JSON-round-trip and be
+    # a single physical line (a non-serializable value — NaN from a
+    # failed timing, an Infinity — or an embedded newline would corrupt
+    # the driver record). This pins the EMIT-side contract; round 4's
+    # loss happened in the capture layer, which only keeping the line
+    # small and final (below) defends against.
     parsed = json.loads(line)
-    for required in ("metric", "value", "unit", "queries", "sf"):
-        if required not in parsed:
-            raise RuntimeError(f"bench line missing key {required!r}")
-    if "\n" in line or len(parsed["queries"]) != len(HEADLINE):
-        raise RuntimeError("bench line malformed: not one full line")
+    if "\n" in line or not isinstance(parsed.get("queries"), dict):
+        raise RuntimeError("bench line malformed: not one JSON line")
     print(line, flush=True)
 
 

@@ -293,8 +293,15 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_encode_gate",
     oracle=f"""
 WITH {_FIRST_MERGE_CTES},
-bp AS (
+bp0 AS (
     SELECT l, r FROM p ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+-- always exactly one row, even when NO pair is learnable (every word a
+-- single char): '' never equals a char, so the fold then merges
+-- nothing — matching the engine's merges[:1] == [] path
+bp AS (
+    SELECT COALESCE((SELECT l FROM bp0), '') AS l,
+           COALESCE((SELECT r FROM bp0), '') AS r
 ),
 dw AS (
     SELECT doc_id,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hex32
 from ..registry import query
+from ..session_memo import session_memo
 from ..sources import load_table
 
 EMBED_DIM = 64  # embeddings.embedding is a fixed 64-dim float vector
@@ -89,12 +90,7 @@ shingles AS (
 # cluster these are persisted/bucketed tables shared across dedup
 # runs; in-session that is a persist + memo of the DataFrame handle —
 # identical plans and results, built once.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    return (spark.sparkContext.applicationId, sf_dir)
+# (kept in the per-session weakref memo; see session_memo.py)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,9 +105,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the window variant at sf0.1. Shingle strings are identical to
     the oracle's t[i] || ' ' || t[i+1] || ' ' || t[i+2].
     """
-    key = _cache_key(spark, sf_dir)
-    if key in _SHINGLE_CACHE:
-        return _SHINGLE_CACHE[key]
+    memo = session_memo(spark)
+    key = ("shingles", sf_dir)
+    if key in memo:
+        return memo[key]
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
     sh = (
@@ -130,7 +127,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    _SHINGLE_CACHE[key] = sh
+    memo[key] = sh
     return sh
 
 
@@ -315,9 +312,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized (dedup_clusters and the cleaning pipeline both consume
     it; on a cluster it is the shared near-dup pair table).
     """
-    memo_key = _cache_key(spark, sf_dir)
-    if memo_key in _PAIRS_CACHE:
-        return _PAIRS_CACHE[memo_key]
+    memo = session_memo(spark)
+    memo_key = ("minhash_pairs", sf_dir)
+    if memo_key in memo:
+        return memo[memo_key]
     sh = _shingles(spark, sf_dir)  # persisted + memoized in _shingles
     hashed = sh.select("doc_id", hex32(F.col("shingle")).alias("h"))
     # All K mins in ONE partial-aggregating groupBy (no K-fold row
@@ -419,7 +417,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .persist()
     )
-    _PAIRS_CACHE[memo_key] = pairs
+    memo[memo_key] = pairs
     return pairs
 
 
@@ -891,13 +889,13 @@ FROM batch b JOIN firsts fi ON fi.f IS NOT DISTINCT FROM b.f
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup through the persisted-store lifecycle:
-    the "existing corpus" (doc_id % {mod} != 0) builds a fingerprint
-    parquet store once per session; the "new batch" (doc_id % {mod}
-    == 0) is then flagged from the STORE alone — known_dup (collides
-    with the corpus) and batch_dup (collides with an earlier doc in
-    the same batch). Hash-gated end-to-end against an oracle that
-    recomputes both flags from scratch, so a store write/read slip or
-    a null-safety mismatch fails the gate.""".format(mod=_INCR_MOD)
+    the "existing corpus" (doc_id % 4 != 0, modulus _INCR_MOD) builds
+    a fingerprint parquet store once per session; the "new batch"
+    (doc_id % 4 == 0) is then flagged from the STORE alone — known_dup
+    (collides with the corpus) and batch_dup (collides with an earlier
+    doc in the same batch). Hash-gated end-to-end against an oracle
+    that recomputes both flags from scratch, so a store write/read
+    slip or a null-safety mismatch fails the gate."""
     import atexit
     import shutil
     import tempfile

@@ -626,9 +626,13 @@ def decontaminate(
     test and the shared oracle of text_decontaminate /
     streaming_decontaminate_live)."""
     distinct_grams = bench_grams.select("g").distinct()
-    if distinct_grams.count() <= max_broadcast_grams:
-        gram_set = {r["g"] for r in distinct_grams.collect()}
-        return decontaminate_row_local(docs, gram_set)
+    # ONE action decides AND fetches: limit(threshold+1) returns every
+    # gram when the set is under the threshold, and exactly
+    # threshold+1 rows (the over-budget signal) when it is not — no
+    # separate count() job re-running the gram pipeline.
+    head = distinct_grams.limit(max_broadcast_grams + 1).collect()
+    if len(head) <= max_broadcast_grams:
+        return decontaminate_row_local(docs, {r["g"] for r in head})
     return decontaminate_joined(docs, distinct_grams)
 
 

@@ -495,18 +495,18 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, exact distinct cardinality, and min/max per profiled column
     — the statistics a catalog (or a CBO) maintains per table.
 
-    Columns profile in batches of {group} sharing ONE scan each (4
-    profiled columns = 2 fact scans, plan-asserted), the 1-row batch
-    aggregate unpivoting into per-column rows via explode. Batching
-    bounds the multi-distinct Expand at {group}+1 duplications of the
-    scanned rows — the scan-count/Expand-factor trade dial; a 100 TB
-    run widens batches with approx_count_distinct (no Expand at all)
-    per the approx_distinct_gate pattern. The oracle keeps the
-    one-arm-per-column UNION ALL form (DuckDB has no Expand concern);
-    min/max stringified so heterogeneous column types union cleanly —
-    Spark's CAST AS STRING renders dates/decimals identically to
-    DuckDB's AS VARCHAR for these types.
-    """.format(group=_PROFILE_GROUP_SIZE)
+    Columns profile in batches of two (_PROFILE_GROUP_SIZE) sharing
+    ONE scan each (4 profiled columns = 2 fact scans, plan-asserted),
+    the 1-row batch aggregate unpivoting into per-column rows via
+    explode. Batching bounds the multi-distinct Expand at batch+1
+    duplications of the scanned rows — the scan-count/Expand-factor
+    trade dial; a 100 TB run widens batches with approx_count_distinct
+    (no Expand at all) per the approx_distinct_gate pattern. The
+    oracle keeps the one-arm-per-column UNION ALL form (DuckDB has no
+    Expand concern); min/max stringified so heterogeneous column types
+    union cleanly — Spark's CAST AS STRING renders dates/decimals
+    identically to DuckDB's AS VARCHAR for these types.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     parts = [
         _profile_column_group(

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import tokens_regex
 from ..registry import query
+from ..session_memo import session_memo
 from ..sources import load_table
 
 # The fixed search query: a user searching the synthetic systems corpus
@@ -545,22 +546,19 @@ _BATCH_QUERIES: dict[str, list[str]] = {
 _BATCH_TERMS = sorted({t for ts in _BATCH_QUERIES.values() for t in ts})
 _BATCH_TOPK = 5
 
-# Memoized batch result per (SparkSession, sf_dir): the shared pivoted
-# frame inside is persisted, so repeated invocations reuse one copy
-# (the _VOCAB_CACHE discipline). Keyed on the session OBJECT, not
-# applicationId — newSession() siblings share an applicationId but have
-# separate catalogs/states, and a persisted DataFrame must never leak
-# across sessions. Values are (result, release): release unpersists
-# the pivoted frame (release_batch_cache drains the whole memo).
-_BATCH_CACHE: dict[tuple[int, str, str], tuple[DataFrame, object]] = {}
+# The memoized batch result's shared pivoted frame is persisted, so
+# repeated invocations reuse one copy. Entries live in the per-session
+# weakref memo (see session_memo.py — immune to both the
+# applicationId-shared-by-newSession leak and id() address reuse);
+# values are (result, release), release unpersisting the pivot.
 
 
-def release_batch_cache() -> None:
-    """Unpersist every memoized batch pivot and clear the memo — for
-    callers that tear down retrieval state mid-session."""
-    for _out, release in _BATCH_CACHE.values():
-        release()
-    _BATCH_CACHE.clear()
+def release_batch_cache(spark: SparkSession) -> None:
+    """Unpersist this session's memoized batch pivots and drop the
+    entries — for callers that tear down retrieval state mid-session."""
+    memo = session_memo(spark)
+    for k in [k for k in memo if isinstance(k, tuple) and k[0] == "bm25_batch"]:
+        memo.pop(k)[1]()
 
 
 def _batch_oracle() -> str:
@@ -635,9 +633,10 @@ def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs scoring 0 for a query (none of its terms) are excluded from
     that query's ranking, mirroring an inverted-index serving path.
     """
-    memo_key = (id(spark), spark.sparkContext.applicationId, sf_dir)
-    if memo_key in _BATCH_CACHE:
-        return _BATCH_CACHE[memo_key][0]
+    memo = session_memo(spark)
+    memo_key = ("bm25_batch", sf_dir)
+    if memo_key in memo:
+        return memo[memo_key][0]
     # one shared pivoted frame (the SAME expression tree as text_bm25,
     # via _bm25_pivoted) serves every query's top-k
     scored = _bm25_pivoted(spark, sf_dir, _BATCH_TERMS).persist()
@@ -659,5 +658,5 @@ def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = arms[0]
     for a in arms[1:]:
         out = out.unionAll(a)
-    _BATCH_CACHE[memo_key] = (out, lambda: scored.unpersist())
+    memo[memo_key] = (out, lambda: scored.unpersist())
     return out

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from ..functions import hex32
 from ..registry import query
+from ..session_memo import session_memo
 from ..sources import load_table
 
 _N_QUERIES = 10
@@ -424,15 +425,24 @@ def _make_probe_udf(C: np.ndarray, nprobe: int):
 # Memoized per (application, sf_dir): the recall gate consumes the
 # same scored candidates as the top-k query — train/index once per
 # session, like a persisted IVF index table on a cluster.
-_IVF_SCORED_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (kept in the per-session weakref memo; see session_memo.py)
+
+
+def clear_ivf_scored_cache(spark: SparkSession) -> None:
+    """Drop this session's memoized IVF candidate frames (test hook /
+    teardown after index mutation)."""
+    memo = session_memo(spark)
+    for k in [k for k in memo if isinstance(k, tuple) and k[0] == "ivf_scored"]:
+        del memo[k]
 
 
 def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared IVF candidate generation + scoring (used by the top-k
     query and the recall gate)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _IVF_SCORED_CACHE:
-        return _IVF_SCORED_CACHE[key]
+    memo = session_memo(spark)
+    key = ("ivf_scored", sf_dir)
+    if key in memo:
+        return memo[key]
     emb = with_norm(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").alias("e")
@@ -463,7 +473,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim"
         ),
     ).persist()
-    _IVF_SCORED_CACHE[key] = scored
+    memo[key] = scored
     return scored
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import tokens_regex
 from ..registry import query
+from ..session_memo import session_memo
 from ..sources import load_table
 
 # Per-language stopword lexicons for the language heuristic that seeds
@@ -87,7 +88,7 @@ _BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\w+| ?[^\s\w]+"
 # index discipline as dedup._SHINGLE_CACHE: the persisted vocab is built
 # once per session and reused by every consumer (text_token_ids, bench
 # passes), never re-persisted per invocation.
-_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (kept in the per-session weakref memo; see session_memo.py)
 
 
 @query(
@@ -191,7 +192,7 @@ _TRI_PROFILE_SIZE = 200
 # (application, sf_dir). Both are index artifacts — on a cluster the
 # profile is a persisted table shared by every scoring run — so they
 # are built once per session; only the per-doc scoring pass reruns.
-_LANG_MODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+# (kept in the per-session weakref memo; see session_memo.py)
 
 
 def _char_trigrams(docs: DataFrame) -> DataFrame:
@@ -231,9 +232,10 @@ def _lang_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     ``profile`` (lang, tg). Persisted + memoized per session."""
     from pyspark.sql.window import Window
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _LANG_MODEL_CACHE:
-        return _LANG_MODEL_CACHE[key]
+    memo = session_memo(spark)
+    key = ("lang_model", sf_dir)
+    if key in memo:
+        return memo[key]
     docs = load_table(spark, sf_dir, "documents")
     lex = spark.createDataFrame(
         [(lang, w) for lang, words in sorted(_LEXICON.items()) for w in words],
@@ -264,7 +266,7 @@ def _lang_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         .select("lang", "tg")
         .persist()
     )
-    _LANG_MODEL_CACHE[key] = (lb, profile)
+    memo[key] = (lb, profile)
     return lb, profile
 
 
@@ -420,9 +422,10 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-count-5 vocab over 100 TB of web text (tens of millions of
     rows) ranks in parallel without leaving the JVM.
     """
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    if memo_key in _VOCAB_CACHE:
-        return _VOCAB_CACHE[memo_key]
+    memo = session_memo(spark)
+    memo_key = ("vocab", sf_dir)
+    if memo_key in memo:
+        return memo[memo_key]
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(
@@ -462,7 +465,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lidx") + F.col("off") + 1).cast("bigint").alias("vocab_id"),
         )
     )
-    _VOCAB_CACHE[memo_key] = out
+    memo[memo_key] = out
     return out
 
 

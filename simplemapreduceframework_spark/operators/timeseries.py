@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
+from ..session_memo import session_memo
 from ..sources import load_table
 
 
@@ -483,9 +484,8 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_STAGES = ["view", "click", "purchase"]
 
-# Memoized funnel per (application, sf_dir) — owns the persisted
-# per-stage frames (the _PAGERANK_CACHE discipline).
-_FUNNEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+# The memoized funnel owns its persisted per-stage frames; entries
+# live in the per-session weakref memo (see session_memo.py).
 
 
 @query(
@@ -539,9 +539,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter+join+agg passes. Counts are integers; conversion ratios
     divide identical integers (engine-exact doubles).
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _FUNNEL_CACHE:
-        return _FUNNEL_CACHE[key]
+    memo = session_memo(spark)
+    key = ("funnel", sf_dir)
+    if key in memo:
+        return memo[key]
     ev = load_table(spark, sf_dir, "events")
     stage_frames = []
     prev = None
@@ -579,5 +580,5 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_from_top"
         ),
     )
-    _FUNNEL_CACHE[key] = out
+    memo[key] = out
     return out

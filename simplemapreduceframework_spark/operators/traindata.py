@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from ..functions import hex32, tokens_regex
 from ..registry import query
+from ..session_memo import session_memo
 from ..sources import load_table
 
 _TEST_PCT = 10  # hash buckets [0, _TEST_PCT) -> test split
@@ -276,7 +277,7 @@ def sample_stratified_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Curriculum schedule memo per (application, sf_dir): the ranked frame
 # inside is persisted (see functions.ranking), so repeated invocations
 # must reuse one copy — same discipline as textanalysis._VOCAB_CACHE.
-_CURRICULUM_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (kept in the per-session weakref memo; see session_memo.py)
 
 _MIX_BP = {"high": 20000, "mid": 10000, "low": 2500}
 # TRY_CAST on both engines: a source name that doesn't end in a number
@@ -430,9 +431,10 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.ranking import global_row_number
 
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    if memo_key in _CURRICULUM_CACHE:
-        return _CURRICULUM_CACHE[memo_key]
+    memo = session_memo(spark)
+    memo_key = ("curriculum", sf_dir)
+    if memo_key in memo:
+        return memo[memo_key]
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -474,7 +476,7 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase",
         (F.col("rn") - start).cast("bigint").alias("rank_in_phase"),
     )
-    _CURRICULUM_CACHE[memo_key] = result
+    memo[memo_key] = result
     return result
 
 

@@ -339,7 +339,7 @@ def test_ivf_recall_gate_passes_and_can_fail(spark, sf_dir, monkeypatch):
     from pyspark.sql.types import ArrayType, LongType
 
     # healthy: the gate row is True at the tightened 0.85 floor
-    sim._IVF_SCORED_CACHE.clear()
+    sim.clear_ivf_scored_cache(spark)
     [row] = Q["ann_ivf_recall_gate"](spark, sf_dir).collect()
     assert row["recall_ok"] is True
 
@@ -358,12 +358,12 @@ def test_ivf_recall_gate_passes_and_can_fail(spark, sf_dir, monkeypatch):
         return probe
 
     monkeypatch.setattr(sim, "_make_probe_udf", farthest_probe)
-    sim._IVF_SCORED_CACHE.clear()
+    sim.clear_ivf_scored_cache(spark)
     try:
         [row] = Q["ann_ivf_recall_gate"](spark, sf_dir).collect()
         assert row["recall_ok"] is False, "gate failed to catch a broken probe"
     finally:
-        sim._IVF_SCORED_CACHE.clear()  # never leak the poisoned index
+        sim.clear_ivf_scored_cache(spark)  # never leak the poisoned index
 
 
 def test_lm_coverage_semantics(spark, sf_dir):
