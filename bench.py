@@ -105,6 +105,8 @@ HEADLINE = [
     "multimodal_audio_real",
     "dedup_incremental",
     "events_funnel",
+    "table_expectations",
+    "incremental_mv_refresh",
 ]
 
 

@@ -779,3 +779,172 @@ def q42_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q42_SQL)
+
+
+# Declarative data-quality expectations (the dbt-test / Great
+# Expectations pass a warehouse runs after every load): each rule is an
+# aggregate expression over ONE scan per table plus one anti-join for
+# the referential rule — never a per-rule scan. The suite deliberately
+# includes a rule that FAILS on the synthetic data ((l_orderkey,
+# l_linenumber) is NOT unique) so the operator provably reports
+# violations, not just green checkmarks.
+_EXPECT_SQL = """
+WITH li AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS qty_null,
+           CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 END) AS BIGINT) AS qty_range,
+           CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 END) AS BIGINT) AS disc_range,
+           CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
+               AS ship_null
+    FROM lineitem
+),
+dupkey AS (
+    SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS extra
+    FROM (SELECT COUNT(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    WHERE c > 1
+),
+orphan AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+),
+ord AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+               AS nonpos
+    FROM orders
+),
+rules AS (
+    SELECT 'lineitem.l_quantity not_null' AS rule, li.n AS n_checked,
+           li.qty_null AS n_violations FROM li
+    UNION ALL
+    SELECT 'lineitem.l_quantity between_1_50', li.n, li.qty_range FROM li
+    UNION ALL
+    SELECT 'lineitem.l_discount between_0_1', li.n, li.disc_range FROM li
+    UNION ALL
+    SELECT 'lineitem.l_shipdate not_null', li.n, li.ship_null FROM li
+    UNION ALL
+    SELECT 'lineitem.pk (l_orderkey,l_linenumber) unique', li.n,
+           d.extra FROM li CROSS JOIN dupkey d
+    UNION ALL
+    SELECT 'lineitem.l_orderkey fk orders', li.n, o.n_orphan
+    FROM li CROSS JOIN orphan o
+    UNION ALL
+    SELECT 'orders.o_totalprice positive', ord.n, ord.nonpos FROM ord
+)
+SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+FROM rules
+"""
+
+
+@query("table_expectations", oracle=_EXPECT_SQL)
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite: not-null, range,
+    primary-key uniqueness, referential-integrity, and positivity
+    rules evaluated as one report (rule, n_checked, n_violations,
+    passed) — the post-load validation pass a warehouse runs before
+    publishing a table.
+
+    Shape at scale: all four lineitem column rules share ONE scan (a
+    single partial-aggregated pass emits every counter side by side,
+    and the 1-row result unpivots into rule rows via explode — the
+    table_profile pattern; a UNION-of-CTE-references formulation would
+    be inlined by Catalyst into one scan PER rule); pk uniqueness is
+    one groupBy on the key; the FK rule is one anti-join; orders rules
+    are one scan — 5 scans for 7 rules, vs 10 for the naive SQL text.
+    Every rule frame is one row, so the report is constant-size
+    however large the tables. The pk rule REALLY fails here — the
+    synthetic (l_orderkey, l_linenumber) is documented non-unique —
+    proving the operator reports violations rather than
+    rubber-stamping. The oracle keeps the readable CTE form (DuckDB
+    materializes CTEs, no duplicate-scan concern).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    li_agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.count("l_quantity"))
+        .cast("bigint")
+        .alias("qty_null"),
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).cast("bigint").alias("qty_range"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).cast("bigint").alias("disc_range"),
+        F.count(F.when(F.col("l_shipdate").isNull(), 1))
+        .cast("bigint")
+        .alias("ship_null"),
+    )
+    col_rules = li_agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        F.col("n").alias("n_checked"),
+                        F.col(viol).alias("n_violations"),
+                    )
+                    for rule, viol in [
+                        ("lineitem.l_quantity not_null", "qty_null"),
+                        ("lineitem.l_quantity between_1_50", "qty_range"),
+                        ("lineitem.l_discount between_0_1", "disc_range"),
+                        ("lineitem.l_shipdate not_null", "ship_null"),
+                    ]
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    # the pk and fk rules reuse li_agg's row count via a broadcast
+    # 1-row cross join (persisted, so the shared lineitem scan runs
+    # once) — never a second count() scan of the fact table
+    li_agg = li_agg.persist()
+    n_frame = li_agg.select(F.col("n").alias("n_checked"))
+    dupkey = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.lit("lineitem.pk (l_orderkey,l_linenumber) unique").alias(
+                "rule"
+            ),
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        .crossJoin(F.broadcast(n_frame))
+    )
+    orphan = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(
+            F.lit("lineitem.l_orderkey fk orders").alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+        .crossJoin(F.broadcast(n_frame))
+    )
+    ord_rule = orders.agg(
+        F.lit("orders.o_totalprice positive").alias("rule"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    report = (
+        col_rules.unionByName(dupkey.select("rule", "n_checked", "n_violations"))
+        .unionByName(orphan.select("rule", "n_checked", "n_violations"))
+        .unionByName(ord_rule)
+    )
+    return report.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

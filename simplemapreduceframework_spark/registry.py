@@ -61,6 +61,7 @@ def load_all() -> None:
         udfs,
     )
     from .compat import compatq  # noqa: F401
+    from .sources import maintenance  # noqa: F401  (incremental MV query)
 
 
 # Driver-check ordering. The verify driver checks queries in dict order
@@ -81,6 +82,8 @@ CHECK_PRIORITY: list[str] = [
     "multimodal_audio_real",  # new: RIFF/PCM WAV sample-level decode gate
     "dedup_incremental",  # new: batch-vs-persisted-fingerprint-store dedup
     "events_funnel",  # new: exact ordered-reachability funnel
+    "table_expectations",  # new: declarative data-quality rule suite
+    "incremental_mv_refresh",  # new: merge-delta summary == full rebuild
     # upgraded (pixel-level gate) + never driver-checked backlog
     "multimodal_decode_real",  # upgraded: exact pixel sum/mean gate
     "ann_ivf_indexed_gate",  # never driver-checked

@@ -21,6 +21,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..registry import query
+
 
 def _dir_bytes(path: str) -> int:
     total = 0
@@ -113,3 +115,111 @@ def sorted_rewrite(
         else df.repartitionByRange(*cluster_by)
     )
     parts.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(dst)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance: the summary-table refresh a
+# warehouse runs per ingest batch — merge the NEW batch's partial
+# aggregate into the stored summary instead of recomputing history.
+# Sum/count are self-mergeable (algebraic aggregates), so
+# refresh(stored, delta) == full recompute, which is exactly what the
+# driver gate checks.
+
+_MV_MOD = 5  # o_orderkey % 5 == 0 plays the newly arrived batch
+
+
+def summarize_orders_monthly(orders) -> "DataFrame":
+    """The MV definition: per (month, status) order count + exact
+    DECIMAL revenue. Shared by the initial build, the delta pass, and
+    (verbatim in SQL) the full-recompute oracle."""
+    from pyspark.sql import functions as F
+
+    return orders.groupBy(
+        F.date_format(
+            F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+        ).alias("month"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        # pin the engine-widened sum (decimal(28,2)) back to the MV's
+        # declared column type so the parquet roundtrip reads exactly
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev"),
+    )
+
+
+def merge_mv(stored, delta) -> "DataFrame":
+    """Merge a delta summary into the stored summary: union + re-agg on
+    the MV key. Counts add; DECIMAL revenue adds order-independently —
+    the algebraic-aggregate property that makes sum/count MVs
+    incrementally maintainable (AVG derives as sum/count; MEDIAN would
+    NOT be maintainable this way and is out of contract)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stored.unionByName(delta)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("rev").cast("decimal(18,2)").alias("rev"),
+        )
+    )
+
+
+@query(
+    "incremental_mv_refresh",
+    oracle="""
+SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(18,2)) AS rev
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def incremental_mv_refresh(spark, sf_dir: str):
+    """Incremental MV refresh through the persisted-summary lifecycle:
+    the "historical" orders (o_orderkey % 5 != 0) build a monthly
+    revenue summary written to parquet once per session; the "new
+    batch" (o_orderkey % 5 == 0) aggregates ALONE and merges into the
+    stored summary — history is never rescanned. The oracle is the
+    full recompute over every order, so the hash gate proves
+    refresh(stored, delta) == rebuild exactly (decimal revenue,
+    order-independent).
+
+    Shape at scale: the delta aggregate touches only the batch; the
+    merge is summary-sized (months x statuses). This is the
+    update-by-key surface (reference filesystem.py update path) lifted
+    from rows to aggregates.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..session_memo import session_memo
+    from . import load_table
+
+    memo = session_memo(spark)
+    key = ("mv_store", sf_dir)
+    path = memo.get(key)
+    orders = load_table(spark, sf_dir, "orders")
+    if path is None:
+        path = tempfile.mkdtemp(prefix="smrf_mv_store_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        summarize_orders_monthly(
+            orders.filter(F.col("o_orderkey") % _MV_MOD != 0)
+        ).write.mode("overwrite").parquet(os.path.join(path, "summary"))
+        memo[key] = path
+    stored = spark.read.schema(
+        "month string, o_orderstatus string, n_orders bigint, "
+        "rev decimal(18,2)"
+    ).parquet(os.path.join(path, "summary"))
+    delta = summarize_orders_monthly(
+        orders.filter(F.col("o_orderkey") % _MV_MOD == 0)
+    )
+    return merge_mv(stored, delta)

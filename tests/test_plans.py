@@ -156,6 +156,9 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
         # funnel stage frames persist + memoize: InMemoryTableScans
         # embed the original scans pre-materialization
         "events_funnel",
+        # the expectations report persists its shared lineitem
+        # aggregate (same embedding artifact)
+        "table_expectations",
     }
     grew = {}
     for name, fp0 in baseline.items():

@@ -238,3 +238,62 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     write_json(orders, path)
     back = read_json_table(spark, path, "o_orderkey long, o_orderstatus string")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_incremental_mv_merge_equals_rebuild_with_new_month(spark, tmp_path):
+    """merge_mv(stored, delta) must equal the full recompute even when
+    the delta introduces a month/status group absent from the stored
+    summary (the union path, not just the matched-key path)."""
+    from pyspark.sql import functions as F
+
+    from simplemapreduceframework_spark.sources.maintenance import (
+        merge_mv,
+        summarize_orders_monthly,
+    )
+
+    rows = [
+        (1, "F", 10.0, "2024-01-15"),
+        (2, "F", 20.0, "2024-01-20"),
+        (3, "O", 5.0, "2024-02-01"),
+        # delta-only additions, including a brand-new month
+        (10, "F", 7.5, "2024-01-31"),
+        (11, "P", 1.25, "2024-03-09"),
+    ]
+    orders = spark.createDataFrame(
+        [(k, st, p, f"{d} 00:00:00") for k, st, p, d in rows],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, ts string",
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("ts").cast("timestamp").alias("o_orderdate"),
+    )
+    stored = summarize_orders_monthly(orders.filter(F.col("o_orderkey") < 10))
+    delta = summarize_orders_monthly(orders.filter(F.col("o_orderkey") >= 10))
+    merged = {
+        (r["month"], r["o_orderstatus"]): (r["n_orders"], str(r["rev"]))
+        for r in merge_mv(stored, delta).collect()
+    }
+    full = {
+        (r["month"], r["o_orderstatus"]): (r["n_orders"], str(r["rev"]))
+        for r in summarize_orders_monthly(orders).collect()
+    }
+    assert merged == full
+    assert ("2024-03", "P") in merged  # the delta-only group survived
+
+
+def test_table_expectations_reports_real_violations(spark, sf_dir):
+    """The expectation suite must show the documented non-unique pk as
+    FAILED with a positive violation count, and the clean rules as
+    passed — proving it reports rather than rubber-stamps."""
+    from simplemapreduceframework_spark import registry
+
+    registry.load_all()
+    rows = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in registry.QUERIES["table_expectations"](spark, sf_dir).collect()
+    }
+    pk = rows["lineitem.pk (l_orderkey,l_linenumber) unique"]
+    assert pk[0] > 0 and pk[1] is False
+    assert rows["lineitem.l_quantity not_null"] == (0, True)
+    assert rows["lineitem.l_orderkey fk orders"] == (0, True)
