@@ -533,6 +533,11 @@ def test_operators_with_null_dimension_rows(spark, tmp_path):
             "q31_important_stock",
             "q32_suppliers_who_kept_waiting",
             "q33_global_sales_opportunity",
+            # round 6: expectation counters and the MV month key must
+            # treat NULL orderdate/totalprice identically both engines
+            "table_expectations",
+            "incremental_mv_refresh",
+            "graph_pagerank_dangling",
             "q36_lateral_topn",
             "customer_rfm_segments",
             "streaming_enrich_live",
@@ -668,6 +673,11 @@ def test_operators_with_null_order_rows(spark, tmp_path):
             "q28_hierarchical_rollup",
             "q29_large_orders",
             "q33_global_sales_opportunity",
+            # round 6: expectation counters and the MV month key must
+            # treat NULL orderdate/totalprice identically both engines
+            "table_expectations",
+            "incremental_mv_refresh",
+            "graph_pagerank_dangling",
             "customer_rfm_segments",
             "q39_nation_volume",
             "q41_top_supplier",
