@@ -107,6 +107,10 @@ HEADLINE = [
     "events_funnel",
     "table_expectations",
     "incremental_mv_refresh",
+    "q43_market_share",
+    "q44_order_count_distribution",
+    "q45_small_quantity_revenue",
+    "q46_bulk_widget_suppliers",
 ]
 
 

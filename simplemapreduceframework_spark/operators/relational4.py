@@ -1,0 +1,167 @@
+"""TPC-H decorrelation shapes, batch 2 (complements relational3.py's
+Q2/Q11/Q21/Q22): national market share with FILTER-clause conditional
+sums (Q8), the left-join-with-ON-predicate order-count distribution
+(Q13), the correlated-AVG small-quantity filter (Q17), and the
+nested-IN-with-HAVING supplier selection (Q20).
+
+All four run as *portable SQL text* through spark.sql() with the same
+text as the DuckDB oracle. Numeric policy per functions/columns.py:
+money sums in exact decimals, the share ratio divides identical
+decimals cast to double; l_quantity is integral (pinned by the probe in
+round 6), so double AVG/SUM over it is order-independent and
+engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources import register_views
+
+# Q8 shape: for each order year, the share of ASIA customers' rod
+# revenue supplied by NATION_7. Revenue is exact decimal; the nation
+# slice uses the standard FILTER clause (both engines); share divides
+# the same decimal pair as doubles.
+_Q43_SQL = """
+WITH rev AS (
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           sn.n_name AS supp_nation,
+           CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - CAST(l.l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))
+             AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_name LIKE '%rod%'
+)
+SELECT o_year,
+       CAST(COALESCE(SUM(volume) FILTER (WHERE supp_nation = 'NATION_7'),
+                     0) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM rev
+GROUP BY o_year
+"""
+
+
+@query("q43_market_share", oracle=_Q43_SQL)
+def q43_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share inside a region-scoped,
+    part-filtered revenue stream, by order year — the
+    conditional-slice-over-total ratio pattern (FILTER clause on both
+    engines, numerator and denominator summed from the SAME decimal
+    column so the double division is engine-exact).
+
+    Shape at scale: part/supplier/customer/nation/region all broadcast
+    (the LIKE filter prunes part before its build); the only
+    fact-scale exchange is orders<->lineitem, then one partial-agg
+    groupBy on the year."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q43_SQL)
+
+
+# Q13 shape: distribution of per-customer order counts INCLUDING
+# zero-order customers — the ON-clause predicate (filter the join, not
+# the customers) is the semantic point: a WHERE would drop the zeros.
+_Q44_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey
+     AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+@query("q44_order_count_distribution", oracle=_Q44_SQL)
+def q44_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer-order-count histogram with the
+    filter in the LEFT JOIN's ON clause, so customers with no
+    qualifying orders survive as the c_count = 0 bucket (a WHERE would
+    silently drop them — the classic outer-join-predicate-placement
+    trap). COUNT(o.o_orderkey) counts matched rows only, never the
+    null-extended row. Pure integer counts, engine-exact.
+
+    Shape at scale: one exchange on the customer key for the join +
+    first groupBy (AQE reuses the partitioning), then a tiny histogram
+    aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q44_SQL)
+
+
+# Q17 shape: revenue lost to small-quantity orders of one brand — the
+# correlated scalar AVG subquery, decorrelated by Catalyst into a
+# per-part aggregate joined back. l_quantity is integral, so the double
+# AVG is an exact-sum / count — order-independent on both engines.
+_Q45_SQL = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                 AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("q45_small_quantity_revenue", oracle=_Q45_SQL)
+def q45_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG subquery (orders whose
+    quantity is under 20% of the part's average), decorrelated into a
+    per-part aggregate + join. Revenue sums in exact decimal; the
+    threshold compares an exact integral-sum average.
+
+    Shape at scale: the brand filter prunes the probe side before its
+    join; the per-part AVG is one partial-agg groupBy over the fact
+    scan joined back on the part key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q45_SQL)
+
+
+# Q20 shape: suppliers who shipped a large aggregate quantity of any
+# widget part — nested IN subquery whose inner query is itself a
+# grouped HAVING aggregate. Quantity sums in decimal for exactness.
+_Q46_SQL = """
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 100
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("q46_bulk_widget_suppliers", oracle=_Q46_SQL)
+def q46_bulk_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a grouped-HAVING subquery (suppliers
+    who moved >100 units of some widget part) — Catalyst plans the IN
+    as a left-semi join against the aggregated subquery, never a
+    per-row re-execution. Decimal quantity sums, integer keys —
+    engine-exact.
+
+    Shape at scale: the LIKE filter prunes part before its broadcast;
+    the inner aggregate is one partial-agg groupBy on (suppkey,
+    partkey); the outer semi join is supplier-dimension sized."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q46_SQL)

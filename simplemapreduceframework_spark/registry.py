@@ -52,6 +52,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         retrieval,
         similarity,
         streamingq,
@@ -84,6 +85,10 @@ CHECK_PRIORITY: list[str] = [
     "events_funnel",  # new: exact ordered-reachability funnel
     "table_expectations",  # new: declarative data-quality rule suite
     "incremental_mv_refresh",  # new: merge-delta summary == full rebuild
+    "q43_market_share",  # new: TPC-H Q8 FILTER-clause share ratio
+    "q44_order_count_distribution",  # new: TPC-H Q13 ON-predicate histogram
+    "q45_small_quantity_revenue",  # new: TPC-H Q17 correlated AVG
+    "q46_bulk_widget_suppliers",  # new: TPC-H Q20 nested IN + HAVING
     # upgraded (pixel-level gate) + never driver-checked backlog
     "multimodal_decode_real",  # upgraded: exact pixel sum/mean gate
     "ann_ivf_indexed_gate",  # never driver-checked
