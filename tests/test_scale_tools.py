@@ -538,6 +538,8 @@ def test_operators_with_null_dimension_rows(spark, tmp_path):
             "table_expectations",
             "incremental_mv_refresh",
             "graph_pagerank_dangling",
+            "q43_market_share",
+            "q44_order_count_distribution",
             "q36_lateral_topn",
             "customer_rfm_segments",
             "streaming_enrich_live",
@@ -678,6 +680,8 @@ def test_operators_with_null_order_rows(spark, tmp_path):
             "table_expectations",
             "incremental_mv_refresh",
             "graph_pagerank_dangling",
+            "q43_market_share",
+            "q44_order_count_distribution",
             "customer_rfm_segments",
             "q39_nation_volume",
             "q41_top_supplier",
