@@ -161,6 +161,65 @@ def pagerank_fixed_point(
     return ranks, deg
 
 
+def _graph_frames(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Shared setup for the directed PageRank loops: persisted
+    out-degrees, degree-annotated edges, node universe (sources UNION
+    destinations), and the collected node count. deg persists because
+    the per-iteration dangling anti-join consumes it directly."""
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).persist()
+    edges_deg = edges.join(deg, "s").select("s", "d", "deg").persist()
+    nodes = (
+        edges.select(F.col("s").alias("node"))
+        .union(edges.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    return deg, edges_deg, nodes, nodes.count()
+
+
+def _pagerank_step(
+    nodes: DataFrame,
+    edges_deg: DataFrame,
+    deg: DataFrame,
+    ranks: DataFrame,
+    teleport: int,
+    n: int,
+    dangling: bool = True,
+) -> DataFrame:
+    """ONE fixed-point update: contribution join + partial-agg groupBy,
+    plus (when dangling) the anti-join mass aggregate broadcast into
+    the per-node update — the frame is returned unmaterialized so the
+    caller chooses persist (unrolled plan) or localCheckpoint
+    (convergence loop)."""
+    contrib = edges_deg.join(
+        ranks, edges_deg.s == ranks.node
+    ).select("d", F.expr("r div deg").alias("c"))
+    csum = contrib.groupBy("d").agg(F.sum("c").alias("cs"))
+    if dangling:
+        dang = (
+            ranks.join(deg, ranks.node == deg.s, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        update = F.expr(
+            f"({_DAMP_NUM} * (coalesce(cs, CAST(0 AS BIGINT))"
+            f" + dm div {n})) div {_DAMP_DEN}"
+        )
+        nxt = nodes.join(csum, nodes.node == csum.d, "left").crossJoin(
+            F.broadcast(dang)
+        )
+    else:
+        update = F.expr(
+            f"({_DAMP_NUM} * coalesce(cs, CAST(0 AS BIGINT)))"
+            f" div {_DAMP_DEN}"
+        )
+        nxt = nodes.join(csum, nodes.node == csum.d, "left")
+    return nxt.select(
+        "node", (F.lit(teleport) + update).cast("long").alias("r")
+    )
+
+
 def pagerank_dangling(
     edges: DataFrame, iters: int = _ITERS
 ) -> tuple[DataFrame, DataFrame]:
@@ -187,15 +246,7 @@ def pagerank_dangling(
     driver round-trip inside the loop, the whole unroll is one Catalyst
     plan.
     """
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "s").select("s", "d", "deg").persist()
-    nodes = (
-        edges.select(F.col("s").alias("node"))
-        .union(edges.select(F.col("d").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes.count()
+    deg, edges_deg, nodes, n = _graph_frames(edges)
     if n == 0:
         empty = nodes.select("node", F.lit(0).cast("long").alias("r"))
         return empty, deg
@@ -211,32 +262,8 @@ def pagerank_dangling(
         # Lazy persist gives intra-job reuse while keeping the unroll
         # one action; frames are node-sized. Callers memoize (see
         # the session memo), so the session holds one chain.
-        ranks = ranks.persist()
-        contrib = edges_deg.join(
-            ranks, edges_deg.s == ranks.node
-        ).select("d", F.expr("r div deg").alias("c"))
-        csum = contrib.groupBy("d").agg(F.sum("c").alias("cs"))
-        dang = (
-            ranks.join(deg, ranks.node == deg.s, "left_anti")
-            .agg(
-                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
-            )
-        )
-        ranks = (
-            nodes.join(csum, nodes.node == csum.d, "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({_DAMP_NUM} * (coalesce(cs, CAST(0 AS BIGINT))"
-                        f" + dm div {n})) div {_DAMP_DEN}"
-                    )
-                )
-                .cast("long")
-                .alias("r"),
-            )
+        ranks = _pagerank_step(
+            nodes, edges_deg, deg, ranks.persist(), teleport, n
         )
     return ranks, deg
 
@@ -264,18 +291,7 @@ def pagerank_converged(
     collected scalar per iteration (inherent to any convergence-gated
     loop).
     """
-    # deg persists too: the per-iteration dangling anti-join consumes
-    # it directly, and without the cache each of the loop's 2 actions
-    # per iteration would recompute the fact-scale degree aggregate
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).persist()
-    edges_deg = edges.join(deg, "s").select("s", "d", "deg").persist()
-    nodes = (
-        edges.select(F.col("s").alias("node"))
-        .union(edges.select(F.col("d").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes.count()
+    deg, edges_deg, nodes, n = _graph_frames(edges)
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("r")), 0
     teleport = (_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN // n
@@ -284,35 +300,8 @@ def pagerank_converged(
     ).localCheckpoint()
     done = 0
     for i in range(max_iters):
-        contrib = edges_deg.join(
-            ranks, edges_deg.s == ranks.node
-        ).select("d", F.expr("r div deg").alias("c"))
-        csum = contrib.groupBy("d").agg(F.sum("c").alias("cs"))
-        if dangling:
-            dang = (
-                ranks.join(deg, ranks.node == deg.s, "left_anti")
-                .agg(
-                    F.coalesce(F.sum("r"), F.lit(0))
-                    .cast("long")
-                    .alias("dm")
-                )
-            )
-            update = F.expr(
-                f"({_DAMP_NUM} * (coalesce(cs, CAST(0 AS BIGINT))"
-                f" + dm div {n})) div {_DAMP_DEN}"
-            )
-            nxt = (
-                nodes.join(csum, nodes.node == csum.d, "left")
-                .crossJoin(F.broadcast(dang))
-            )
-        else:
-            update = F.expr(
-                f"({_DAMP_NUM} * coalesce(cs, CAST(0 AS BIGINT)))"
-                f" div {_DAMP_DEN}"
-            )
-            nxt = nodes.join(csum, nodes.node == csum.d, "left")
-        new_ranks = nxt.select(
-            "node", (F.lit(teleport) + update).cast("long").alias("r")
+        new_ranks = _pagerank_step(
+            nodes, edges_deg, deg, ranks, teleport, n, dangling
         ).localCheckpoint()
         delta = (
             new_ranks.alias("a")
