@@ -721,3 +721,102 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("span_us").cast("bigint").alias("max_span_us"),
     )
+
+
+_MV_SCHEMA = (
+    "month string, o_orderstatus string, n_orders bigint, rev decimal(18,2)"
+)
+
+
+@query(
+    "streaming_mv_refresh_live",
+    oracle="""
+SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(18,2)) AS rev
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def streaming_mv_refresh_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-view maintenance: the historical orders
+    seed a versioned summary store; the "new" orders arrive as a LIVE
+    multi-file stream (repartitioned to 4 files, maxFilesPerTrigger=1,
+    so the merge really runs across several micro-batches), and each
+    foreachBatch merges its batch's partial aggregate into the store —
+    version v{batch_id} in, v{batch_id+1} out, so a redelivered batch
+    overwrites its own output instead of double-counting (the
+    idempotent-versioning exactly-once pattern). The final store state
+    must hash-match the SAME full-recompute oracle as the batch
+    incremental_mv_refresh: stream-merge == batch-merge == rebuild.
+
+    Shape at scale: per batch, the delta aggregate touches only that
+    batch's files and the merge is summary-sized — history is never
+    rescanned; the store versions are what a table format (Delta/
+    Iceberg) calls snapshots.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..session_memo import session_memo
+    from ..sources import load_table
+    from ..sources.maintenance import (
+        _MV_MOD,
+        merge_mv,
+        summarize_orders_monthly,
+    )
+    from ..streaming import read_table_stream
+
+    memo = session_memo(spark)
+    key = ("mv_stream", sf_dir)
+    if key in memo:
+        return memo[key]
+    root = tempfile.mkdtemp(prefix="smrf_mv_stream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    hist = orders.filter(
+        F.coalesce(F.col("o_orderkey") % _MV_MOD != 0, F.lit(True))
+    )
+    summarize_orders_monthly(hist).write.mode("overwrite").parquet(
+        f"{root}/store/v0"
+    )
+    # the arriving batch, laid out as 4 files so availableNow +
+    # maxFilesPerTrigger=1 yields 4 real micro-batches
+    delta_dir = f"{root}/delta.parquet"  # read_table_stream's layout
+    orders.filter(F.col("o_orderkey") % _MV_MOD == 0).repartition(
+        4
+    ).write.mode("overwrite").parquet(delta_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.schema(_MV_SCHEMA).parquet(
+            f"{root}/store/v{batch_id}"
+        )
+        nxt = merge_mv(cur, summarize_orders_monthly(batch_df))
+        nxt.write.mode("overwrite").parquet(
+            f"{root}/store/v{batch_id + 1}"
+        )
+
+    stream = read_table_stream(
+        spark, root, "delta", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(f"{root}/store")
+        if d.startswith("v")
+    )
+    out = spark.read.schema(_MV_SCHEMA).parquet(
+        f"{root}/store/v{versions[-1]}"
+    )
+    memo[key] = out
+    return out

@@ -85,6 +85,7 @@ CHECK_PRIORITY: list[str] = [
     "events_funnel",  # new: exact ordered-reachability funnel
     "table_expectations",  # new: declarative data-quality rule suite
     "incremental_mv_refresh",  # new: merge-delta summary == full rebuild
+    "streaming_mv_refresh_live",  # new: foreachBatch merge over micro-batches
     "q43_market_share",  # new: TPC-H Q8 FILTER-clause share ratio
     "q44_order_count_distribution",  # new: TPC-H Q13 ON-predicate histogram
     "q45_small_quantity_revenue",  # new: TPC-H Q17 correlated AVG

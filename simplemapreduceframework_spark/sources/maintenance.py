@@ -211,8 +211,13 @@ def incremental_mv_refresh(spark, sf_dir: str):
     if path is None:
         path = tempfile.mkdtemp(prefix="smrf_mv_store_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
+        # NULL o_orderkey rows land in the historical side (a bare
+        # `% != 0` filter would drop them from BOTH sides while the
+        # full-recompute oracle still counts them)
         summarize_orders_monthly(
-            orders.filter(F.col("o_orderkey") % _MV_MOD != 0)
+            orders.filter(
+                F.coalesce(F.col("o_orderkey") % _MV_MOD != 0, F.lit(True))
+            )
         ).write.mode("overwrite").parquet(os.path.join(path, "summary"))
         memo[key] = path
     stored = spark.read.schema(

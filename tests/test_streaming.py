@@ -380,3 +380,39 @@ def test_session_and_custom_state_under_rocksdb(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_streaming_mv_refresh_merges_across_micro_batches(spark, sf_dir):
+    """The streaming MV maintenance must (a) process the delta as
+    MULTIPLE micro-batches (4 files, maxFilesPerTrigger=1 — otherwise
+    it degenerates to one big merge and proves nothing about
+    incremental state), and (b) end bit-identical to the batch
+    incremental refresh, which itself hash-matches the full rebuild."""
+    from simplemapreduceframework_spark import registry
+
+    registry.load_all()
+    Q = registry.QUERIES
+    stream_rows = sorted(
+        (r["month"], r["o_orderstatus"], r["n_orders"], str(r["rev"]))
+        for r in Q["streaming_mv_refresh_live"](spark, sf_dir).collect()
+    )
+    batch_rows = sorted(
+        (r["month"], r["o_orderstatus"], r["n_orders"], str(r["rev"]))
+        for r in Q["incremental_mv_refresh"](spark, sf_dir).collect()
+    )
+    assert stream_rows == batch_rows
+    # the memoized result reads store/v{last}; walk back to its root
+    # and count versions: seed v0 + one per non-empty micro-batch
+    import os
+    import re
+
+    out = Q["streaming_mv_refresh_live"](spark, sf_dir)
+    files = [f.path for f in out.inputFiles()] if False else out.inputFiles()
+    m = re.search(r"(/[^ ]*smrf_mv_stream_[^/]+)/store/v(\d+)/", files[0])
+    assert m, files[0]
+    root, last = m.group(1), int(m.group(2))
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(f"{root}/store") if d.startswith("v")
+    )
+    assert versions == list(range(last + 1))
+    assert last >= 2  # several real merge batches ran
