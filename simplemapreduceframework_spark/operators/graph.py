@@ -408,7 +408,12 @@ _BASKET_TOPK = 25
     "basket_part_pairs",
     oracle=f"""
 WITH items AS (
+    -- a basket membership needs BOTH keys: engine-side collect_set
+    -- skips NULL parts and a NULL orderkey groups rows that are not a
+    -- basket, while COUNT(DISTINCT) here would skip it — pin the
+    -- contract identically on both engines
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ),
 n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
 isup AS (SELECT l_partkey, COUNT(*) AS n_i FROM items GROUP BY l_partkey),
@@ -449,6 +454,9 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     items = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
         .select("l_orderkey", "l_partkey")
         .distinct()
     )

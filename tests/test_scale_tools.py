@@ -693,3 +693,82 @@ def test_operators_with_null_order_rows(spark, tmp_path):
             assert not problems, (name, problems)
     finally:
         con.close()
+
+
+def test_operators_with_null_lineitem_rows(spark, tmp_path):
+    """NULL-robustness for the lineitem tier — the most-queried fact
+    table had no NULL fixture until round 6. A row with NULL quantity/
+    price/discount/dates/flags (keys kept valid so joins still route
+    it) must neither crash nor diverge from DuckDB's NULL semantics:
+    NULL predicates are not-true in both engines, aggregates skip
+    NULLs, and table_expectations' not-null rules must FIRE."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+    from simplemapreduceframework_spark.testing import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_null_lineitem")
+    os.makedirs(nd, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "lineitem":
+            # valid orderkey/partkey/suppkey (row 1's), everything
+            # measure-like NULL; plus a NULL-keys row
+            first = df.limit(1).collect()[0]
+            null_rows = spark.createDataFrame(
+                [
+                    (
+                        first["l_orderkey"], first["l_partkey"],
+                        first["l_suppkey"], 99, None, None, None, None,
+                        None, None, None,
+                    ),
+                    (None, None, None, 98, None, None, None, None,
+                     None, None, None),
+                ],
+                df.schema,
+            )
+            df = df.unionByName(null_rows)
+        df.write.parquet(f"{nd}/{t}.parquet")
+    con = duckdb_connection(nd)
+    try:
+        for name in [
+            "q1_pricing_summary",
+            "q2_filter_project",
+            "q6_selective_agg",
+            "q13_distinct_agg",
+            "q15_conditional_agg",
+            "q30_min_cost_supplier",
+            "q31_important_stock",
+            "q38_disjunctive_predicate",
+            "q42_product_profit",
+            "q45_small_quantity_revenue",
+            "q46_bulk_widget_suppliers",
+            "table_profile",
+            "table_skew_report",
+            "table_expectations",
+            "graph_pagerank",
+            "basket_part_pairs",
+            "skewed_agg_salted",
+            "cms_heavy_hitters",
+            "exact_percentiles",
+            "stats_exact_moments",
+        ]:
+            problems = compare_query(
+                spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
+            )
+            assert not problems, (name, problems)
+        # the not-null rules must actually fire on this fixture
+        rows = {
+            r["rule"]: r["n_violations"]
+            for r in registry.QUERIES["table_expectations"](spark, nd).collect()
+        }
+        assert rows["lineitem.l_quantity not_null"] == 2
+        assert rows["lineitem.l_shipdate not_null"] == 2
+    finally:
+        con.close()
