@@ -117,6 +117,74 @@ def sorted_rewrite(
     parts.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(dst)
 
 
+_ZORDER_BITS = 16
+
+
+def zvalue_column(
+    df: DataFrame, cols: list[str], bits: int = _ZORDER_BITS
+):
+    """Morton (Z-order) key for ``cols`` as a codegen-able Column:
+    each column scales to a ``bits``-bit bucket between its own min and
+    max (one tiny aggregate collect), then the buckets' bits interleave
+    — points close in EVERY dimension get close z-values, which is what
+    lets one physical sort serve range filters on any clustered column.
+    Returns (column, mins_and_maxes) — NULLs bucket to 0 (they sort
+    first, clustered together).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    top = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = max(int(mx) - int(mn), 1)
+        b = (
+            (F.col(c).cast("long") - int(mn)) * top / span
+        ).cast("long")
+        buckets.append(F.coalesce(b, F.lit(0)))
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            # bit i of column j lands at interleaved position i*n + j
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+            ).cast("long")
+    return z, stats
+
+
+def zorder_rewrite(
+    df: DataFrame,
+    dst: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    bits: int = _ZORDER_BITS,
+) -> None:
+    """Multi-dimensional clustering rewrite: range-repartition + sort on
+    the Morton key of ``cluster_by``, write parquet. Where
+    sorted_rewrite clusters ONE leading column (later columns' stats
+    stay table-wide), the z-order curve shrinks every clustered
+    column's per-row-group min/max box, so filters on ANY of the
+    columns prune row groups — the Delta/Iceberg OPTIMIZE ZORDER pass
+    expressed with vanilla Spark writers. The z-key is a pure
+    expression (no UDF); the only driver work is the 1-row min/max
+    collect."""
+    z, _ = zvalue_column(df, cluster_by, bits)
+    with_z = df.withColumn("_z", z)
+    parts = (
+        with_z.repartitionByRange(n_files, "_z")
+        if n_files
+        else with_z.repartitionByRange("_z")
+    )
+    parts.sortWithinPartitions("_z").drop("_z").write.mode(
+        "overwrite"
+    ).parquet(dst)
+
+
 # ---------------------------------------------------------------------------
 # Incremental materialized-view maintenance: the summary-table refresh a
 # warehouse runs per ingest batch — merge the NEW batch's partial

@@ -772,3 +772,73 @@ def test_operators_with_null_lineitem_rows(spark, tmp_path):
         assert rows["lineitem.l_shipdate not_null"] == 2
     finally:
         con.close()
+
+
+def test_zorder_rewrite_shrinks_rowgroup_boxes_on_both_columns(
+    spark, sf_dir, tmp_path
+):
+    """Morton clustering must shrink every clustered column's
+    per-row-group min/max range (the pruning primitive). Box AREA is
+    the wrong discriminator — a single-column sort also achieves
+    ~1/n_groups area (tiny leading span x full trailing span); what
+    z-order uniquely buys is pruning on the TRAILING column ALONE, so
+    the assertion is on the per-column average span: every clustered
+    column's span must shrink well below table-wide under z-order,
+    while the lexicographic sort leaves its trailing column ~1.0.
+    Content must be unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from simplemapreduceframework_spark.sources import load_table
+    from simplemapreduceframework_spark.sources.maintenance import (
+        sorted_rewrite,
+        zorder_rewrite,
+    )
+
+    cols = ["l_partkey", "l_suppkey"]
+    li = load_table(spark, sf_dir, "lineitem")
+    zdir = str(tmp_path / "z")
+    sdir = str(tmp_path / "s")
+    zorder_rewrite(li, zdir, cols, n_files=8)
+    sorted_rewrite(li, sdir, cols, n_files=8)
+
+    def avg_spans(path):
+        metas = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            metas.append(pq.ParquetFile(f).metadata)
+        lo, hi = {}, {}
+        for md in metas:
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                st = {
+                    row.column(i).path_in_schema: row.column(i).statistics
+                    for i in range(row.num_columns)
+                }
+                for c in cols:
+                    lo[c] = min(lo.get(c, st[c].min), st[c].min)
+                    hi[c] = max(hi.get(c, st[c].max), st[c].max)
+        spans = {c: [] for c in cols}
+        for md in metas:
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                st = {
+                    row.column(i).path_in_schema: row.column(i).statistics
+                    for i in range(row.num_columns)
+                }
+                for c in cols:
+                    spans[c].append(
+                        (st[c].max - st[c].min) / ((hi[c] - lo[c]) or 1)
+                    )
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    z_spans, s_spans = avg_spans(zdir), avg_spans(sdir)
+    # z-order: BOTH columns prunable alone
+    assert all(v < 0.75 for v in z_spans.values()), z_spans
+    # lexicographic sort: the trailing column's stats stay table-wide
+    assert s_spans["l_suppkey"] > 0.9, s_spans
+    assert z_spans["l_suppkey"] < s_spans["l_suppkey"], (z_spans, s_spans)
+    # lossless rewrite
+    assert spark.read.parquet(zdir).count() == li.count()
+    zsum = spark.read.parquet(zdir).agg({"l_partkey": "sum"}).collect()[0][0]
+    assert zsum == li.agg({"l_partkey": "sum"}).collect()[0][0]
