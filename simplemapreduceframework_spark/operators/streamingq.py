@@ -723,23 +723,11 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MV_SCHEMA = (
-    "month string, o_orderstatus string, n_orders bigint, rev decimal(18,2)"
-)
+from ..sources.maintenance import MV_ORACLE as _MV_ORACLE  # noqa: E402
+from ..sources.maintenance import MV_SCHEMA as _MV_SCHEMA  # noqa: E402
 
 
-@query(
-    "streaming_mv_refresh_live",
-    oracle="""
-SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-       o_orderstatus,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            AS DECIMAL(18,2)) AS rev
-FROM orders
-GROUP BY 1, 2
-""",
-)
+@query("streaming_mv_refresh_live", oracle=_MV_ORACLE)
 def streaming_mv_refresh_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING materialized-view maintenance: the historical orders
     seed a versioned summary store; the "new" orders arrive as a LIVE

@@ -695,11 +695,13 @@ def test_operators_with_null_order_rows(spark, tmp_path):
         con.close()
 
 
-def test_operators_with_null_lineitem_rows(spark, tmp_path):
-    """NULL-robustness for the lineitem tier — the most-queried fact
-    table had no NULL fixture until round 6. A row with NULL quantity/
-    price/discount/dates/flags (keys kept valid so joins still route
-    it) must neither crash nor diverge from DuckDB's NULL semantics:
+def test_operators_with_null_lineitem_keys_and_measures(spark, tmp_path):
+    """NULL-robustness for the lineitem tier, round-6 extension of
+    test_operators_with_null_lineitem_rows: adds an ALL-NULL-KEYS row
+    (the original fixture kept keys valid) and sweeps the round-6
+    lineitem consumers. A row with NULL quantity/price/discount/dates
+    (keys kept valid so joins still route it) plus one with NULL keys
+    must neither crash nor diverge from DuckDB's NULL semantics:
     NULL predicates are not-true in both engines, aggregates skip
     NULLs, and table_expectations' not-null rules must FIRE."""
     import os
@@ -842,3 +844,30 @@ def test_zorder_rewrite_shrinks_rowgroup_boxes_on_both_columns(
     assert spark.read.parquet(zdir).count() == li.count()
     zsum = spark.read.parquet(zdir).agg({"l_partkey": "sum"}).collect()[0][0]
     assert zsum == li.agg({"l_partkey": "sum"}).collect()[0][0]
+
+
+def test_zorder_guards_wide_column_sets_and_empty_input(spark, tmp_path):
+    """The Morton key must stay inside a signed long for 4+ cluster
+    columns (bits auto-cap at 63 // n — an uncapped layout would put a
+    bucket bit on the sign bit and invert the sort for those rows), and
+    an empty input must rewrite to an empty table instead of crashing
+    on None min/max."""
+    from pyspark.sql import functions as F
+
+    from simplemapreduceframework_spark.sources.maintenance import (
+        zorder_rewrite,
+        zvalue_column,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 3 % 97, i * 7 % 89, i * 11 % 83) for i in range(500)],
+        "a long, b long, c long, d long",
+    )
+    z, _ = zvalue_column(df, ["a", "b", "c", "d"])
+    zs = [r[0] for r in df.select(z).collect()]
+    assert all(v >= 0 for v in zs), min(zs)  # no sign-bit corruption
+    assert len(set(zs)) > 1  # still discriminates
+    # empty input: degenerates to a plain (empty) write
+    out = str(tmp_path / "z_empty")
+    zorder_rewrite(df.filter(F.lit(False)), out, ["a", "b"], n_files=1)
+    assert spark.read.parquet(out).count() == 0

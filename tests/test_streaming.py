@@ -407,7 +407,7 @@ def test_streaming_mv_refresh_merges_across_micro_batches(spark, sf_dir):
     import re
 
     out = Q["streaming_mv_refresh_live"](spark, sf_dir)
-    files = [f.path for f in out.inputFiles()] if False else out.inputFiles()
+    files = out.inputFiles()
     m = re.search(r"(/[^ ]*smrf_mv_stream_[^/]+)/store/v(\d+)/", files[0])
     assert m, files[0]
     root, last = m.group(1), int(m.group(2))
