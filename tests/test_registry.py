@@ -1,0 +1,70 @@
+"""Registry consistency canaries: the driver consumes CHECK_PRIORITY
+ordering and the queries()/oracle_sql() dicts verbatim, so a typo'd
+priority entry or a new query drifting past the driver's ~50-query
+check budget silently loses its CORRECTNESS row. These tests make that
+loss loud."""
+
+from __future__ import annotations
+
+from simplemapreduceframework_spark import registry
+
+registry.load_all()
+
+# The driver's per-round correctness budget (50 in every observed
+# round). New queries listed beyond this index never get a row.
+_DRIVER_BUDGET = 50
+
+# Queries introduced or gate-changed in round 6 — each MUST sit inside
+# the checked window until it has a driver row.
+_ROUND6_MUST_CHECK = [
+    "events_resample_ffill",
+    "graph_pagerank",
+    "graph_pagerank_dangling",
+    "bpe_encode_gate",
+    "bpe_encode",
+    "multimodal_audio_real",
+    "dedup_incremental",
+    "streaming_mv_refresh_live",
+    "events_funnel",
+    "table_expectations",
+    "incremental_mv_refresh",
+    "q43_market_share",
+    "q44_order_count_distribution",
+    "q45_small_quantity_revenue",
+    "q46_bulk_widget_suppliers",
+    "multimodal_decode_real",
+    "ann_ivf_indexed_gate",
+]
+
+
+def test_priority_entries_exist_and_are_unique():
+    missing = [q for q in registry.CHECK_PRIORITY if q not in registry.QUERIES]
+    assert not missing, f"CHECK_PRIORITY names unknown queries: {missing}"
+    dupes = {
+        q
+        for q in registry.CHECK_PRIORITY
+        if registry.CHECK_PRIORITY.count(q) > 1
+    }
+    assert not dupes, f"duplicate CHECK_PRIORITY entries: {dupes}"
+
+
+def test_new_queries_sit_inside_the_driver_budget():
+    window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
+    out = [q for q in _ROUND6_MUST_CHECK if q not in window]
+    assert not out, (
+        f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
+        f"window (would never get a CORRECTNESS row): {out}"
+    )
+
+
+def test_every_query_has_oracle_or_documented_rows_only():
+    rows_only = set(registry.QUERIES) - set(registry.ORACLES)
+    assert rows_only == registry.ROWS_ONLY
+    # rows-only stays a short, deliberate list (each needs a twin gate)
+    assert len(rows_only) <= 6, sorted(rows_only)
+
+
+def test_ordering_puts_priority_head_first():
+    ordered = list(registry.all_queries())
+    head = [q for q in registry.CHECK_PRIORITY if q in registry.QUERIES]
+    assert ordered[: len(head)] == head
