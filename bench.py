@@ -111,6 +111,7 @@ HEADLINE = [
     "q44_order_count_distribution",
     "q45_small_quantity_revenue",
     "q46_bulk_widget_suppliers",
+    "q47_reorder_streaks",
 ]
 
 

@@ -165,3 +165,59 @@ def q46_bulk_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey); the outer semi join is supplier-dimension sized."""
     register_views(spark, sf_dir)
     return spark.sql(_Q46_SQL)
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): the reorder-streak walk — a
+# linear successor traversal whose depth is data-dependent (the longest
+# streak), which no fixed window/unroll can express. Spark 4 supports
+# UNION ALL recursion only (UNION-dedup cycle-safe recursion is not in
+# yet), so the relation walked must be acyclic — the per-customer
+# next-order linked list is. o_orderkey is unique (expectation-suite
+# adjacent fact), so the recursive join steps to exactly one row.
+_Q47_SQL = """
+WITH RECURSIVE ord AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderdate) OVER w AS prev_date,
+           LEAD(o_orderkey) OVER w AS next_key,
+           LEAD(o_orderdate) OVER w AS next_date
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+chain(o_custkey, cur_key, cur_date, next_key, next_date, len) AS (
+    SELECT o_custkey, o_orderkey, o_orderdate, next_key, next_date, 1
+    FROM ord
+    WHERE prev_date IS NULL OR o_orderdate > prev_date + INTERVAL 90 DAY
+    UNION ALL
+    SELECT c.o_custkey, o.o_orderkey, o.o_orderdate, o.next_key,
+           o.next_date, c.len + 1
+    FROM chain c JOIN ord o ON o.o_orderkey = c.next_key
+    WHERE c.next_date <= c.cur_date + INTERVAL 90 DAY
+)
+SELECT o_custkey,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(CASE WHEN len = 1 THEN 1 END) AS BIGINT) AS n_streaks,
+       CAST(COUNT(*) AS BIGINT) AS n_chain_rows
+FROM chain
+GROUP BY o_custkey
+"""
+
+
+@query("q47_reorder_streaks", oracle=_Q47_SQL)
+def q47_reorder_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE traversal (Spark 4 WITH RECURSIVE, identical SQL
+    text on DuckDB): per-customer reorder streaks — a streak starts at
+    an order with no predecessor within 90 days and extends while each
+    next order follows within 90 days of the current one. The
+    recursion walks the LEAD-precomputed successor list, so its depth
+    is the longest streak (data-dependent — the capability windows and
+    bounded unrolls cannot express).
+
+    Shape at scale: the successor list is one window over the orders
+    exchange on o_custkey; each recursion level is an equi-join of the
+    frontier (streak tips, shrinking every level) against the
+    successor table + the standard iterate-until-empty of UNION ALL
+    recursion. Streak statistics are pure integers — engine-exact.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q47_SQL)

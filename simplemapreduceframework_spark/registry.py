@@ -90,6 +90,7 @@ CHECK_PRIORITY: list[str] = [
     "q44_order_count_distribution",  # new: TPC-H Q13 ON-predicate histogram
     "q45_small_quantity_revenue",  # new: TPC-H Q17 correlated AVG
     "q46_bulk_widget_suppliers",  # new: TPC-H Q20 nested IN + HAVING
+    "q47_reorder_streaks",  # new: Spark-4 recursive CTE successor walk
     # upgraded (pixel-level gate) + never driver-checked backlog
     "multimodal_decode_real",  # upgraded: exact pixel sum/mean gate
     "ann_ivf_indexed_gate",  # never driver-checked

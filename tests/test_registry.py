@@ -32,6 +32,7 @@ _ROUND6_MUST_CHECK = [
     "q44_order_count_distribution",
     "q45_small_quantity_revenue",
     "q46_bulk_widget_suppliers",
+    "q47_reorder_streaks",
     "multimodal_decode_real",
     "ann_ivf_indexed_gate",
 ]
