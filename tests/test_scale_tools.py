@@ -871,3 +871,78 @@ def test_zorder_guards_wide_column_sets_and_empty_input(spark, tmp_path):
     out = str(tmp_path / "z_empty")
     zorder_rewrite(df.filter(F.lit(False)), out, ["a", "b"], n_files=1)
     assert spark.read.parquet(out).count() == 0
+
+
+def test_operators_with_unicode_text_rows(spark, tmp_path):
+    """Unicode robustness: accented Latin, CJK, emoji, ligatures, and
+    the German ß must flow through the text tier identically on both
+    engines (JVM vs utf8proc lowercasing agree for all of these). The
+    ONE documented divergence is Turkish dotted I (U+0130): the JVM
+    lowercases it to 'i' + COMBINING DOT ABOVE while DuckDB maps it to
+    plain 'i' — pinned below so an engine upgrade that changes either
+    side is noticed. Operator contract: corpora containing U+0130 need
+    NFC/locale-aware normalization upstream of this engine."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+    from simplemapreduceframework_spark.testing import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_unicode")
+    os.makedirs(nd, exist_ok=True)
+    unicode_texts = [
+        "Café MÜNCHEN straße again café",
+        "naïve — emoji 🙂 mixed emoji 🙂 naïve",
+        "中文 words 混合 content 中文 words",
+        "ﬁ ligature ß ligature ﬁ words",
+    ]
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "documents":
+            rows = [
+                (900000 + i, txt, "xx", "srcU", len(txt))
+                for i, txt in enumerate(unicode_texts)
+            ]
+            df = df.unionByName(spark.createDataFrame(rows, df.schema))
+        df.write.parquet(f"{nd}/{t}.parquet")
+    con = duckdb_connection(nd)
+    try:
+        for name in [
+            "wordcount",
+            "wordset",
+            "text_token_stats",
+            "text_fingerprint",
+            "text_repetition_filter",
+            "dedup_exact",
+            "text_vocab",
+            "text_chunk",
+            "bpe_first_merge_gate",
+            "bpe_encode_gate",
+            "text_quality_score",
+        ]:
+            problems = compare_query(
+                spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
+            )
+            assert not problems, (name, problems)
+    finally:
+        con.close()
+    # the pinned divergence: U+0130 lowercases differently per engine
+    import duckdb as ddb
+
+    from pyspark.sql import functions as F
+
+    jvm_lower = (
+        spark.createDataFrame([("İ",)], "s string")
+        .select(F.lower("s"))
+        .collect()[0][0]
+    )
+    duck_lower = ddb.connect().execute("SELECT lower('İ')").fetchone()[0]
+    assert jvm_lower == "i̇" and duck_lower == "i", (
+        "U+0130 case mapping changed — revisit the documented "
+        f"divergence: jvm={jvm_lower!r} duckdb={duck_lower!r}"
+    )
