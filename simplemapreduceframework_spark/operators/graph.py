@@ -351,8 +351,14 @@ it{i} AS (
         prev = f"it{i}"
     return f"""
 WITH edges AS (
+    -- an edge needs BOTH endpoints (the basket_part_pairs contract):
+    -- a NULL-custkey order whose orderkey joins lineitem would put a
+    -- NULL s into deg, turning the dangling-mass NOT IN below UNKNOWN
+    -- for every node (dm collapses to 0) while the engine's left_anti
+    -- treats NULL-key nodes as dangling — pin identically on both
     SELECT DISTINCT o.o_custkey * 2 AS s, l.l_suppkey * 2 + 1 AS d
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
 ),
 nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges),
 deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
@@ -383,8 +389,13 @@ def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         return memo[cache_key]
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # an edge needs BOTH endpoints — same NULL contract as the oracle
+    # (see _pagerank_dangling_oracle) and basket_part_pairs
     edges = (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select(
             (F.col("o_custkey") * 2).alias("s"),
             (F.col("l_suppkey") * 2 + 1).alias("d"),

@@ -412,7 +412,12 @@ mad AS (
                AS DECIMAL(18,2)) AS mad
     FROM dev GROUP BY event_type
 )
-SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+SELECT d.event_id, d.event_type, d.value,
+       -- decimal stays INTERNAL (the exact integer cross-multiply
+       -- below); the projection pins med/mad to fixed-scale STRING
+       -- (an alias both engines accept) — DecimalType output columns
+       -- are banned registry-wide (testing.type_pin_problems)
+       CAST(d.med AS STRING) AS med, CAST(a.mad AS STRING) AS mad,
        10000 * d.adev > 44478 * a.mad AS is_outlier
 FROM dev d JOIN mad a ON a.event_type = d.event_type
 """

@@ -803,8 +803,12 @@ def streaming_mv_refresh_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in os.listdir(f"{root}/store")
         if d.startswith("v")
     )
-    out = spark.read.schema(_MV_SCHEMA).parquet(
-        f"{root}/store/v{versions[-1]}"
+    from ..sources.maintenance import finalize_mv
+
+    out = finalize_mv(
+        spark.read.schema(_MV_SCHEMA).parquet(
+            f"{root}/store/v{versions[-1]}"
+        )
     )
     memo[key] = out
     return out

@@ -51,10 +51,10 @@ SELECT g.event_type,
        STRFTIME(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
        COALESCE(hy.n, 0) AS n_events,
        hy.n IS NULL AS is_gap,
-       CAST(last_value(hy.sv IGNORE NULLS)
+       CAST(CAST(last_value(hy.sv IGNORE NULLS)
            OVER (PARTITION BY g.event_type ORDER BY g.h
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS DECIMAL(18,2)) AS sum_value_ffill
+           AS DECIMAL(18,2)) AS VARCHAR) AS sum_value_ffill
 FROM grid g
 LEFT JOIN hourly hy ON hy.event_type = g.event_type AND hy.h = g.h
 """,
@@ -108,9 +108,16 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
             F.col("n").isNull().alias("is_gap"),
+            # decimal INTERNALLY (order-independent exact sum), but
+            # the output projection is a fixed-scale STRING: decimal
+            # output columns never pass the driver's cross-engine
+            # hash (VERDICT r6 — both engines render "14878650.27"
+            # identically as text; their decimal serializations
+            # differ no matter the pinned scale).
             F.last("sv", ignorenulls=True)
             .over(w)
             .cast("decimal(18,2)")
+            .cast("string")
             .alias("sum_value_ffill"),
         )
     )
@@ -516,8 +523,10 @@ counts AS (
     SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
 )
 SELECT stage_idx, stage, n_users,
+       -- NULLIF: with zero top-stage users DuckDB's 0/0 is NULL while
+       -- an unguarded Spark 0/0 is NaN — both engines pin NULL
        CAST(n_users AS DOUBLE)
-           / (SELECT n_users FROM counts WHERE stage_idx = 1)
+           / NULLIF((SELECT n_users FROM counts WHERE stage_idx = 1), 0)
            AS conversion_from_top
 FROM counts
 """,
@@ -533,52 +542,85 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying events only, so later in-order events count.
 
     Shape at scale: stage k is one fact-scan filter on its event type
-    joined to the user-dimension-sized stage-(k-1) frame (broadcast),
-    then a partial-agg MIN per user — no windows, no per-user
-    sequences materialized; the funnel is |stages| chained
-    filter+join+agg passes. Counts are integers; conversion ratios
-    divide identical integers (engine-exact doubles).
+    joined to the user-dimension-sized stage-(k-1) frame — broadcast
+    below the size threshold, shuffle join above it (the
+    decontaminate() dispatcher pattern: an adversarially large user
+    dimension must not OOM the driver) — then a partial-agg MIN per
+    user. No windows, no per-user sequences materialized; the funnel
+    is |stages| chained filter+join+agg passes. Counts are integers;
+    conversion ratios divide identical integers (engine-exact
+    doubles), and a zero top stage yields NULL on both engines.
     """
     memo = session_memo(spark)
     key = ("funnel", sf_dir)
     if key in memo:
         return memo[key]
     ev = load_table(spark, sf_dir, "events")
-    stage_frames = []
-    prev = None
-    for st in _FUNNEL_STAGES:
+    _frames, stage_counts = funnel_stage_frames(ev, _FUNNEL_STAGES)
+    out = _funnel_report(spark, _FUNNEL_STAGES, stage_counts)
+    memo[key] = out
+    return out
+
+
+# Above this many users in a stage frame, the next stage joins by
+# shuffle instead of broadcast. 5M users x ~24 bytes is low-hundreds
+# of MB executor-side — the ceiling for "safely broadcastable".
+_FUNNEL_BROADCAST_MAX_USERS = 5_000_000
+
+
+def funnel_stage_frames(
+    ev: DataFrame,
+    stages: list[str],
+    broadcast_max_users: int = _FUNNEL_BROADCAST_MAX_USERS,
+) -> tuple[list[DataFrame], list[int]]:
+    """Build the chained per-stage (user_id, first qualifying ts)
+    frames and their user counts. Each stage frame is consumed twice
+    (next stage's build + its count), so it persists; the count action
+    both materializes the persist and decides — size-gated — whether
+    the NEXT stage joins it broadcast (small) or by shuffle (an
+    adversarially large user dimension). Both paths are
+    hash-equivalent (tests/test_linkage_timeseries.py)."""
+    frames: list[DataFrame] = []
+    counts: list[int] = []
+    prev: DataFrame | None = None
+    prev_n = 0
+    for st in stages:
         cur = ev.filter(F.col("event_type") == st).select(
             "user_id", F.col("ts").alias("ets")
         )
         if prev is not None:
-            cur = cur.join(
-                F.broadcast(prev), "user_id"
-            ).filter(F.col("ets") > F.col("t")).select("user_id", "ets")
-        # each stage frame is consumed TWICE (next stage's build + its
-        # own count row); persisting the user-dimension-sized frame
-        # keeps every fact filter to ONE scan (7 scans -> 3). Memoized
-        # per session below, so one persist chain serves repeat calls.
+            right = (
+                F.broadcast(prev)
+                if prev_n <= broadcast_max_users
+                else prev
+            )
+            cur = (
+                cur.join(right, "user_id")
+                .filter(F.col("ets") > F.col("t"))
+                .select("user_id", "ets")
+            )
         stage = cur.groupBy("user_id").agg(F.min("ets").alias("t")).persist()
-        stage_frames.append(stage)
-        prev = stage
-    counts = None
-    for i, (st, frame) in enumerate(zip(_FUNNEL_STAGES, stage_frames), 1):
-        c = frame.agg(
-            F.lit(i).cast("int").alias("stage_idx"),
-            F.lit(st).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        )
-        counts = c if counts is None else counts.unionByName(c)
-    top = counts.filter(F.col("stage_idx") == 1).select(
-        F.col("n_users").alias("n_top")
+        n = stage.count()
+        frames.append(stage)
+        counts.append(n)
+        prev, prev_n = stage, n
+    return frames, counts
+
+
+def _funnel_report(
+    spark: SparkSession, stages: list[str], counts: list[int]
+) -> DataFrame:
+    """Assemble the |stages|-row funnel report from the already
+    collected per-stage counts (3 scalars — no extra jobs)."""
+    rows = spark.createDataFrame(
+        [(i, st, n) for i, (st, n) in enumerate(zip(stages, counts), 1)],
+        "stage_idx int, stage string, n_users bigint",
     )
-    out = counts.crossJoin(F.broadcast(top)).select(
-        "stage_idx",
-        "stage",
-        "n_users",
-        (F.col("n_users").cast("double") / F.col("n_top")).alias(
-            "conversion_from_top"
-        ),
+    n_top = counts[0] if counts else 0
+    ratio = F.when(
+        F.lit(n_top) > 0,
+        F.col("n_users").cast("double") / F.lit(n_top),
+    )  # otherwise NULL — matches the oracle's NULLIF denominator
+    return rows.select(
+        "stage_idx", "stage", "n_users", ratio.alias("conversion_from_top")
     )
-    memo[key] = out
-    return out

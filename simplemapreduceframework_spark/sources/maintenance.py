@@ -130,8 +130,16 @@ def zvalue_column(
     lets one physical sort serve range filters on any clustered column.
     Returns (column, mins_and_maxes) — NULLs bucket to 0 (they sort
     first, clustered together).
+
+    Only numeric / date / timestamp columns are accepted (dates and
+    timestamps bucket via their epoch-day/second ordinal). Anything
+    else raises: a silent ``cast('long')`` of, say, a string column
+    would yield NULL for every row, mapping the whole table to bucket
+    0 — the rewrite would degenerate to no clustering on that column
+    while the caller believes it is prunable (advisor r6).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     n = len(cols)
     # the interleaved key must fit a signed 64-bit long: bit i of
@@ -139,9 +147,28 @@ def zvalue_column(
     # 4 columns -> 15 bits each) — an uncapped 16x4 layout would put a
     # bucket bit on the SIGN bit and sort those rows first
     bits = min(bits, 63 // n)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    ordinals: dict[str, "F.Column"] = {}
+    for c in cols:
+        dt = dtypes.get(c)
+        if isinstance(dt, T.NumericType):
+            ordinals[c] = F.col(c)
+        elif isinstance(dt, T.DateType):
+            ordinals[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
+        elif isinstance(dt, T.TimestampType):
+            ordinals[c] = F.unix_timestamp(F.col(c))
+        else:
+            raise TypeError(
+                f"zvalue_column: column {c!r} has unsupported type "
+                f"{dt.simpleString() if dt is not None else '<missing>'}"
+                " — z-ordering needs a numeric/date/timestamp ordinal"
+            )
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        aggs += [
+            F.min(ordinals[c]).alias(f"mn_{c}"),
+            F.max(ordinals[c]).alias(f"mx_{c}"),
+        ]
     stats = df.agg(*aggs).collect()[0]
     top = (1 << bits) - 1
     buckets = []
@@ -155,7 +182,7 @@ def zvalue_column(
             continue
         span = max(int(mx) - int(mn), 1)
         b = (
-            (F.col(c).cast("long") - int(mn)) * top / span
+            (ordinals[c].cast("long") - int(mn)) * top / span
         ).cast("long")
         buckets.append(F.coalesce(b, F.lit(0)))
     z = F.lit(0).cast("long")
@@ -218,11 +245,26 @@ MV_ORACLE = """
 SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            AS DECIMAL(18,2)) AS rev
+       -- decimal internally, VARCHAR in the result projection: both
+       -- engines render a scale-2 decimal as the same text
+       -- ("14878650.27"), while their decimal serializations never
+       -- driver-hash-match (VERDICT r6)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(18,2)) AS VARCHAR) AS rev
 FROM orders
 GROUP BY 1, 2
 """
+
+
+def finalize_mv(summary: "DataFrame") -> "DataFrame":
+    """Final output projection shared by the batch and streaming MV
+    queries: the parquet STORE keeps ``rev`` as decimal(18,2) (exact,
+    order-independent merges), but the registered query result pins it
+    to a fixed-scale string — DecimalType output columns are banned
+    registry-wide (testing.type_pin_problems)."""
+    from pyspark.sql import functions as F
+
+    return summary.withColumn("rev", F.col("rev").cast("string"))
 
 
 def summarize_orders_monthly(orders) -> "DataFrame":
@@ -318,6 +360,6 @@ def incremental_mv_refresh(spark, sf_dir: str):
     delta = summarize_orders_monthly(
         orders.filter(F.col("o_orderkey") % _MV_MOD == 0)
     )
-    out = merge_mv(stored, delta)
+    out = finalize_mv(merge_mv(stored, delta))
     memo[out_key] = out
     return out

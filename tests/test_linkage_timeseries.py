@@ -94,3 +94,37 @@ def test_resample_ffill_carries_last_observation(spark, sf_dir):
 def test_resample_plan_broadcasts_hourly_under_grid(spark, sf_dir):
     plan = explain_str(Q["events_resample_ffill"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_funnel_broadcast_and_shuffle_paths_agree(spark, sf_dir):
+    # size-gated stage joins (the decontaminate() dispatcher pattern):
+    # threshold 0 forces every stage join to shuffle; default
+    # broadcasts — identical counts either way
+    from simplemapreduceframework_spark.operators.timeseries import (
+        _FUNNEL_STAGES,
+        funnel_stage_frames,
+    )
+    from simplemapreduceframework_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    frames_b, counts_b = funnel_stage_frames(ev, _FUNNEL_STAGES)
+    frames_s, counts_s = funnel_stage_frames(
+        ev, _FUNNEL_STAGES, broadcast_max_users=0
+    )
+    assert counts_b == counts_s
+    assert counts_b[0] >= counts_b[1] >= counts_b[2] >= 0
+    for f in frames_b + frames_s:
+        f.unpersist()
+
+
+def test_funnel_empty_top_stage_yields_null_ratio(spark):
+    # zero 'view' events: both engines must emit NULL, not NaN
+    # (advisor r6 — Spark 0/0 is NaN, DuckDB division by zero is NULL)
+    from simplemapreduceframework_spark.operators.timeseries import (
+        _FUNNEL_STAGES,
+        _funnel_report,
+    )
+
+    rows = _funnel_report(spark, _FUNNEL_STAGES, [0, 0, 0]).collect()
+    assert [r["n_users"] for r in rows] == [0, 0, 0]
+    assert all(r["conversion_from_top"] is None for r in rows)

@@ -69,3 +69,29 @@ def test_ordering_puts_priority_head_first():
     ordered = list(registry.all_queries())
     head = [q for q in registry.CHECK_PRIORITY if q in registry.QUERIES]
     assert ordered[: len(head)] == head
+
+
+def test_bench_manifest_matches_headline_order():
+    """The driver-captured bench line carries per-query timings as a
+    bare centisecond array; BENCH_MANIFEST.json is the committed
+    name<->index map. A HEADLINE edit without a manifest regen would
+    silently mislabel every timing in the round record."""
+    import json
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    from bench import HEADLINE
+
+    with open(os.path.join(root, "BENCH_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["order"] == HEADLINE
+    assert manifest["t_unit"] == "centiseconds"
+    # every headline query is a registered query
+    missing = [q for q in HEADLINE if q not in registry.QUERIES]
+    assert not missing, missing
+    # the emitted line must stay far below the driver's tail capture
+    # (~2.4 KB observed in round 6): worst-case 6 bytes per timing
+    # (5-digit centiseconds + comma) + ~400 bytes of metadata
+    assert 6 * len(HEADLINE) + 400 < 1200

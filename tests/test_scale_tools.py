@@ -648,6 +648,16 @@ def test_operators_with_null_order_rows(spark, tmp_path):
     src = "/root/testdata/sf0.001"
     nd = str(tmp_path / "sf_null_orders")
     os.makedirs(nd, exist_ok=True)
+    # an orderkey that DOES join lineitem: a NULL-custkey order on it
+    # exercises the NULL-edge-endpoint path in graph_pagerank_dangling
+    # (advisor r6: the previous fixture rows never joined lineitem, so
+    # a NULL s could never reach the dangling-mass NOT IN)
+    joins_li = (
+        load_table(spark, src, "lineitem")
+        .filter("l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL")
+        .limit(1)
+        .collect()[0]["l_orderkey"]
+    )
     for t in TABLES:
         df = load_table(spark, src, t)
         if t == "orders":
@@ -656,6 +666,9 @@ def test_operators_with_null_order_rows(spark, tmp_path):
                     (999999, None, None, None, None, None),
                     # custkey 0 lands inside q9/q20's modulo filters
                     (999980, 0, None, None, None, None),
+                    # NULL custkey on a lineitem-joining orderkey: a
+                    # NULL edge source for the purchase graph
+                    (joins_li, None, "F", 1.0, None, "1-URGENT"),
                 ],
                 df.schema,
             )
@@ -946,3 +959,31 @@ def test_operators_with_unicode_text_rows(spark, tmp_path):
         "U+0130 case mapping changed — revisit the documented "
         f"divergence: jvm={jvm_lower!r} duckdb={duck_lower!r}"
     )
+
+
+def test_zvalue_rejects_unsupported_types_and_buckets_dates(spark):
+    """A non-ordinal cluster column (string) must raise loudly — the
+    old cast('long') yielded NULL for every row, silently degenerating
+    the rewrite to no clustering on that column (advisor r6). Dates
+    bucket via their epoch-day ordinal and must discriminate."""
+    import datetime as dt
+
+    import pytest
+
+    from simplemapreduceframework_spark.sources.maintenance import (
+        zvalue_column,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"name{i}", dt.date(2024, 1, 1) + dt.timedelta(days=i))
+            for i in range(100)
+        ],
+        "k long, name string, d date",
+    )
+    with pytest.raises(TypeError, match="name"):
+        zvalue_column(df, ["k", "name"])
+    z, _ = zvalue_column(df, ["k", "d"])
+    zs = [r[0] for r in df.select(z).collect()]
+    assert len(set(zs)) > 1  # the date dimension discriminates
+    assert all(v >= 0 for v in zs)
