@@ -456,8 +456,8 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # character, so a term lookup prunes the scan to the probed partitions
 # exactly as the IVF search prunes to probed cells. At 100 TB the
 # partition key widens (2-3 chars or a hash bucket) to keep partitions
-# balanced; the lifecycle is key-width-agnostic.
-_TEXT_INDEX_DIR_CACHE: dict[tuple[str, str], str] = {}
+# balanced; the lifecycle is key-width-agnostic. The built index's
+# directory memoizes per session (session_memo — the one memo idiom).
 
 
 def build_text_index(docs: DataFrame, path: str) -> None:
@@ -525,13 +525,14 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _TEXT_INDEX_DIR_CACHE.get(key)
+    memo = session_memo(spark)
+    key = ("text_index", sf_dir)
+    path = memo.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="smrf_text_idx_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         build_text_index(load_table(spark, sf_dir, "documents"), path)
-        _TEXT_INDEX_DIR_CACHE[key] = path
+        memo[key] = path
     return search_text_index(spark, path, _BM25_TERMS, k=_TOPK)
 
 
