@@ -113,6 +113,12 @@ HEADLINE = [
     "q45_small_quantity_revenue",
     "q46_bulk_widget_suppliers",
     "q47_reorder_streaks",
+    # round 7 additions — entropy-coded decode, association rules,
+    # sparse similarity join, attribution.
+    "multimodal_decode_gif",
+    "basket_rules",
+    "doc_similarity_sparse",
+    "events_attribution",
 ]
 
 

@@ -221,6 +221,23 @@ SHOWCASE = [
         "each fact filter to one scan — no windows, no per-user "
         "sequence materialization.",
     ),
+    (
+        "doc_similarity_sparse",
+        "Sparse-cosine similarity join: candidate pairs come only from "
+        "shared mid-frequency terms (the df cap bounds the df^2 pair "
+        "volume); the capped term table persists once and feeds both "
+        "join legs plus the norms as InMemoryTableScans — the corpus "
+        "is tokenized exactly once; all sums that cross an exchange "
+        "are integers.",
+    ),
+    (
+        "events_attribution",
+        "First/last-touch attribution: one user-keyed equi-join with "
+        "the 7-day range predicate applied row-locally; both ranking "
+        "windows partition by (user_id, purchase id) — a superset of "
+        "the join key — so the join's partitioning satisfies them and "
+        "neither window adds an exchange.",
+    ),
 ]
 
 

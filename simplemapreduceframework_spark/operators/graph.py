@@ -520,3 +520,125 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(_BASKET_TOPK)
     )
+
+
+_RULE_MIN_PAIR = 3
+_RULE_TOPK = 30
+
+
+@query(
+    "basket_rules",
+    oracle=f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+isup AS (SELECT l_partkey, COUNT(*) AS n_i FROM items GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_RULE_MIN_PAIR}
+),
+rules AS (
+    SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pairs
+    UNION ALL
+    SELECT part_b, part_a, n_ab FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.n_ab,
+       CAST(r.n_ab AS DOUBLE) / ia.n_i AS confidence,
+       (CAST(r.n_ab AS DOUBLE) * o.n)
+           / (CAST(ia.n_i AS DOUBLE) * ic.n_i) AS lift
+FROM rules r
+JOIN isup ia ON ia.l_partkey = r.antecedent
+JOIN isup ic ON ic.l_partkey = r.consequent
+CROSS JOIN n_orders o
+ORDER BY CAST(r.n_ab AS DOUBLE) / ia.n_i DESC,
+         r.antecedent ASC, r.consequent ASC
+LIMIT {_RULE_TOPK}
+""",
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules: directional A=>B recommendations ranked by
+    confidence P(B|A) = n_ab / n_a, with lift to expose rules that are
+    only popular-item artifacts — the classic Apriori output, restricted
+    to width-2 rules (the width the pair machinery mines exactly).
+
+    Shape at scale: identical to basket_part_pairs up to the pair
+    counts (one exchange to baskets, row-local pair generation, no
+    self-join); each undirected pair then emits its two directions as a
+    row-local UNION, supports broadcast back, final ranking a
+    TakeOrdered top-k. Confidence and lift are single-expression
+    doubles over identical integer operands — engine-exact.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    isup = baskets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    "           y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _RULE_MIN_PAIR)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_ab",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    ia = isup.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_i").alias("n_a")
+    )
+    ic = isup.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_i").alias("n_c")
+    )
+    confidence = F.col("n_ab").cast("double") / F.col("n_a")
+    lift = (F.col("n_ab").cast("double") * F.col("n")) / (
+        F.col("n_a").cast("double") * F.col("n_c")
+    )
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            confidence.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(
+            F.col("confidence").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(_RULE_TOPK)
+    )

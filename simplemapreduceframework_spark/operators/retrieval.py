@@ -661,3 +661,129 @@ def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionAll(a)
     memo[memo_key] = (out, lambda: scored.unpersist())
     return out
+
+
+# Document-similarity join: hot-term cap. A term in df documents
+# generates df^2 candidate pairs through the index join — the quadratic
+# lever. Terms above the cap (and hapax terms, df=1, which can never
+# pair) are dropped from the vocabulary on BOTH engines; at 100 TB the
+# cap is what keeps the pair volume sum(df^2) linear-ish in the corpus.
+_SIM_DF_MIN = 2
+_SIM_DF_MAX = 100
+_SIM_TOPK = 40
+
+
+@query(
+    "doc_similarity_sparse",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\w+')) AS word
+    FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+kept AS (
+    SELECT tf.doc_id, tf.word, tf.tf
+    FROM tf JOIN df ON df.word = tf.word
+    WHERE df.df BETWEEN {_SIM_DF_MIN} AND {_SIM_DF_MAX}
+),
+norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+    FROM kept a JOIN kept b
+      ON a.word = b.word AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_shared, p.dot,
+       CAST(p.dot AS DOUBLE)
+           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+           AS cosine
+FROM pairs p
+JOIN norms na ON na.doc_id = p.doc_a
+JOIN norms nb ON nb.doc_id = p.doc_b
+ORDER BY cosine DESC, p.doc_a ASC, p.doc_b ASC
+LIMIT {_SIM_TOPK}
+""",
+)
+def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse document similarity through an inverted-index
+    join: cosine over integer term-frequency vectors restricted to the
+    mid-frequency vocabulary ({_SIM_DF_MIN} <= df <= {_SIM_DF_MAX}).
+    This is the text twin of the embedding similarity join — candidate
+    pairs come only from SHARED terms (docs with no kept term in
+    common never meet), the classic postings-join pruning.
+
+    Numeric policy: tf, df, dot products, and squared norms are all
+    integer aggregations (order-independent, engine-exact); cosine is
+    one final double expression over identical integers — no float
+    SUM ever crosses an exchange, so the hash gate holds.
+
+    Shape at scale: tokenize-explode -> tf groupBy (one fact exchange)
+    -> df groupBy (vocab-sized) -> hot-term cap (the df^2 pair-volume
+    lever, see _SIM_DF_MAX) -> self-join on word (shuffle on the term
+    key, the inherent index-join exchange) -> pair groupBy -> two
+    norm joins sized |docs| and left to AQE to broadcast-or-shuffle
+    (a forced broadcast would be the funnel-at-extreme-cardinality
+    mistake). The capped term table feeds three consumers (both join
+    legs + norms), so it persists — re-deriving it would re-tokenize
+    the full corpus per consumer; the persisted frame is
+    post-aggregation, corpus-vocabulary-sized, not corpus-sized.
+    Final ranking is TakeOrdered top-k, never a global sort. The
+    approximate path at extreme scale stays dedup_minhash_lsh /
+    ann_lsh_bucketed; this is the exact mid-frequency baseline.
+    """
+    memo = session_memo(spark)
+    memo_key = ("doc_similarity_sparse", sf_dir)
+    if memo_key in memo:
+        return memo[memo_key][0]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens_regex(F.lower(F.col("text")))).alias("word"),
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        tf.join(
+            df.filter(F.col("df").between(_SIM_DF_MIN, _SIM_DF_MAX)),
+            "word",
+        )
+        .select("doc_id", "word", "tf")
+        .persist()
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "word", F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "word", F.col("tf").alias("tf_b")
+    )
+    pairs = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    out = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared", "dot", cosine.alias("cosine"))
+        .orderBy(
+            F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+        )
+        .limit(_SIM_TOPK)
+    )
+    memo[memo_key] = (out, lambda: kept.unpersist())
+    return out

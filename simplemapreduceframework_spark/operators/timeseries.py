@@ -624,3 +624,103 @@ def _funnel_report(
     return rows.select(
         "stage_idx", "stage", "n_users", ratio.alias("conversion_from_top")
     )
+
+
+_ATTR_LOOKBACK = "INTERVAL 7 DAYS"  # Spark spelling; oracle uses 7 DAY
+
+
+@query(
+    "events_attribution",
+    oracle="""
+WITH touches AS (
+    -- attribution needs all three keys: a NULL user can't join, a NULL
+    -- ts can't order, a NULL event_id breaks the tiebreak — pin the
+    -- contract identically on both engines (NULL-events fixture)
+    SELECT user_id, ts, event_id, event_type FROM events
+    WHERE event_type IN ('view', 'click')
+      AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+conv AS (
+    SELECT user_id, ts, event_id FROM events
+    WHERE event_type = 'purchase'
+      AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+attributed AS (
+    SELECT t.event_type AS channel,
+           ROW_NUMBER() OVER (PARTITION BY c.user_id, c.event_id
+                              ORDER BY t.ts ASC, t.event_id ASC) AS rn_first,
+           ROW_NUMBER() OVER (PARTITION BY c.user_id, c.event_id
+                              ORDER BY t.ts DESC, t.event_id DESC) AS rn_last
+    FROM conv c JOIN touches t
+      ON t.user_id = c.user_id
+     AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+)
+SELECT channel,
+       COUNT(CASE WHEN rn_first = 1 THEN 1 END) AS first_touch,
+       COUNT(CASE WHEN rn_last = 1 THEN 1 END) AS last_touch
+FROM attributed
+GROUP BY channel
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase is credited to the FIRST
+    and the LAST view/click touch by the same user in the 7 days up to
+    (and including) the purchase; output is conversions credited per
+    channel under each model. Ties on the touch timestamp break by
+    event_id, so the credit assignment is total-ordered and hash-exact.
+
+    Shape at scale: one equi-join on user_id (range predicate applied
+    row-locally inside the join) — the per-user touches-x-purchases
+    blowup is bounded by the 7-day window, the same containment
+    argument as events_range_join; both ranking windows partition by
+    (user_id, purchase event_id), a SUPERSET of the join key, so the
+    join's hash partitioning already satisfies their distribution and
+    neither window adds an exchange. The final groupBy collapses to
+    |channels| rows. Counts are integers — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = (
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    # both sides derive from the same scan: rename the touch-side key so
+    # the join predicate resolves by NAME, never by ambiguous lineage
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click") & keyed
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    conv = ev.filter((F.col("event_type") == "purchase") & keyed).select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = conv.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("c_ts"))
+        & (F.col("t_ts") >= F.col("c_ts") - F.expr(_ATTR_LOOKBACK)),
+    )
+    by_conv = Window.partitionBy("user_id", "c_id")
+    w_first = by_conv.orderBy(
+        F.col("t_ts").asc(), F.col("t_id").asc()
+    )
+    w_last = by_conv.orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    return (
+        joined.select(
+            "channel",
+            F.row_number().over(w_first).alias("rn_first"),
+            F.row_number().over(w_last).alias("rn_last"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.when(F.col("rn_first") == 1, 1)).alias("first_touch"),
+            F.count(F.when(F.col("rn_last") == 1, 1)).alias("last_touch"),
+        )
+    )

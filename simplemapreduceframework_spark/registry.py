@@ -71,78 +71,68 @@ def load_all() -> None:
 # are listed first; long-green queries fall to the tail where a cap
 # costs nothing (their round-1 rows stand).
 CHECK_PRIORITY: list[str] = [
-    # round 6 head: the two r5-red rows, re-greened by pinning output
-    # types (CAST pagerank's DuckDB-HUGEINT rank to BIGINT, resample's
-    # ffill to DECIMAL(18,2) on both engines)
+    # round 7 head: gates CHANGED since their last driver row. The three
+    # r6 hash-red rows re-projected decimal -> fixed-scale string (the
+    # no-DecimalType rule), plus the three whose semantics were pinned
+    # in the same commit (MAD medians to string, dangling-PageRank NULL
+    # edge contract, funnel broadcast fallback + NULL empty-top ratio).
     "events_resample_ffill",
-    "graph_pagerank",
-    # round 6 new queries
-    "graph_pagerank_dangling",  # new: directed graph, dangling-mass contract
-    "bpe_encode_gate",  # new: corpus encode under the SQL-learnable merge
-    "bpe_encode",  # new (rows-only): full-merge-table tokenization
-    "multimodal_audio_real",  # new: RIFF/PCM WAV sample-level decode gate
-    "dedup_incremental",  # new: batch-vs-persisted-fingerprint-store dedup
-    "events_funnel",  # new: exact ordered-reachability funnel
-    "table_expectations",  # new: declarative data-quality rule suite
-    "incremental_mv_refresh",  # new: merge-delta summary == full rebuild
-    "streaming_mv_refresh_live",  # new: foreachBatch merge over micro-batches
-    "q43_market_share",  # new: TPC-H Q8 FILTER-clause share ratio
-    "q44_order_count_distribution",  # new: TPC-H Q13 ON-predicate histogram
-    "q45_small_quantity_revenue",  # new: TPC-H Q17 correlated AVG
-    "q46_bulk_widget_suppliers",  # new: TPC-H Q20 nested IN + HAVING
-    "q47_reorder_streaks",  # new: Spark-4 recursive CTE successor walk
-    # upgraded (pixel-level gate) + never driver-checked backlog
-    "multimodal_decode_real",  # upgraded: exact pixel sum/mean gate
-    "ann_ivf_indexed_gate",  # never driver-checked
-    # stale tail: latest CORRECTNESS row is round 1 (pre-testdata
-    # regeneration). Local parity is green on current fixtures; rotate
-    # the driver-visible record. Timestamp-touching family first:
-    # BENCH_r03 proved that family is where fixture changes bite.
-    "events_tumbling_1h",
-    "asof_join_events",
-    "q9_running_total",
-    "q22_null_ordering",
-    "q14_scalar_gauntlet",
-    "multimodal_meta",
-    "wordcount",
-    "wordset",
-    "wordset_regex",
-    "q1_pricing_summary",
-    "q2_filter_project",
-    "q3_top_revenue_orders",
-    "q4_order_priority_semijoin",
-    "q5_region_revenue",
-    "q6_selective_agg",
-    "q7_anti_join",
-    "q8_window_topn_per_group",
-    "q10_rollup",
-    "q11_cube",
-    "q12_setops",
-    "q13_distinct_agg",
-    "q15_conditional_agg",
-    "q16_having",
-    "q17_multisort_limit",
-    "q18_outer_join",
-    "q19_cross_join",
-    "grouped_avg",
-    "q20_window_suite",
-    "q21_json_extract",
-    "q23_pivot",
-    "q24_multiset_ops",
-    "q25_array_agg",
+    "incremental_mv_refresh",
+    "streaming_mv_refresh_live",
+    "events_outlier_mad",
+    "graph_pagerank_dangling",
+    "events_funnel",
+    # round 7 new queries
+    "multimodal_decode_gif",  # new: GIF LZW pixel decode gate
+    "basket_rules",  # new: association rules (support/confidence/lift)
+    "doc_similarity_sparse",  # new: sparse-cosine similarity index join
+    "events_attribution",  # new: first/last-touch conversion attribution
+    # stale r1 rows (pre-testdata regeneration) — rotate the record
+    "dedup_ngram_jaccard",
     "q26_sql_api",
     "q27_promo_revenue",
     "q28_hierarchical_rollup",
     "q29_large_orders",
-    "ann_cosine_topk",
-    "dedup_ngram_jaccard",
-    "exact_percentiles",
     "stats_exact_moments",
-    # stale r2/r3 rows — same rotation, one vintage newer
+    "exact_percentiles",
+    "ann_cosine_topk",
+    # stale r3 rows
     "dedup_exact",
     "q35_grouping_sets",
     "q36_lateral_topn",
     "q37_range_frame_window",
+    # r4-vintage rotation (oldest remaining rows). Fragile families
+    # first: timestamp/streaming, then dedup/ann arithmetic, then the
+    # TPC-H subqueries and compat layer. The ~22 r4 rows that miss the
+    # 50-slot cap rotate in round 8.
+    "events_dedup",
+    "events_range_join",
+    "events_session_10m",
+    "events_sliding_1h_30m",
+    "events_stream_join_live",
+    "streaming_dedup_live",
+    "streaming_tumbling_live",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_recall_gate",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_search_ivf_gate",
+    "approx_distinct_gate",
+    "approx_distinct",
+    "q30_min_cost_supplier",
+    "q31_important_stock",
+    "q32_suppliers_who_kept_waiting",
+    "q33_global_sales_opportunity",
+    "q34_event_funnel",
+    "stats_numeric",
+    "histogram_equi_depth",
+    "skewed_agg_salted",
+    "mr_wordcount_compat",
+    "mr_grouped_avg_compat",
+    "mr_pickle_compat",
 ]
 
 

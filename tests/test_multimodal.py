@@ -420,15 +420,77 @@ def test_decode_pixels_bmp_strips_row_padding():
     assert decode_pixels(make_png(4, 3, 50)) == ("png", 4, 3, 3, 50 * 3 * 4 * 3)
 
 
-def test_decode_pixels_rejects_entropy_coded_formats():
+def test_decode_pixels_rejects_jpeg():
+    """JPEG's DCT entropy coding stays behind the NotImplementedError
+    gate (GIF's LZW is now implemented — see the GIF tests below)."""
     from simplemapreduceframework_spark.operators.multimodal import (
         decode_pixels,
     )
 
     with pytest.raises(NotImplementedError):
-        decode_pixels(b"GIF89a" + b"\x00" * 20)
-    with pytest.raises(NotImplementedError):
         decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 20)
+
+
+def test_lzw_hand_pinned_bitstream():
+    """A hand-derived LZW stream: indices [1,1,1] at min code size 2.
+    Codes: CLEAR(4), 1, 6 (the [1,1] entry built from the first pair),
+    EOI(5) — all 3-bit, LSB-first packed = 0x8C 0x0B. Pins both the
+    bit order and the encode-side table build against an external
+    derivation, not just against our own decoder."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    enc = _lzw_encode(bytes([1, 1, 1]), min_code_size=2)
+    assert enc == bytes([0x8C, 0x0B])
+    assert _lzw_decode(enc, 2) == bytes([1, 1, 1])
+
+
+def test_lzw_roundtrip_grows_width_and_freezes_table():
+    """Roundtrip data large and varied enough to push the code width
+    through 9->12 bits and hit the frozen-at-4096 regime (the two
+    places an off-by-one desyncs encoder and decoder), plus the
+    classic KwKwK self-reference pattern."""
+    import random
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(7)
+    big = bytes(rng.randrange(256) for _ in range(40000))
+    assert _lzw_decode(_lzw_encode(big, 8), 8) == big
+    # KwKwK: cScSc with buf=cS at the self-referencing emission
+    kwk = b"ababa" * 50
+    assert _lzw_decode(_lzw_encode(kwk, 8), 8) == kwk
+    # small alphabet at small code size grows width fast
+    small = bytes(rng.randrange(4) for _ in range(5000))
+    assert _lzw_decode(_lzw_encode(small, 2), 2) == small
+
+
+def test_decode_pixels_gif_checkerboard_and_interlace_gate():
+    """make_gif's checkerboard decodes to the closed-form pixel sum
+    (3 * (ceil(wh/2)*a + floor(wh/2)*b)); flipping the interlace bit
+    must raise, not silently mis-order rows."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+        make_gif,
+    )
+
+    fill = 77
+    a, b = fill % 256, (fill * 7 + 13) % 256
+    for w, h in [(1, 1), (5, 3), (40, 30)]:
+        n_even = (w * h + 1) // 2
+        expect = 3 * (n_even * a + (w * h - n_even) * b)
+        assert decode_pixels(make_gif(w, h, fill)) == ("gif", w, h, 3, expect)
+    g = bytearray(make_gif(5, 3, fill))
+    # image descriptor follows the 13-byte header + 768-byte palette;
+    # its packed byte is at offset +9 within the 10-byte descriptor
+    g[13 + 768 + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_pixels(bytes(g))
 
 
 def test_decode_wav_roundtrip_and_chunk_walk():

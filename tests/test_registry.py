@@ -14,27 +14,21 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Queries introduced or gate-changed in round 6 — each MUST sit inside
-# the checked window until it has a driver row.
-_ROUND6_MUST_CHECK = [
+# Queries introduced or gate-changed in round 7 — each MUST sit inside
+# the checked window until it has a (fresh) driver row: the three r6
+# hash-red rows re-projected to strings plus the three whose semantics
+# were pinned in the same commit, and the four new round-7 queries.
+_ROUND7_MUST_CHECK = [
     "events_resample_ffill",
-    "graph_pagerank",
-    "graph_pagerank_dangling",
-    "bpe_encode_gate",
-    "bpe_encode",
-    "multimodal_audio_real",
-    "dedup_incremental",
-    "streaming_mv_refresh_live",
-    "events_funnel",
-    "table_expectations",
     "incremental_mv_refresh",
-    "q43_market_share",
-    "q44_order_count_distribution",
-    "q45_small_quantity_revenue",
-    "q46_bulk_widget_suppliers",
-    "q47_reorder_streaks",
-    "multimodal_decode_real",
-    "ann_ivf_indexed_gate",
+    "streaming_mv_refresh_live",
+    "events_outlier_mad",
+    "graph_pagerank_dangling",
+    "events_funnel",
+    "multimodal_decode_gif",
+    "basket_rules",
+    "doc_similarity_sparse",
+    "events_attribution",
 ]
 
 
@@ -51,7 +45,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND6_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND7_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"

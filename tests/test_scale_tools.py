@@ -389,6 +389,11 @@ def test_operators_with_null_text_rows(spark, tmp_path):
             "bpe_encode_gate",
             "multimodal_audio_real",
             "multimodal_decode_real",
+            # round 7: a NULL text tokenizes to zero terms (UNNEST of a
+            # NULL list = no rows on both engines) so it simply never
+            # pairs; the GIF gate synthesizes from doc_id alone
+            "doc_similarity_sparse",
+            "multimodal_decode_gif",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
@@ -642,6 +647,9 @@ def test_operators_with_null_event_rows(spark, tmp_path):
             "q34_event_funnel",
             "events_funnel",
             "events_hourly_seasonality",
+            # round 7: attribution needs user/ts/event_id — the all-NULL
+            # event row must be filtered identically on both engines
+            "events_attribution",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
@@ -791,6 +799,8 @@ def test_operators_with_null_lineitem_keys_and_measures(spark, tmp_path):
             "table_expectations",
             "graph_pagerank",
             "basket_part_pairs",
+            # round 7: rules inherit the basket NULL-key contract
+            "basket_rules",
             "skewed_agg_salted",
             "cms_heavy_hitters",
             "exact_percentiles",
