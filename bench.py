@@ -116,9 +116,14 @@ HEADLINE = [
     # round 7 additions — entropy-coded decode, association rules,
     # sparse similarity join, attribution.
     "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",
+    "dedup_canonical",
+    "corpus_snapshot_diff",
+    "events_capped_contributions",
+    "experiment_readout",
 ]
 
 

@@ -238,6 +238,20 @@ SHOWCASE = [
         "the join key — so the join's partitioning satisfies them and "
         "neither window adds an exchange.",
     ),
+    (
+        "corpus_snapshot_diff",
+        "Dataset version diff: ONE full-outer equi-join of 16-byte "
+        "fingerprints — payloads never cross the exchange; both scans "
+        "are pruned to (doc_id, text) and the added-docs leg to doc_id "
+        "alone with its modulo filter pushed to the scan.",
+    ),
+    (
+        "events_capped_contributions",
+        "Contribution bounding: two chained partial-aggregable "
+        "groupBys — map-side combine collapses each user's events "
+        "before the (user, type) exchange, and the per-type rollup "
+        "crosses only a user-sized frame; no window, no join.",
+    ),
 ]
 
 

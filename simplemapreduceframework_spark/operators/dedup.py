@@ -606,6 +606,90 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_canonical",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+j AS (
+    SELECT l.doc_id, l.cluster_id,
+           COALESCE(LENGTH(d.text), -1) AS len
+    FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+),
+ml AS (
+    SELECT cluster_id, MAX(len) AS maxlen,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM j GROUP BY cluster_id
+),
+rep AS (
+    SELECT j.cluster_id, MIN(j.doc_id) AS rep_id
+    FROM j JOIN ml ON ml.cluster_id = j.cluster_id AND j.len = ml.maxlen
+    GROUP BY j.cluster_id
+)
+SELECT j.doc_id, j.cluster_id, ml.cluster_size,
+       j.doc_id = r.rep_id AS is_canonical
+FROM j
+JOIN ml ON ml.cluster_id = j.cluster_id
+JOIN rep r ON r.cluster_id = j.cluster_id
+""",
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization — the LAST step of the dedup pipeline the
+    cluster assignment feeds: inside every near-dup cluster keep
+    exactly one representative, the longest document (ties broken by
+    lowest doc_id, so the choice is total-ordered and hash-exact), and
+    flag the rest as drops. Output is the full keep/drop decision per
+    doc with its cluster and cluster size — what a corpus-prep run
+    materializes before writing the deduplicated shard set.
+
+    Shape at scale: cluster labels come from the O(log n)
+    large-star/small-star components (dedup_clusters); the selection
+    is ONE groupBy over the cluster key using a struct-ordered MAX
+    ((len, -doc_id) — lexicographic struct comparison gives "longest,
+    then lowest id" in a single partial-aggregable pass, no window
+    over the cluster key and no second maxlen join pass), then one
+    summary-sized join back, broadcast-or-shuffle left to AQE. NULL
+    text pins to length -1 on both engines so an all-NULL cluster
+    still elects a representative deterministically.
+
+    Oracle: the recursive-CTE closure (exact at validation scale) plus
+    the same (maxlen, min doc_id) election spelled as two grouped
+    passes — different formulation, necessarily identical choice.
+    """
+    labels = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lab = labels.join(docs, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce(F.length("text"), F.lit(-1)).alias("len"),
+    )
+    stats = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.max(
+            F.struct(F.col("len"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best"),
+    )
+    return (
+        lab.join(stats, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == -F.col("best.neg_id")).alias("is_canonical"),
+        )
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
 WITH n AS (

@@ -259,5 +259,108 @@ def pipeline_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Deterministic "v2" of the documents corpus, derived identically on
+# both engines so the diff below needs no second physical table:
+# doc_id % 10 == 0 rows are dropped, % 7 == 0 survivors get a text
+# revision, and % 13 == 0 docs spawn a NEW doc at doc_id + 1_000_000.
+_SNAPSHOT_ADD_OFFSET = 1_000_000
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH v1 AS (
+    SELECT doc_id, MD5(text) AS fp, TRUE AS present FROM documents
+),
+v2 AS (
+    SELECT doc_id,
+           MD5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                    ELSE text END) AS fp,
+           TRUE AS present
+    FROM documents WHERE doc_id % 10 != 0
+    UNION ALL
+    SELECT doc_id + {_SNAPSHOT_ADD_OFFSET},
+           MD5('added doc ' || CAST(doc_id AS VARCHAR)), TRUE
+    FROM documents WHERE doc_id % 13 = 0
+)
+SELECT doc_id,
+       CASE WHEN v2.present IS NULL THEN 'removed'
+            WHEN v1.present IS NULL THEN 'added'
+            WHEN v1.fp IS DISTINCT FROM v2.fp THEN 'modified'
+            ELSE 'unchanged' END AS status,
+       v1.fp AS old_fp, v2.fp AS new_fp
+FROM v1 FULL JOIN v2 USING (doc_id)
+"""
+
+
+@query("corpus_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version diff — the audit step between two corpus
+    snapshots (nightly crawls, pre/post-cleaning runs): per doc_id,
+    was the document added, removed, modified, or unchanged, with the
+    content fingerprints on both sides. In production the two sides
+    are two table paths; here v2 is DERIVED from v1 by a deterministic
+    edit rule (drop %10, revise %7, add %13 at an id offset) so both
+    engines construct the identical pair and the whole diff is
+    hash-gated with no store dependency.
+
+    Shape at scale: the diff compares 16-byte MD5 FINGERPRINTS, never
+    payloads — each side is one projected scan (fingerprinting is
+    row-local, pushed to the parquet reader's column pruning), and the
+    diff itself is ONE full-outer equi-join on doc_id. Presence is
+    tracked by literal flags, not fingerprint nullness, so NULL-text
+    documents (fp NULL on both sides) still classify correctly via the
+    null-safe fp comparison. Rows with NULL doc_id never join and
+    surface as removed — pinned by the %-predicates dropping NULL ids
+    from v2 on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.select(
+        "doc_id", F.md5("text").alias("fp"), F.lit(True).alias("present")
+    )
+    v2 = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+            F.lit(True).alias("present"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + _SNAPSHOT_ADD_OFFSET).alias("doc_id"),
+                F.md5(
+                    F.concat(
+                        F.lit("added doc "), F.col("doc_id").cast("string")
+                    )
+                ).alias("fp"),
+                F.lit(True).alias("present"),
+            )
+        )
+    )
+    old = v1.select(
+        "doc_id",
+        F.col("fp").alias("old_fp"),
+        F.col("present").alias("in_old"),
+    )
+    new = v2.select(
+        "doc_id",
+        F.col("fp").alias("new_fp"),
+        F.col("present").alias("in_new"),
+    )
+    status = (
+        F.when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(F.col("in_old").isNull(), F.lit("added"))
+        .when(
+            ~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("modified")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return old.join(new, ["doc_id"], "full_outer").select(
+        "doc_id", status.alias("status"), "old_fp", "new_fp"
+    )
+
+
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)

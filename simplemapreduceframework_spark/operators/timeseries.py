@@ -724,3 +724,155 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("rn_last") == 1, 1)).alias("last_touch"),
         )
     )
+
+
+_CONTRIB_CAP = 20
+
+
+@query(
+    "events_capped_contributions",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS raw_events,
+       CAST(SUM(LEAST(n, {_CONTRIB_CAP})) AS BIGINT) AS capped_events,
+       CAST(COUNT(CASE WHEN n > {_CONTRIB_CAP} THEN 1 END) AS BIGINT)
+           AS n_capped_users
+FROM per_user GROUP BY event_type
+""",
+)
+def events_capped_contributions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contribution bounding — the aggregation shape
+    differential-privacy and abuse-robust analytics pipelines use: no
+    user may contribute more than {_CONTRIB_CAP} events to a per-type
+    total, so one hyperactive user (or bot) cannot dominate the
+    statistic. Reports, per event type, the user count, the raw and
+    capped event totals, and how many users hit the cap — the clip
+    rate an operator watches to tune the bound.
+
+    Shape at scale: two chained partial-aggregable groupBys — first on
+    (user_id, event_type) (the fact-table exchange; map-side combine
+    collapses each user's events before shuffling), then the capped
+    rollup on event_type over the user-sized intermediate. No window,
+    no distinct, no join. NULL user_id and NULL event_type each form
+    their own group on both engines, so unattributed events are
+    bounded too rather than silently dropped. Counts are integers —
+    engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("raw_events"),
+        F.sum(F.least(F.col("n"), F.lit(_CONTRIB_CAP)))
+        .cast("bigint")
+        .alias("capped_events"),
+        F.count(F.when(F.col("n") > _CONTRIB_CAP, 1))
+        .cast("bigint")
+        .alias("n_capped_users"),
+    )
+
+
+@query(
+    "experiment_readout",
+    oracle="""
+WITH users AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+arms AS (
+    SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted
+    FROM users GROUP BY user_id % 2
+),
+ctl AS (SELECT n_users AS n0, n_converted AS c0 FROM arms WHERE arm = 0)
+SELECT arm, n_users, n_converted,
+       CAST(n_converted AS DOUBLE) / n_users AS conv_rate,
+       CAST(n_converted AS DOUBLE) / n_users
+           - CAST(c0 AS DOUBLE) / n0 AS lift_vs_control,
+       CASE WHEN arm = 0 THEN NULL
+            WHEN sqrt((CAST(n_converted + c0 AS DOUBLE) / (n_users + n0))
+                      * (1 - CAST(n_converted + c0 AS DOUBLE)
+                             / (n_users + n0))
+                      * (1.0 / n_users + 1.0 / n0)) = 0 THEN NULL
+            ELSE (CAST(n_converted AS DOUBLE) / n_users
+                  - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(n_converted + c0 AS DOUBLE) / (n_users + n0))
+                        * (1 - CAST(n_converted + c0 AS DOUBLE)
+                               / (n_users + n0))
+                        * (1.0 / n_users + 1.0 / n0))
+       END AS z_vs_control
+FROM arms CROSS JOIN ctl
+""",
+)
+def experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two arms by a
+    deterministic id hash (user_id % 2 — in production a salted hash,
+    same shape), conversion = the user has any purchase event; per arm
+    the user count, conversions, conversion rate, lift vs the control
+    arm, and the pooled two-proportion z statistic — the table an
+    experimentation platform serves for every metric.
+
+    Numeric policy: all counts are integers; every double is a single
+    expression over identical integers written in the SAME operation
+    order on both engines (IEEE division/multiplication and correctly
+    rounded sqrt are bit-deterministic given identical operands), and
+    the z denominator guards the all-or-none-converted case to NULL on
+    both engines rather than Spark-Infinity vs DuckDB-NULL.
+
+    Shape at scale: one partial-aggregable groupBy on user_id (the
+    fact exchange; MAX(converted) collapses map-side), one 2-row arm
+    rollup, and a broadcast of the 1-row control frame — no window, no
+    fact-table join. NULL user_id is excluded on both engines: an
+    unattributable event cannot belong to an arm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    arms = users.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    ctl = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
+    )
+    rate = F.col("n_converted").cast("double") / F.col("n_users")
+    rate0 = F.col("c0").cast("double") / F.col("n0")
+    pooled = (F.col("n_converted") + F.col("c0")).cast("double") / (
+        F.col("n_users") + F.col("n0")
+    )
+    den = F.sqrt(
+        pooled
+        * (F.lit(1) - pooled)
+        * (F.lit(1.0) / F.col("n_users") + F.lit(1.0) / F.col("n0"))
+    )
+    z = (
+        F.when(F.col("arm") == 0, F.lit(None).cast("double"))
+        .when(den == 0, F.lit(None).cast("double"))
+        .otherwise((rate - rate0) / den)
+    )
+    return arms.crossJoin(F.broadcast(ctl)).select(
+        "arm",
+        "n_users",
+        "n_converted",
+        rate.alias("conv_rate"),
+        (rate - rate0).alias("lift_vs_control"),
+        z.alias("z_vs_control"),
+    )

@@ -84,9 +84,14 @@ CHECK_PRIORITY: list[str] = [
     "events_funnel",
     # round 7 new queries
     "multimodal_decode_gif",  # new: GIF LZW pixel decode gate
+    "multimodal_decode_jpeg",  # new: baseline JPEG Huffman+IDCT gate
     "basket_rules",  # new: association rules (support/confidence/lift)
     "doc_similarity_sparse",  # new: sparse-cosine similarity index join
     "events_attribution",  # new: first/last-touch conversion attribution
+    "dedup_canonical",  # new: per-cluster representative election
+    "corpus_snapshot_diff",  # new: fingerprint-level dataset version diff
+    "events_capped_contributions",  # new: DP-style contribution bounding
+    "experiment_readout",  # new: A/B arm split + lift + pooled z
     # stale r1 rows (pre-testdata regeneration) — rotate the record
     "dedup_ngram_jaccard",
     "q26_sql_api",

@@ -904,3 +904,77 @@ def test_incremental_dedup_flags_and_store_lifecycle(spark, tmp_path):
         12: (False, True),
         13: (True, False),
     }
+
+
+def test_canonical_elects_exactly_one_per_cluster(spark, sf_dir):
+    """Every cluster has exactly one canonical doc; it is a longest
+    member (ties to the lowest doc_id); and the canonical set size
+    equals the cluster count — the keep-list contract downstream shard
+    writing depends on."""
+    out = registry.QUERIES["dedup_canonical"](spark, sf_dir).persist()
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("cluster_size").alias("sz"),
+        )
+        .collect()
+    )
+    assert per_cluster
+    for r in per_cluster:
+        assert r["n_canon"] == 1, r
+        assert r["n"] == r["sz"], r
+    # the elected doc is maximal under (len, -doc_id) within its cluster
+    docs = registry.QUERIES["dedup_exact"]  # noqa: F841 (registry warm)
+    from simplemapreduceframework_spark.sources import load_table
+
+    lab = out.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    ).select(
+        "doc_id", "cluster_id", "is_canonical",
+        F.coalesce(F.length("text"), F.lit(-1)).alias("len"),
+    )
+    best = lab.groupBy("cluster_id").agg(
+        F.max(F.struct("len", (-F.col("doc_id")).alias("neg"))).alias("b")
+    )
+    bad = (
+        lab.filter("is_canonical")
+        .join(best, "cluster_id")
+        .filter(
+            (F.col("len") != F.col("b.len"))
+            | (F.col("doc_id") != -F.col("b.neg"))
+        )
+        .count()
+    )
+    assert bad == 0
+    out.unpersist()
+
+
+def test_snapshot_diff_statuses_partition_the_id_space(spark, sf_dir):
+    """Statuses are mutually exclusive and collectively account for
+    every doc_id on either side; the closed-form edit rule predicts
+    each bucket's membership exactly."""
+    out = registry.QUERIES["corpus_snapshot_diff"](spark, sf_dir)
+    rows = {r["doc_id"]: r["status"] for r in out.collect() if r["doc_id"] is not None}
+    from simplemapreduceframework_spark.sources import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+        if r["doc_id"] is not None
+    ]
+    for d in ids:
+        if d % 10 == 0:
+            assert rows[d] == "removed", d
+        elif d % 7 == 0:
+            # revision changes the fp unless the text was NULL (NULL
+            # fp on both sides -> unchanged via null-safe equality)
+            assert rows[d] in ("modified", "unchanged"), d
+        else:
+            assert rows[d] == "unchanged", d
+        if d % 13 == 0:
+            assert rows[d + 1_000_000] == "added", d

@@ -420,15 +420,162 @@ def test_decode_pixels_bmp_strips_row_padding():
     assert decode_pixels(make_png(4, 3, 50)) == ("png", 4, 3, 3, 50 * 3 * 4 * 3)
 
 
-def test_decode_pixels_rejects_jpeg():
-    """JPEG's DCT entropy coding stays behind the NotImplementedError
-    gate (GIF's LZW is now implemented — see the GIF tests below)."""
+def test_jpeg_rejects_progressive_and_color():
+    """Baseline grayscale decodes for real now; progressive (SOF2) and
+    multi-component color stay behind honest NotImplementedError gates,
+    as does audio's compressed-codec path."""
+    import struct
+
     from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+        make_jpeg,
+    )
+
+    j = bytearray(make_jpeg(8, 8, 50))
+    sof = j.find(b"\xff\xc0")
+    j[sof + 1] = 0xC2  # flip baseline -> progressive
+    with pytest.raises(NotImplementedError):
+        decode_pixels(bytes(j))
+    color = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_pixels(color)
+
+
+def test_jpeg_hand_pinned_bitstream():
+    """8x8 fill=0: v=-128, DC diff=-128 -> size category 8 (standard
+    DC code 111110), low bits 01111111 (v + 2^8 - 1), then EOB (AC
+    code 1010), padded with 1s = F9 FE BF. Pins the MSB-first bit
+    order, the canonical Huffman assignment, and the negative-value
+    encoding against an external hand derivation."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        make_jpeg,
+    )
+
+    j = make_jpeg(8, 8, 0)
+    sos = j.find(b"\xff\xda")
+    scan = j[sos + 2 + 8 : -2]  # SOS header is 8 bytes; strip EOI
+    assert scan == bytes([0xF9, 0xFE, 0xBF])
+
+
+def test_jpeg_roundtrip_closed_form_with_restarts_and_stuffing():
+    """Encode->decode is bit-exact for block-constant rasters (DC quant
+    8 makes the quantized DC the level-shifted value itself); the
+    closed-form sum covers odd/even block grids and every restart
+    interval exercises RSTn predictor resets. (The two-value
+    checkerboard's DC-delta bitstream never aligns to a 0xFF scan
+    byte, so stuffing is exercised by the hand-assembled stream in
+    test_jpeg_general_ac_decode_matches_direct_idct instead.)"""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+        make_jpeg,
+    )
+
+    for fill in [0, 1, 77, 128, 200, 255, 1000]:
+        for bw, bh, ri in [(1, 1, 0), (3, 1, 0), (2, 2, 1), (5, 3, 3),
+                           (6, 4, 4), (3, 3, 2)]:
+            w, h = 8 * bw, 8 * bh
+            a, b = fill % 256, (fill * 7 + 13) % 256
+            n_even = (bw * bh + (bw % 2) * (bh % 2)) // 2
+            want = 64 * (n_even * a + (bw * bh - n_even) * b)
+            j = make_jpeg(w, h, fill, restart_interval=ri)
+            assert decode_pixels(j) == ("jpeg", w, h, 1, want)
+
+
+def test_jpeg_general_ac_decode_matches_direct_idct():
+    """The decoder is GENERAL, not just make_jpeg's inverse: a
+    hand-assembled stream with nonzero AC coefficients (a run/size
+    pair, a ZRL 16-zero skip) and a non-multiple-of-8 crop must decode
+    to exactly the pixels of a directly computed dequant+IDCT of the
+    same coefficient block. The coefficients are chosen so the scan
+    contains a raw 0xFF byte — asserting the 0xFF00 stuffing round
+    trip (writer stuffs, decoder unstuffs) actually runs."""
+    import struct
+
+    import numpy as np
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_ZIGZAG,
+        _jpeg_huff_codes,
         decode_pixels,
     )
 
-    with pytest.raises(NotImplementedError):
-        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 20)
+    # one 8x8 block, cropped to 6x5; quant table all 1s so AC values
+    # pass through dequant unchanged
+    w, h = 6, 5
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bits = []
+
+    def emit(code, n):
+        bits.extend((code >> (n - 1 - i)) & 1 for i in range(n))
+
+    def emit_val(v):
+        s = abs(v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    # zigzag coefficients: DC=-40; k=1: -16 (run 0, size 5); ZRL skips
+    # k=2..17; k=18: 7 (run 0 after ZRL, size 3); EOB. This exact
+    # combination packs a raw 0xFF into the scan (stuffing exercised).
+    s, low = emit_val(-40)
+    emit(*dc_codes[s])
+    emit(low, s)
+    s, low = emit_val(-16)
+    emit(*ac_codes[(0 << 4) | s])
+    emit(low, s)
+    emit(*ac_codes[0xF0])  # ZRL
+    s, low = emit_val(7)
+    emit(*ac_codes[(0 << 4) | s])
+    emit(low, s)
+    emit(*ac_codes[0x00])  # EOB
+    while len(bits) % 8:
+        bits.append(1)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i : i + 8])), 2)
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0)
+    j = b"".join(
+        [
+            b"\xff\xd8",
+            b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64),
+            b"\xff\xc0"
+            + struct.pack(">HBHHBBBB", 11, 8, h, w, 1, 1, 0x11, 0),
+            b"\xff\xc4"
+            + struct.pack(">HB", 31, 0x00)
+            + bytes(_JPEG_DC_BITS)
+            + bytes(_JPEG_DC_VALS),
+            b"\xff\xc4"
+            + struct.pack(">HB", 181, 0x10)
+            + bytes(_JPEG_AC_BITS)
+            + bytes(_JPEG_AC_VALS),
+            b"\xff\xda" + struct.pack(">HBBBBBB", 8, 1, 1, 0, 0, 63, 0),
+            bytes(scan),
+            b"\xff\xd9",
+        ]
+    )
+    assert b"\xff\x00" in bytes(scan)  # stuffing path really ran
+    # direct reference: dequant (q=1) + IDCT of the same coefficients
+    F = np.zeros(64)
+    F[_JPEG_ZIGZAG[0]] = -40
+    F[_JPEG_ZIGZAG[1]] = -16
+    F[_JPEG_ZIGZAG[18]] = 7
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    A[0, :] /= np.sqrt(2)
+    px = np.clip(np.round(A.T @ F.reshape(8, 8) @ A) + 128, 0, 255)
+    want = int(px[:h, :w].sum())
+    assert decode_pixels(j) == ("jpeg", w, h, 1, want)
 
 
 def test_lzw_hand_pinned_bitstream():

@@ -123,3 +123,45 @@ def test_wav_codec_roundtrip_exact_sample_sums(n, rate, ch, fill):
     v = fill % 1000
     got = decode_wav(make_wav(n, rate, ch, fill))
     assert got == (rate, ch, n, v * n * ch, v)
+
+
+@settings(deadline=None, max_examples=200)
+@given(
+    st.integers(1, 4),
+    st.integers(1, 4),
+    st.data(),
+    st.sampled_from([0, 1, 2, 3, 5]),
+)
+def test_jpeg_roundtrip_arbitrary_block_grids(bw, bh, data, ri):
+    """Baseline JPEG encode->decode is exactly invertible for ANY
+    block-constant raster (not just the query's checkerboard): random
+    per-block values sweep every DC Huffman size category (diffs up to
+    +-255), random restart intervals sweep the RSTn predictor-reset
+    seams, and the decoded pixel sum must equal 64 * sum(values)."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+        make_jpeg,
+    )
+
+    blocks = [
+        [data.draw(st.integers(0, 255)) for _ in range(bw)]
+        for _ in range(bh)
+    ]
+    j = make_jpeg(8 * bw, 8 * bh, restart_interval=ri, blocks=blocks)
+    want = 64 * sum(sum(row) for row in blocks)
+    assert decode_pixels(j) == ("jpeg", 8 * bw, 8 * bh, 1, want)
+
+
+@settings(deadline=None, max_examples=200)
+@given(st.binary(min_size=0, max_size=2000), st.integers(2, 8))
+def test_lzw_roundtrip_arbitrary_bytes(payload, mcs):
+    """GIF-variant LZW encode->decode is the identity for arbitrary
+    byte strings at every legal min code size (symbols clamped into
+    the alphabet), including the empty string."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    clamped = bytes(v % (1 << mcs) for v in payload)
+    assert _lzw_decode(_lzw_encode(clamped, mcs), mcs) == clamped

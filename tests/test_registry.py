@@ -26,9 +26,14 @@ _ROUND7_MUST_CHECK = [
     "graph_pagerank_dangling",
     "events_funnel",
     "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",
+    "dedup_canonical",
+    "corpus_snapshot_diff",
+    "events_capped_contributions",
+    "experiment_readout",
 ]
 
 
