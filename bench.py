@@ -124,6 +124,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "events_capped_contributions",
     "experiment_readout",
+    "streaming_capped_contrib_live",
 ]
 
 

@@ -593,16 +593,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Oracle: DuckDB recursive-CTE transitive closure (exact at
     validation scale; quadratic in component size, which is why the
     engine side iterates instead).
+
+    The label frame memoizes per session: the CC loop is a driver-side
+    iteration with per-round actions, so every consumer re-running it
+    (dedup_canonical elects representatives from these labels) would
+    repeat the whole fixed-point computation, not just re-execute a
+    plan.
     """
+    memo = session_memo(spark)
+    key = ("dedup_clusters", sf_dir)
+    if key in memo:
+        return memo[key]
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = connected_components(
         docs.select(F.col("doc_id").alias("id")),
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
     )
-    return labels.select(
+    out = labels.select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+    memo[key] = out
+    return out
 
 
 @query(

@@ -578,7 +578,20 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def make_gif(width: int, height: int, fill: int = 0) -> bytes:
+def _gif_interlace_order(height: int) -> list[int]:
+    """Display row index for each STORED row of an interlaced GIF, in
+    storage order: the four spec passes start at rows 0/4/2/1 with
+    strides 8/8/4/2."""
+    return [
+        y
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for y in range(start, height, step)
+    ]
+
+
+def make_gif(
+    width: int, height: int, fill: int = 0, interlace: bool = False
+) -> bytes:
     """A REAL, viewer-decodable GIF89a, pure stdlib: logical screen
     descriptor, 256-entry grayscale global color table (entry i is
     (i,i,i)), image descriptor, and a genuine LZW-compressed index
@@ -587,19 +600,25 @@ def make_gif(width: int, height: int, fill: int = 0) -> bytes:
     odd cells — a checkerboard, so the LZW table actually builds
     multi-symbol entries (a constant raster would exercise only runs)
     while the pixel sum stays closed-form for the oracle:
-    3 * (ceil(w*h/2)*a + floor(w*h/2)*b)."""
+    3 * (ceil(w*h/2)*a + floor(w*h/2)*b). With ``interlace`` the
+    rows are stored in the spec's four-pass order and the descriptor
+    flag is set — the decoder must scatter them back."""
     import struct
 
     a = fill % 256
     b = (fill * 7 + 13) % 256
-    indices = bytes(
-        a if (x + y) % 2 == 0 else b
+    rows = [
+        bytes(a if (x + y) % 2 == 0 else b for x in range(width))
         for y in range(height)
-        for x in range(width)
-    )
+    ]
+    if interlace:
+        rows = [rows[y] for y in _gif_interlace_order(height)]
+    indices = b"".join(rows)
     lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     gct = bytes(v for i in range(256) for v in (i, i, i))
-    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    img_desc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
     lzw = _lzw_encode(indices, 8)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
@@ -613,12 +632,22 @@ def make_gif(width: int, height: int, fill: int = 0) -> bytes:
 
 
 def _decode_gif_pixels(b: bytes) -> tuple[int, int, int]:
-    """(width, height, pixel_sum) for a GIF's FIRST image: walks the
-    block structure (extensions skipped by sub-block length), inflates
-    the LZW index stream, and sums the palette RGB bytes per pixel.
-    Interlaced images raise NotImplementedError (row ordering changes
-    nothing for a sum, but refusing is honest until deinterlace is
-    implemented and gate-tested)."""
+    """(width, height, pixel_sum) for a GIF's FIRST image: block walk,
+    LZW inflate, deinterlace if flagged, palette RGB sum per pixel."""
+    import numpy as np
+
+    iw, ih, indices, pal = _decode_gif_image(b)
+    rgb = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    total = int(rgb[indices].sum())
+    return iw, ih, total
+
+
+def _decode_gif_image(b: bytes) -> "tuple[int, int, object, bytes]":
+    """(width, height, index raster in DISPLAY row order, palette) for
+    a GIF's FIRST image: walks the block structure (extensions skipped
+    by sub-block length), inflates the LZW index stream, and — for
+    interlaced images — scatters the four-pass storage rows back to
+    their display positions (_gif_interlace_order)."""
     import struct
 
     import numpy as np
@@ -646,8 +675,6 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, int]:
                 n = 2 << (ipacked & 0x07)
                 pal = b[pos : pos + 3 * n]
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF not implemented")
             if pal is None:
                 raise ValueError("GIF image has no color table")
             mcs = b[pos]
@@ -662,9 +689,12 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, int]:
                 raise ValueError(
                     f"GIF raster short: {len(indices)} != {iw * ih}"
                 )
-            rgb = np.frombuffer(pal, np.uint8).reshape(-1, 3)
-            total = int(rgb[indices].sum())
-            return iw, ih, total
+            if ipacked & 0x40:  # deinterlace: scatter stored -> display
+                stored = indices.reshape(ih, iw)
+                display = np.empty_like(stored)
+                display[_gif_interlace_order(ih)] = stored
+                indices = display.reshape(-1)
+            return iw, ih, indices, pal
         elif intro == 0x3B:  # trailer
             break
         else:

@@ -812,3 +812,54 @@ def streaming_mv_refresh_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     memo[key] = out
     return out
+
+
+from .timeseries import _CONTRIB_CAP  # noqa: E402
+
+
+@query(
+    "streaming_capped_contrib_live",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS raw_events,
+       CAST(SUM(LEAST(n, {_CONTRIB_CAP})) AS BIGINT) AS capped_events,
+       CAST(COUNT(CASE WHEN n > {_CONTRIB_CAP} THEN 1 END) AS BIGINT)
+           AS n_capped_users
+FROM per_user GROUP BY event_type
+""",
+)
+def streaming_capped_contrib_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contribution bounding on a LIVE stream — the streaming twin of
+    events_capped_contributions: readStream -> stateful
+    (user_id, event_type) count aggregation (complete mode, one
+    availableNow drain) -> the cap-and-rollup applied to the
+    materialized per-user counts. The state a continuous deployment
+    carries is exactly the per-(user, type) counter — the same two
+    integers the DP bounding literature assumes — and the cap is
+    applied OUTSIDE the stream so re-tuning it never invalidates
+    streaming state. Oracle identical to the batch twin; NULL
+    user/type groups are bounded, not dropped, in both."""
+    from ..streaming import read_events_stream, run_available_now
+
+    events = read_events_stream(spark, sf_dir)
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    final = run_available_now(counts, spark)
+    return final.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("raw_events"),
+        F.sum(F.least(F.col("n"), F.lit(_CONTRIB_CAP)))
+        .cast("bigint")
+        .alias("capped_events"),
+        F.count(F.when(F.col("n") > _CONTRIB_CAP, 1))
+        .cast("bigint")
+        .alias("n_capped_users"),
+    )

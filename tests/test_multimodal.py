@@ -617,10 +617,11 @@ def test_lzw_roundtrip_grows_width_and_freezes_table():
     assert _lzw_decode(_lzw_encode(small, 2), 2) == small
 
 
-def test_decode_pixels_gif_checkerboard_and_interlace_gate():
+def test_decode_pixels_gif_checkerboard_and_interlaced():
     """make_gif's checkerboard decodes to the closed-form pixel sum
-    (3 * (ceil(wh/2)*a + floor(wh/2)*b)); flipping the interlace bit
-    must raise, not silently mis-order rows."""
+    (3 * (ceil(wh/2)*a + floor(wh/2)*b)) — in sequential AND interlaced
+    storage (a sum can't see row order; the placement test below
+    can)."""
     from simplemapreduceframework_spark.operators.multimodal import (
         decode_pixels,
         make_gif,
@@ -632,12 +633,47 @@ def test_decode_pixels_gif_checkerboard_and_interlace_gate():
         n_even = (w * h + 1) // 2
         expect = 3 * (n_even * a + (w * h - n_even) * b)
         assert decode_pixels(make_gif(w, h, fill)) == ("gif", w, h, 3, expect)
-    g = bytearray(make_gif(5, 3, fill))
-    # image descriptor follows the 13-byte header + 768-byte palette;
-    # its packed byte is at offset +9 within the 10-byte descriptor
-    g[13 + 768 + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        decode_pixels(bytes(g))
+        assert decode_pixels(make_gif(w, h, fill, interlace=True)) == (
+            "gif", w, h, 3, expect,
+        )
+
+
+def test_gif_deinterlace_places_every_row():
+    """Row placement, which a pixel SUM cannot see: a row-gradient
+    raster (row y filled with index y) stored interlaced must decode
+    with row y = y for every y — any pass/stride slip misplaces rows.
+    Checked via the display-order index raster across heights covering
+    all four passes and the degenerate 1-2 row cases."""
+    import struct
+
+    import numpy as np
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _decode_gif_image,
+        _gif_interlace_order,
+        _lzw_encode,
+    )
+
+    for w, h in [(3, 1), (3, 2), (4, 7), (5, 16), (2, 29)]:
+        order = _gif_interlace_order(h)
+        assert sorted(order) == list(range(h))  # a permutation
+        rows = [bytes([y] * w) for y in range(h)]
+        stored = b"".join(rows[y] for y in order)
+        lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        gct = bytes(v for i in range(256) for v in (i, i, i))
+        desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+        lzw = _lzw_encode(stored, 8)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            part = lzw[i : i + 255]
+            blocks.append(len(part))
+            blocks += part
+        blocks.append(0)
+        g = b"GIF89a" + lsd + gct + desc + b"\x08" + bytes(blocks) + b"\x3b"
+        iw, ih, indices, _pal = _decode_gif_image(g)
+        raster = np.asarray(indices).reshape(ih, iw)
+        for y in range(h):
+            assert list(raster[y]) == [y] * w, (w, h, y)
 
 
 def test_decode_wav_roundtrip_and_chunk_walk():

@@ -34,6 +34,7 @@ _ROUND7_MUST_CHECK = [
     "corpus_snapshot_diff",
     "events_capped_contributions",
     "experiment_readout",
+    "streaming_capped_contrib_live",
 ]
 
 
