@@ -267,6 +267,13 @@ def main() -> None:
     # line now carries per-query BEST timings as a centisecond-int
     # array ordered by the committed BENCH_MANIFEST.json — every
     # timing recoverable from line + manifest at ~5 bytes per query.
+    # Finiteness gate FIRST: a NaN timing must fail with the named
+    # diagnostic before anything serializes it — int(round(NaN)) would
+    # raise a bare ValueError, and a default json.dump would happily
+    # write literal NaN into bench_full.json (invalid JSON for any
+    # later reader). Review r7: the old order made this guard dead.
+    if not all(math.isfinite(v) for v in timings.values()):
+        raise RuntimeError(f"non-finite timing in {timings}")
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_cache",
@@ -283,12 +290,11 @@ def main() -> None:
             f,
             indent=1,
             sort_keys=True,
+            allow_nan=False,
         )
     print(f"[bench] full per-query record -> {full_path}", file=sys.stderr)
 
     t_cs = [int(round(timings[name] * 100)) for name in HEADLINE]
-    if not all(math.isfinite(v) for v in timings.values()):
-        raise RuntimeError(f"non-finite timing in {timings}")
     line = json.dumps(
         {
             "metric": "headline_query_set_seconds",

@@ -992,8 +992,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..session_memo import session_memo
-
     # ONE memo idiom repo-wide (session_memo): this entry holds only a
     # path, which is newSession-safe under any keying, but a second
     # keying scheme invites the next DataFrame-holding cache to copy

@@ -462,22 +462,13 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     final ranking is a TakeOrdered top-k. All counts
     integer; support and lift are single-expression doubles over
     identical operands — engine-exact, no transcendentals.
+
+    The basket frame (one sorted part array per order; ordered pairs
+    generate ROW-LOCALLY from it, quadratic only in bounded basket
+    width — no self-join shuffle at any scale) is the shared persisted
+    intermediate `_baskets`; basket_rules reuses it.
     """
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    # one groupBy on the SAME key as the distinct (no second exchange)
-    # collapses each basket to a sorted part array; ordered pairs then
-    # generate ROW-LOCALLY (quadratic only in basket width, which is
-    # small and bounded) — no self-join shuffle at any scale.
-    baskets = items.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
+    baskets = _baskets(spark, sf_dir)
     n_orders = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     isup = baskets.select(
         F.explode("parts").alias("l_partkey")
@@ -520,6 +511,33 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(_BASKET_TOPK)
     )
+
+
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-order sorted part-array frame both basket queries start
+    from (distinct (order, part) -> one groupBy on the SAME key).
+    Persisted and memoized per session: on a cluster this is the
+    materialized intermediate every basket-analysis run (pairs, rules,
+    any future width-3 miner) shares instead of re-scanning the fact
+    table; here it keeps the second basket query from repeating the
+    lineitem distinct+collect pass."""
+    memo = session_memo(spark)
+    key = ("baskets", sf_dir)
+    if key in memo:
+        return memo[key][0]
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    ).persist()
+    memo[key] = (baskets, lambda: baskets.unpersist())
+    return baskets
 
 
 _RULE_MIN_PAIR = 3
@@ -571,19 +589,11 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join); each undirected pair then emits its two directions as a
     row-local UNION, supports broadcast back, final ranking a
     TakeOrdered top-k. Confidence and lift are single-expression
-    doubles over identical integer operands — engine-exact.
+    doubles over identical integer operands — engine-exact. Starts
+    from the shared persisted `_baskets` frame (one corpus pass serves
+    both basket queries).
     """
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    baskets = items.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
+    baskets = _baskets(spark, sf_dir)
     n_orders = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     isup = baskets.select(
         F.explode("parts").alias("l_partkey")

@@ -382,13 +382,13 @@ def decode_real_pixels(
     for pdf in batches:
         rows = {k: [] for k in (
             "doc_id", "n_bytes", "width", "height", "format",
-            "n_pixels", "pixel_sum",
+            "n_pixels", "pixel_sum", "channels",
         )}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             rows["doc_id"].append(doc_id)
             if payload is None:
                 for k in ("n_bytes", "width", "height", "format",
-                          "n_pixels", "pixel_sum"):
+                          "n_pixels", "pixel_sum", "channels"):
                     rows[k].append(None)
                 continue
             b = bytes(payload)
@@ -399,15 +399,13 @@ def decode_real_pixels(
             rows["format"].append(fmt)
             rows["n_pixels"].append(w * h)
             rows["pixel_sum"].append(total)
+            # the codec's own channel count — never re-derived from
+            # the format name (a second source of truth that had to be
+            # patched when JPEG arrived; review r7)
+            rows["channels"].append(ch)
         n_pix = pd.Series(rows["n_pixels"], dtype="Int64")
         psum = pd.Series(rows["pixel_sum"], dtype="Int64")
-        channels = pd.Series(
-            [
-                (1 if f in ("pgm", "jpeg") else 3) if f is not None else None
-                for f in rows["format"]
-            ],
-            dtype="Int64",
-        )
+        channels = pd.Series(rows["channels"], dtype="Int64")
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
@@ -1393,9 +1391,10 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill * channels * w * h in closed form) — a wrong filter reversal,
     stride, or padding slip changes pixel_sum and fails the hash. Both
     stages are chained row-local mapInPandas — one scan, no shuffle,
-    payloads never leave their partition. GIF/JPEG dimensions decode
-    too (unit-tested); their entropy-coded pixels and audio stay
-    behind the NotImplementedError gate in decode_pixels."""
+    payloads never leave their partition. GIF and baseline JPEG pixels
+    decode for real too (multimodal_decode_gif / _jpeg); only
+    progressive/color JPEG and compressed audio stay behind the
+    NotImplementedError gates."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_media, "doc_id bigint, payload binary"

@@ -710,7 +710,7 @@ LIMIT {_SIM_TOPK}
 def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs sparse document similarity through an inverted-index
     join: cosine over integer term-frequency vectors restricted to the
-    mid-frequency vocabulary ({_SIM_DF_MIN} <= df <= {_SIM_DF_MAX}).
+    mid-frequency vocabulary (2 <= df <= 100; _SIM_DF_MIN/_SIM_DF_MAX).
     This is the text twin of the embedding similarity join — candidate
     pairs come only from SHARED terms (docs with no kept term in
     common never meet), the classic postings-join pruning.

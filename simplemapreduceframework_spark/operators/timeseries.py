@@ -556,7 +556,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in memo:
         return memo[key]
     ev = load_table(spark, sf_dir, "events")
-    _frames, stage_counts = funnel_stage_frames(ev, _FUNNEL_STAGES)
+    frames, stage_counts = funnel_stage_frames(ev, _FUNNEL_STAGES)
+    # the report is literal driver-side rows once the counts are
+    # collected — the persisted stage frames have no further consumer,
+    # so release their executor storage immediately (review r7: the
+    # old memoized-lazy result kept them live; this one must not)
+    for f in frames:
+        f.unpersist()
     out = _funnel_report(spark, _FUNNEL_STAGES, stage_counts)
     memo[key] = out
     return out
@@ -589,9 +595,12 @@ def funnel_stage_frames(
             "user_id", F.col("ts").alias("ets")
         )
         if prev is not None:
+            # strict <: broadcast_max_users=0 must force EVERY join to
+            # shuffle (the test's forced-shuffle mode), including an
+            # empty stage frame
             right = (
                 F.broadcast(prev)
-                if prev_n <= broadcast_max_users
+                if prev_n < broadcast_max_users
                 else prev
             )
             cur = (
@@ -750,8 +759,8 @@ def events_capped_contributions(
 ) -> DataFrame:
     """Contribution bounding — the aggregation shape
     differential-privacy and abuse-robust analytics pipelines use: no
-    user may contribute more than {_CONTRIB_CAP} events to a per-type
-    total, so one hyperactive user (or bot) cannot dominate the
+    user may contribute more than 20 events (_CONTRIB_CAP) to a
+    per-type total, so one hyperactive user (or bot) cannot dominate the
     statistic. Reports, per event type, the user count, the raw and
     capped event totals, and how many users hit the cap — the clip
     rate an operator watches to tune the bound.
