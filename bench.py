@@ -125,6 +125,7 @@ HEADLINE = [
     "events_capped_contributions",
     "experiment_readout",
     "streaming_capped_contrib_live",
+    "entity_golden_records",
 ]
 
 

@@ -90,3 +90,117 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_records",
         )
     )
+
+
+_GOLDEN_CTES = f"""
+names AS (
+    SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM part GROUP BY p_name
+),
+blocked AS (
+    SELECT p_name, n_records,
+           string_split(p_name, ' ')[-1] AS block
+    FROM names
+),
+cand AS (
+    SELECT a.p_name AS a_name, b.p_name AS b_name
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+),
+edges AS (
+    SELECT a_name AS a, b_name AS b FROM cand
+    UNION
+    SELECT b_name AS a, a_name AS b FROM cand
+),
+reach(src, dst) AS (
+    SELECT p_name, p_name FROM names
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+lab AS (SELECT src AS p_name, MIN(dst) AS entity_id FROM reach GROUP BY src),
+j AS (
+    SELECT l.p_name, l.entity_id, n.n_records
+    FROM lab l JOIN names n ON n.p_name = l.p_name
+),
+ml AS (
+    SELECT entity_id, MAX(n_records) AS mx,
+           CAST(COUNT(*) AS BIGINT) AS n_names
+    FROM j GROUP BY entity_id
+),
+rep AS (
+    SELECT j.entity_id, MIN(j.p_name) AS golden
+    FROM j JOIN ml ON ml.entity_id = j.entity_id AND j.n_records = ml.mx
+    GROUP BY j.entity_id
+)
+"""
+
+
+@query(
+    "entity_golden_records",
+    oracle=f"""
+WITH RECURSIVE {_GOLDEN_CTES}
+SELECT j.p_name, j.entity_id, m.n_names, j.n_records,
+       r.golden AS canonical_name,
+       j.p_name = r.golden AS is_golden
+FROM j
+JOIN ml m ON m.entity_id = j.entity_id
+JOIN rep r ON r.entity_id = j.entity_id
+""",
+)
+def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record election — the step after fuzzy matching that a
+    master-data pipeline actually ships: transitive closure over the
+    verified merge pairs groups name variants into ENTITIES, and each
+    entity elects one canonical ("golden") name — the variant backed by
+    the most records, ties to the lexicographically smallest name, so
+    the election is total-ordered and hash-exact. Output is every name
+    with its entity id, entity size, record count, the entity's
+    canonical name, and the keep flag — the merge map a data-steward
+    workflow applies.
+
+    Shape at scale: the name domain (dimension-sized, never the fact
+    table) feeds the O(log n) large-star/small-star components over the
+    blocked-levenshtein pairs; the election is ONE groupBy over the
+    entity key using a struct-ordered MIN ((-n_records, name) — most
+    records, then smallest name, in a single partial-aggregable pass),
+    then a summary-sized join back. The same composition as
+    dedup_canonical, over string keys (connected_components is
+    key-type-agnostic: its convergence fingerprint is xxhash64-based).
+
+    Oracle: the recursive-CTE closure over the identical candidate
+    pairs plus the two-pass (max-records, min-name) election — a
+    different formulation forced to the identical choice.
+    """
+    from .dedup import connected_components
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    )
+    pairs = fuzzy_match_parts(spark, sf_dir).select("a_name", "b_name")
+    labels = connected_components(
+        names.select(F.col("p_name").alias("id")),
+        pairs.select(
+            F.col("a_name").alias("src"), F.col("b_name").alias("dst")
+        ),
+    ).select(F.col("id").alias("p_name"), F.col("component").alias("entity_id"))
+    j = labels.join(names, "p_name")
+    stats = j.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_names"),
+        F.min(
+            F.struct(
+                (-F.col("n_records")).alias("neg"),
+                F.col("p_name").alias("name"),
+            )
+        ).alias("best"),
+    )
+    return j.join(stats, "entity_id").select(
+        "p_name",
+        "entity_id",
+        "n_names",
+        "n_records",
+        F.col("best.name").alias("canonical_name"),
+        (F.col("p_name") == F.col("best.name")).alias("is_golden"),
+    )

@@ -93,6 +93,7 @@ CHECK_PRIORITY: list[str] = [
     "events_capped_contributions",  # new: DP-style contribution bounding
     "experiment_readout",  # new: A/B arm split + lift + pooled z
     "streaming_capped_contrib_live",  # new: live contribution bounding
+    "entity_golden_records",  # new: ER transitive merge + golden election
     # stale r1 rows (pre-testdata regeneration) — rotate the record
     "dedup_ngram_jaccard",
     "q26_sql_api",

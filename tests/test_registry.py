@@ -35,6 +35,7 @@ _ROUND7_MUST_CHECK = [
     "events_capped_contributions",
     "experiment_readout",
     "streaming_capped_contrib_live",
+    "entity_golden_records",
 ]
 
 
