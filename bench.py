@@ -117,6 +117,7 @@ HEADLINE = [
     # sparse similarity join, attribution.
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
+    "multimodal_decode_color",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",

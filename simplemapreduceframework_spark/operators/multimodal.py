@@ -364,8 +364,8 @@ def decode_pixels(b: bytes) -> tuple[str, int, int, int, int]:
         w, h, total = _decode_gif_pixels(b)
         return "gif", w, h, 3, total
     if b[:2] == b"\xff\xd8":
-        w, h, total = _decode_jpeg_pixels(b)
-        return "jpeg", w, h, 1, total
+        w, h, ch, total = _decode_jpeg_pixels(b)
+        return "jpeg", w, h, ch, total
     raise NotImplementedError(
         f"pixel decode for magic {b[:2]!r} requires PIL/ffmpeg — "
         "not available here (dimensions via decode_real)"
@@ -875,6 +875,105 @@ def make_jpeg(
     return b"".join(segs)
 
 
+def make_jpeg_color(
+    width: int, height: int, fill: int = 0, restart_interval: int = 0
+) -> bytes:
+    """A REAL baseline COLOR JPEG (SOF0, three components, 4:4:4 — no
+    chroma subsampling), pure stdlib: interleaved Y/Cb/Cr MCUs with
+    per-component DC predictors, shared Annex K tables, DRI/RSTn when
+    requested. Luma is the same block-checkerboard as make_jpeg
+    (``fill % 256`` / ``(fill*7+13) % 256``); chroma is constant per
+    image (``(fill*31+7) % 256`` / ``(fill*17+3) % 256``). Constant
+    blocks under the DC-quant-8 trick keep all three sample planes
+    exactly invertible, so the decoded RGB pixel sum is closed-form
+    through the pinned floor(x+0.5) YCbCr->RGB conversion."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("make_jpeg_color emits whole 8x8 blocks only")
+    ya = fill % 256
+    yb = (fill * 7 + 13) % 256
+    cb = (fill * 31 + 7) % 256
+    cr = (fill * 17 + 3) % 256
+    bw, bh = width // 8, height // 8
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    scan = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, n: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << n) | code
+        nbits += n
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0)  # T.81 byte stuffing
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def flush_to_byte() -> None:
+        if nbits:
+            emit((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+    def emit_dc_eob(diff: int) -> None:
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        emit(code, ln)
+        if s:
+            emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        eob, eln = ac_codes[0x00]
+        emit(eob, eln)
+
+    preds = [0, 0, 0]
+    rst = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                flush_to_byte()
+                scan += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = [0, 0, 0]
+            y = (ya if (bx + by) % 2 == 0 else yb) - 128
+            for ci, v in enumerate((y, cb - 128, cr - 128)):
+                emit_dc_eob(v - preds[ci])
+                preds[ci] = v
+            mcu += 1
+    flush_to_byte()
+
+    qtable = bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)  # zigzag order
+    segs = [
+        b"\xff\xd8",  # SOI
+        b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + qtable,  # DQT
+        b"\xff\xc0"  # SOF0: 8-bit, 3 components, 1x1 sampling each
+        + struct.pack(">HBHH B", 17, 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS),
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS),
+    ]
+    if restart_interval:
+        segs.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
+    segs += [
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00])
+        + bytes([0, 63, 0]),  # SOS: 3 components, shared tables
+        bytes(scan),
+        b"\xff\xd9",  # EOI
+    ]
+    return b"".join(segs)
+
+
 class _JpegBitReader:
     """MSB-first bit reader over already-unstuffed entropy bytes."""
 
@@ -909,18 +1008,23 @@ class _JpegBitReader:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int]:
-    """(width, height, pixel_sum) for a baseline grayscale JPEG: full
-    marker walk (DQT / DHT / SOF0 / DRI / SOS), restart-segmented scan
-    with 0xFF00 unstuffing, complete DC+AC Huffman decode (EOB, ZRL,
-    run/size), de-zigzag, dequantize, and a real 8x8 IDCT (numpy basis
-    matrix) with level shift and clipping. This is a GENERAL baseline
-    decoder for the single-component case — AC coefficients, restart
-    predictor resets, and edge-block cropping all handled — not just
-    the inverse of make_jpeg. Progressive (SOF2), arithmetic coding,
-    and multi-component color (which adds subsampled MCU interleave)
-    raise NotImplementedError: honest gates, dimensions still
-    available via decode_real."""
+def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, channels, pixel_sum) for a baseline JPEG,
+    grayscale OR 4:4:4 color: full marker walk (DQT / DHT / SOF0 /
+    DRI / SOS), restart-segmented scan with 0xFF00 unstuffing,
+    complete DC+AC Huffman decode (EOB, ZRL, run/size) with
+    per-component predictors and interleaved MCUs, de-zigzag,
+    per-component dequantize, a real 8x8 IDCT (numpy basis matrix)
+    with level shift and clipping, and — for three components — the
+    T.871 YCbCr->RGB conversion pinned to floor(x + 0.5) rounding so
+    the oracle can replicate it bit-for-bit in SQL. This is a GENERAL
+    baseline decoder for the unsubsampled case — AC coefficients,
+    restart predictor resets, and edge-block cropping all handled —
+    not just the inverse of make_jpeg. Progressive (SOF2), arithmetic
+    coding, and subsampled chroma (sampling factors other than 1x1,
+    which add the multi-block-per-MCU interleave) raise
+    NotImplementedError: honest gates, dimensions still available via
+    decode_real."""
     import struct
 
     import numpy as np
@@ -930,10 +1034,10 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int]:
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comp_q = 0
+    comps: list[tuple[int, int]] = []  # SOF order: (comp_id, qt_id)
+    sos_tables: dict[int, tuple[int, int]] = {}  # comp_id -> (dc, ac)
     dri = 0
     scan_start = None
-    dc_id = ac_id = 0
     pos = 2
     while pos < len(b) - 1:
         if b[pos] != 0xFF:
@@ -972,12 +1076,19 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int]:
                 i += n
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack_from(">HH", seg, 1)
-            if seg[5] != 1:
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component JPEG (color/subsampling) not "
-                    "implemented — grayscale baseline only"
+                    f"{ncomp}-component JPEG not implemented"
                 )
-            comp_q = seg[8]
+            for ci in range(ncomp):
+                cid, sampling, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (multi-block MCU interleave) "
+                        "not implemented — 4:4:4 only"
+                    )
+                comps.append((cid, qid))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -986,10 +1097,13 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int]:
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+            for ci in range(seg[0]):
+                cid = seg[1 + 2 * ci]
+                tables = seg[2 + 2 * ci]
+                sos_tables[cid] = (tables >> 4, tables & 0xF)
             scan_start = pos
             break
-    if w is None or scan_start is None:
+    if w is None or scan_start is None or not comps:
         raise ValueError("JPEG missing SOF0/SOS")
 
     # Split the scan into restart segments, stripping byte stuffing.
@@ -1014,8 +1128,6 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int]:
         i += 1
     segments.append(bytes(cur))
 
-    q = qt[comp_q]
-    dcd, acd = huff[(0, dc_id)], huff[(1, ac_id)]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); f = A^T F A
     u = np.arange(8).reshape(8, 1)
@@ -1024,15 +1136,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int]:
     A[0, :] /= np.sqrt(2)
     zig = np.array(_JPEG_ZIGZAG)
 
-    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-    blocks_done = 0
-    seg_iter = iter(segments)
-    br = _JpegBitReader(next(seg_iter))
-    pred = 0
-    while blocks_done < bw * bh:
-        if dri and blocks_done and blocks_done % dri == 0:
-            br = _JpegBitReader(next(seg_iter))
-            pred = 0
+    def read_block(br, dcd, acd, q, pred):
         coeffs = np.zeros(64, dtype=np.int64)
         pred += br.receive_extend(br.huff(dcd))
         coeffs[0] = pred
@@ -1053,12 +1157,45 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int]:
         F = np.zeros(64, dtype=np.float64)
         F[zig] = coeffs * q  # dequantize in zigzag order, place raster
         block = A.T @ F.reshape(8, 8) @ A
-        px = np.clip(np.round(block) + 128, 0, 255).astype(np.int64)
-        by, bx = divmod(blocks_done, bw)
-        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-        blocks_done += 1
-    total = int(img[:h, :w].sum())
-    return w, h, total
+        return pred, np.clip(np.round(block) + 128, 0, 255).astype(np.int64)
+
+    ncomp = len(comps)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in comps]
+    tables = []  # per SOF-order component: (dcd, acd, q)
+    for cid, qid in comps:
+        dc_id, ac_id = sos_tables[cid]
+        tables.append((huff[(0, dc_id)], huff[(1, ac_id)], qt[qid]))
+    mcus_done = 0
+    seg_iter = iter(segments)
+    br = _JpegBitReader(next(seg_iter))
+    preds = [0] * ncomp
+    while mcus_done < bw * bh:
+        if dri and mcus_done and mcus_done % dri == 0:
+            br = _JpegBitReader(next(seg_iter))
+            preds = [0] * ncomp
+        by, bx = divmod(mcus_done, bw)
+        for ci, (dcd, acd, q) in enumerate(tables):
+            preds[ci], px = read_block(br, dcd, acd, q, preds[ci])
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        mcus_done += 1
+    if ncomp == 1:
+        return w, h, 1, int(planes[0][:h, :w].sum())
+    # T.871 YCbCr -> RGB, rounding pinned to floor(x + 0.5) so a SQL
+    # oracle (FLOOR(x + 0.5), LEAST/GREATEST clip) reproduces every
+    # sample bit-for-bit — np.round's half-even would diverge at .5.
+    Y = planes[0][:h, :w].astype(np.float64)
+    Cb = planes[1][:h, :w].astype(np.float64)
+    Cr = planes[2][:h, :w].astype(np.float64)
+    r = np.clip(np.floor(Y + 1.402 * (Cr - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(
+            Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0) + 0.5
+        ),
+        0,
+        255,
+    )
+    bl = np.clip(np.floor(Y + 1.772 * (Cb - 128.0) + 0.5), 0, 255)
+    return w, h, 3, int(r.sum() + g.sum() + bl.sum())
 
 
 def make_wav(
@@ -1230,6 +1367,24 @@ def encode_sample_jpeg(
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
+def encode_sample_jpeg_color(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic COLOR JPEG synthesis (mapInPandas body): each doc
+    gets a real 4:4:4 baseline JPEG whose luma checkerboard and chroma
+    constants derive from doc_id; a 2-MCU restart interval exercises
+    the per-component predictor resets."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = [
+            make_jpeg_color(
+                8 * (1 + d % 5), 8 * (1 + d % 3), d, restart_interval=2
+            )
+            for d in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
 def encode_sample_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic media synthesis (mapInPandas body): each doc gets a
     REAL image file — BMP / PPM / PNG / PGM cycling on doc_id % 4 —
@@ -1391,10 +1546,10 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill * channels * w * h in closed form) — a wrong filter reversal,
     stride, or padding slip changes pixel_sum and fails the hash. Both
     stages are chained row-local mapInPandas — one scan, no shuffle,
-    payloads never leave their partition. GIF and baseline JPEG pixels
-    decode for real too (multimodal_decode_gif / _jpeg); only
-    progressive/color JPEG and compressed audio stay behind the
-    NotImplementedError gates."""
+    payloads never leave their partition. GIF and JPEG pixels decode
+    for real too (multimodal_decode_gif / _jpeg / _color); only
+    subsampled-chroma/progressive JPEG and compressed audio stay
+    behind the NotImplementedError gates."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_media, "doc_id bigint, payload binary"
@@ -1482,11 +1637,76 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The checkerboard of block-level DC deltas exercises multiple
     Huffman size categories, byte-seam packing, and 0xFF stuffing.
     Both stages chained row-local mapInPandas — one scan, no shuffle.
-    Progressive and multi-component color JPEG remain behind
+    4:4:4 color decodes too (multimodal_decode_color); only
+    subsampled-chroma and progressive JPEG remain behind
     NotImplementedError (the PIL/ffmpeg integration point)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_jpeg, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA).select(
+        "doc_id", "width", "height", "format", "n_pixels", "pixel_sum",
+        "mean_pixel",
+    )
+
+
+@query(
+    "multimodal_decode_color",
+    oracle="""
+SELECT doc_id,
+       CAST(8 * bw AS INTEGER) AS width,
+       CAST(8 * bh AS INTEGER) AS height,
+       'jpeg' AS format,
+       CAST(64 * bw * bh AS BIGINT) AS n_pixels,
+       CAST(64 * (n_even * s_even + (bw * bh - n_even) * s_odd)
+            AS BIGINT) AS pixel_sum,
+       CAST(64 * (n_even * s_even + (bw * bh - n_even) * s_odd)
+            AS DOUBLE) / (3 * 64 * bw * bh) AS mean_pixel
+FROM (
+    SELECT doc_id, bw, bh,
+           (bw * bh + (bw % 2) * (bh % 2)) // 2 AS n_even,
+           LEAST(255, GREATEST(0,
+               FLOOR(ya + 1.402 * (cr - 128.0) + 0.5)))
+         + LEAST(255, GREATEST(0,
+               FLOOR(ya - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0) + 0.5)))
+         + LEAST(255, GREATEST(0,
+               FLOOR(ya + 1.772 * (cb - 128.0) + 0.5))) AS s_even,
+           LEAST(255, GREATEST(0,
+               FLOOR(yb + 1.402 * (cr - 128.0) + 0.5)))
+         + LEAST(255, GREATEST(0,
+               FLOOR(yb - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0) + 0.5)))
+         + LEAST(255, GREATEST(0,
+               FLOOR(yb + 1.772 * (cb - 128.0) + 0.5))) AS s_odd
+    FROM (SELECT doc_id,
+                 1 + doc_id % 5 AS bw,
+                 1 + doc_id % 3 AS bh,
+                 doc_id % 256 AS ya,
+                 (doc_id * 7 + 13) % 256 AS yb,
+                 (doc_id * 31 + 7) % 256 AS cb,
+                 (doc_id * 17 + 3) % 256 AS cr
+          FROM documents))
+""",
+)
+def multimodal_decode_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR JPEG decode end-to-end: synthesize a genuine 4:4:4
+    baseline JPEG per doc (luma checkerboard + constant chroma derived
+    from doc_id, 2-MCU restart interval), then decode the actual bytes
+    back — interleaved Y/Cb/Cr MCUs with per-component predictors,
+    full Huffman/dequant/IDCT, and the T.871 YCbCr->RGB conversion
+    pinned to floor(x + 0.5) rounding. The oracle recomputes the exact
+    RGB pixel sum in closed form through the IDENTICAL conversion
+    expression (same literals, same operation order, FLOOR + LEAST/
+    GREATEST), so a predictor cross-wire, an MCU interleave slip, or a
+    rounding-mode divergence changes pixel_sum and fails the hash.
+    mean_pixel divides by 3*w*h (three samples per pixel). Only
+    subsampled chroma and progressive JPEG remain behind
+    NotImplementedError. Both stages chained row-local mapInPandas —
+    one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_sample_jpeg_color, "doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA).select(
         "doc_id", "width", "height", "format", "n_pixels", "pixel_sum",

@@ -420,15 +420,17 @@ def test_decode_pixels_bmp_strips_row_padding():
     assert decode_pixels(make_png(4, 3, 50)) == ("png", 4, 3, 3, 50 * 3 * 4 * 3)
 
 
-def test_jpeg_rejects_progressive_and_color():
-    """Baseline grayscale decodes for real now; progressive (SOF2) and
-    multi-component color stay behind honest NotImplementedError gates,
-    as does audio's compressed-codec path."""
+def test_jpeg_rejects_progressive_and_subsampled():
+    """Baseline grayscale AND 4:4:4 color decode for real now;
+    progressive (SOF2) and subsampled chroma (non-1x1 sampling, the
+    multi-block-per-MCU interleave) stay behind honest
+    NotImplementedError gates."""
     import struct
 
     from simplemapreduceframework_spark.operators.multimodal import (
         decode_pixels,
         make_jpeg,
+        make_jpeg_color,
     )
 
     j = bytearray(make_jpeg(8, 8, 50))
@@ -436,14 +438,60 @@ def test_jpeg_rejects_progressive_and_color():
     j[sof + 1] = 0xC2  # flip baseline -> progressive
     with pytest.raises(NotImplementedError):
         decode_pixels(bytes(j))
-    color = (
+    sub = (
         b"\xff\xd8"
         + b"\xff\xc0"
         + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
-        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # 2x2 luma: 4:2:0
     )
     with pytest.raises(NotImplementedError):
-        decode_pixels(color)
+        decode_pixels(sub)
+    # flipping a sampling byte in a real color file must also raise
+    c = bytearray(make_jpeg_color(8, 8, 50))
+    sof = c.find(b"\xff\xc0")
+    c[sof + 2 + 8 + 1] = 0x22  # first component's sampling byte
+    with pytest.raises(NotImplementedError):
+        decode_pixels(bytes(c))
+
+
+def test_jpeg_color_roundtrip_closed_form():
+    """4:4:4 color encode->decode is bit-exact through the pinned
+    floor(x+0.5) YCbCr->RGB conversion: the decoded RGB sum must match
+    the closed form for odd/even block grids, chroma extremes wrapping
+    through clipping, and restart intervals resetting all three
+    predictors."""
+    import math
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+        make_jpeg_color,
+    )
+
+    def clip(v):
+        return min(255, max(0, v))
+
+    def rgbsum(y, cb, cr):
+        r = clip(math.floor(y + 1.402 * (cr - 128.0) + 0.5))
+        g = clip(
+            math.floor(
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+            )
+        )
+        b = clip(math.floor(y + 1.772 * (cb - 128.0) + 0.5))
+        return r + g + b
+
+    for fill in [0, 77, 128, 255, 999, 3001]:
+        for bw, bh, ri in [(1, 1, 0), (3, 2, 0), (5, 3, 2), (4, 4, 3)]:
+            w, h = 8 * bw, 8 * bh
+            ya, yb = fill % 256, (fill * 7 + 13) % 256
+            cb, cr = (fill * 31 + 7) % 256, (fill * 17 + 3) % 256
+            n_even = (bw * bh + (bw % 2) * (bh % 2)) // 2
+            want = 64 * (
+                n_even * rgbsum(ya, cb, cr)
+                + (bw * bh - n_even) * rgbsum(yb, cb, cr)
+            )
+            j = make_jpeg_color(w, h, fill, restart_interval=ri)
+            assert decode_pixels(j) == ("jpeg", w, h, 3, want), (fill, bw, bh)
 
 
 def test_jpeg_hand_pinned_bitstream():

@@ -27,6 +27,7 @@ _ROUND7_MUST_CHECK = [
     "events_funnel",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
+    "multimodal_decode_color",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",
