@@ -127,6 +127,11 @@ HEADLINE = [
     "experiment_readout",
     "streaming_capped_contrib_live",
     "entity_golden_records",
+    # round 7 late additions — lossless prefix-filter similarity join,
+    # degree-oriented triangle counting, seeded negative sampling.
+    "simjoin_prefix_filter",
+    "graph_triangles",
+    "train_negative_sampling",
 ]
 
 

@@ -652,3 +652,134 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_RULE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph: parts are vertices, an
+# edge connects two parts bought together in >= _TRI_MIN_COBUY distinct
+# orders, and a triangle is three parts pairwise co-bought — the
+# community/cohesion primitive (clustering coefficient, spam-graph
+# detection, feature for recommendation). Degree orientation (Cohen,
+# "Graph Twiddling in a MapReduce World", 2009) makes each wedge
+# generate from the LOWER-degree endpoint, bounding per-vertex fan-out
+# at O(sqrt(E)) however hot the hub — the standard trick that keeps an
+# E^2 self-join at bay on power-law graphs.
+
+_TRI_MIN_COBUY = 2  # co-purchase count that makes an edge
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_TRI_MIN_COBUY}
+),
+deg AS (
+    SELECT p, COUNT(*) AS d
+    FROM (SELECT u AS p FROM edges UNION ALL SELECT v FROM edges)
+    GROUP BY p
+),
+oriented AS (
+    SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+           CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t,
+           CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dt
+    FROM edges JOIN deg du ON du.p = u JOIN deg dv ON dv.p = v
+),
+tri AS (
+    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+    FROM oriented e1
+    JOIN oriented e2 ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)
+    JOIN oriented e3 ON e3.s = e1.t AND e3.t = e2.t
+)
+SELECT p AS part, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (SELECT a AS p FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY p
+""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph: for
+    every part in at least one triangle, how many triangles it closes.
+
+    Shape at scale: edges generate ROW-LOCALLY from the shared
+    persisted basket frame (no self-join on the fact table — quadratic
+    only in bounded basket width); the degree table is
+    vertex-dimension-sized and broadcasts under the edge frame; the
+    wedge self-join runs on the DEGREE-ORIENTED edge list, so each
+    wedge enumerates from its lowest-degree vertex (out-degree bounded
+    by O(sqrt(E)) — the hub that would explode an unoriented self-join
+    contributes no wedges); closure is one equi-join of wedges against
+    oriented edges on the composite (source, target) key. The oracle
+    derives the identical graph from lineitem with the self-join
+    formulation — same edge multiset, same orientation rule
+    (lexicographic (degree, part) — strict total order because part
+    keys are distinct), so the triangle sets agree exactly.
+    """
+    baskets = _baskets(spark, sf_dir)
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    "           y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _TRI_MIN_COBUY)
+        .drop("n_ab")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = F.col("du.d")
+    dv = F.col("dv.d")
+    u_first = F.struct(du.alias("d"), F.col("u").alias("p")) < F.struct(
+        dv.alias("d"), F.col("v").alias("p")
+    )
+    oriented = (
+        edges.join(F.broadcast(deg.alias("du")), F.col("du.p") == F.col("u"))
+        .join(F.broadcast(deg.alias("dv")), F.col("dv.p") == F.col("v"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, dv).otherwise(du).alias("dt"),
+        )
+        .persist()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_ord = F.struct(
+        F.col("e1.dt").alias("d"), F.col("e1.t").alias("p")
+    ) < F.struct(F.col("e2.dt").alias("d"), F.col("e2.t").alias("p"))
+    tri = (
+        e1.join(e2, (F.col("e1.s") == F.col("e2.s")) & wedge_ord)
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.t")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .select(
+            F.col("e1.s").alias("a"),
+            F.col("e1.t").alias("b"),
+            F.col("e2.t").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )

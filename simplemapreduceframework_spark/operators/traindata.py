@@ -482,3 +482,98 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .._serde import pickle_by_value as _pbv  # noqa: E402
 _pbv(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive retrieval training:
+# for every anchor vector draw K pseudo-random negatives from the
+# corpus, rejecting self-pairs and same-label draws (in-class "false
+# negatives" would teach the bi-encoder to push apart vectors that
+# belong together). The draw is a seeded hash, not an RNG: both
+# engines (and any re-run — reproducible training data is the point)
+# derive the identical sample from md5(anchor ':' slot).
+
+_NEG_K = 4  # negatives drawn per anchor before rejection
+
+
+@query(
+    "train_negative_sampling",
+    oracle=f"""
+WITH ranked AS (
+    SELECT vec_id, label, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM embeddings),
+anchors AS (
+    SELECT vec_id, label, UNNEST(range(1, {_NEG_K} + 1)) AS s
+    FROM embeddings
+),
+draws AS (
+    SELECT a.vec_id, a.label, a.s,
+           (CAST('0x' || substr(md5(a.vec_id || ':' || a.s), 1, 8)
+                 AS BIGINT) % n.c) + 1 AS draw
+    FROM anchors a CROSS JOIN n
+)
+SELECT d.vec_id, CAST(d.s AS INT) AS slot,
+       r.vec_id AS neg_vec_id, r.label AS neg_label
+FROM draws d JOIN ranked r ON r.rn = d.draw
+WHERE r.vec_id <> d.vec_id AND r.label <> d.label
+""",
+)
+def train_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K deterministic random negatives per anchor vector, label-aware:
+    draws that land on the anchor itself or on its own class are
+    rejected (production would redraw those slots; dropping keeps the
+    sample a pure function of the corpus — at 10 balanced classes the
+    expected yield is ~0.9*K per anchor, and slot ids record which
+    draws survived).
+
+    Shape at scale: the dense position index comes from
+    global_row_number (range-partitioned sort + per-partition offsets
+    — no single-partition Window; the oracle's ROW_NUMBER is the
+    semantic twin, not the plan); anchors explode row-locally to K
+    slots; the draw joins back to the position index on the dense rank
+    — one shuffle equi-join of a Kx frame against the corpus, both
+    sides partitioned by the join key. The hash draw is
+    hex32(md5) % N, engine-identical by construction.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    memo = session_memo(spark)
+    key = ("neg_rank", sf_dir)
+    if key in memo:
+        ranked, total = memo[key]
+    else:
+        from ..functions.ranking import global_row_number
+
+        gr = global_row_number(emb, [F.col("vec_id")], out="rn")
+        ranked, total = gr.df.persist(), gr.count
+        memo[key] = (ranked, total)
+        gr.release()
+    anchors = emb.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("s"),
+    )
+    draw = (
+        hex32(F.concat_ws(":", F.col("vec_id"), F.col("s"))) % F.lit(total)
+        + 1
+    )
+    neg = ranked.select(
+        F.col("rn").alias("draw"),
+        F.col("vec_id").alias("neg_vec_id"),
+        F.col("label").alias("neg_label"),
+    )
+    return (
+        anchors.withColumn("draw", draw)
+        .join(neg, "draw")
+        .filter(
+            (F.col("neg_vec_id") != F.col("vec_id"))
+            & (F.col("neg_label") != F.col("label"))
+        )
+        .select(
+            "vec_id",
+            F.col("s").cast("int").alias("slot"),
+            "neg_vec_id",
+            "neg_label",
+        )
+    )

@@ -95,6 +95,9 @@ CHECK_PRIORITY: list[str] = [
     "experiment_readout",  # new: A/B arm split + lift + pooled z
     "streaming_capped_contrib_live",  # new: live contribution bounding
     "entity_golden_records",  # new: ER transitive merge + golden election
+    "simjoin_prefix_filter",  # new: lossless prefix-filtered Jaccard join
+    "graph_triangles",  # new: degree-oriented triangle counting
+    "train_negative_sampling",  # new: seeded contrastive negatives
     # stale r1 rows (pre-testdata regeneration) — rotate the record
     "dedup_ngram_jaccard",
     "q26_sql_api",

@@ -978,3 +978,60 @@ def test_snapshot_diff_statuses_partition_the_id_space(spark, sf_dir):
             assert rows[d] == "unchanged", d
         if d % 13 == 0:
             assert rows[d + 1_000_000] == "added", d
+
+
+def test_simjoin_prefix_filter_exact_vs_python_bruteforce(spark, sf_dir):
+    """The prefix-filtered join must equal a no-filter brute force over
+    the same shingle sets — losslessness end-to-end, independent of the
+    SQL oracle."""
+    import re
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    sets = {}
+    for r in docs:
+        t = re.findall(r"\w+", r.text.lower())
+        sh = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+        if sh:
+            sets[r.doc_id] = sh
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.5:
+                want[(a, b)] = j
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in Q["simjoin_prefix_filter"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    assert all(a < b for a, b in got)
+
+
+def test_simjoin_superset_of_capped_ngram_pairs(spark, sf_dir):
+    """dedup_ngram_jaccard's bucket cap makes its jaccard a
+    conservative UNDERestimate, so every pair it reports at >= 0.5 must
+    appear in the lossless prefix-filter join with jaccard at least as
+    large."""
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in Q["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in Q["simjoin_prefix_filter"](spark, sf_dir).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, j in capped.items():
+        assert exact[k] >= j - 1e-12

@@ -188,3 +188,52 @@ def test_pagerank_random_graphs_property(spark):
         got = {r["node"]: r["r"] for r in ranks.collect()}
         want = _reference_pagerank(both, _ITERS)
         assert got == want, (seed, got, want)
+
+
+def test_triangles_match_python_model(spark, sf_dir):
+    """Recompute the co-purchase triangle counts with a plain-Python
+    adjacency model and compare exactly (edge contract: pairs co-bought
+    in >= _TRI_MIN_COBUY distinct orders, NULL keys excluded)."""
+    from collections import Counter
+
+    from simplemapreduceframework_spark.operators.graph import (
+        _TRI_MIN_COBUY,
+    )
+
+    items = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .dropna()
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set[int]] = {}
+    for r in items:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pair_n: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_n[(a, b)] += 1
+    adj: dict[int, set[int]] = {}
+    for (a, b), n in pair_n.items():
+        if n >= _TRI_MIN_COBUY:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want: Counter = Counter()
+    for a in adj:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    want[a] += 1
+                    want[b] += 1
+                    want[c] += 1
+    got = {
+        r.part: r.n_tri
+        for r in Q["graph_triangles"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) % 3 == 0

@@ -224,3 +224,42 @@ def test_curriculum_plan_has_no_window_node(spark, sf_dir):
 
     plan = explain_str(Q["curriculum_schedule"](spark, sf_dir))
     assert "Window" not in plan, plan
+
+
+def test_negative_sampling_python_twin_and_invariants(spark, sf_dir):
+    """Replicate the seeded draw in plain Python (md5 first-8-hex mod N
+    over the vec_id-ordered corpus) and compare exactly; then the
+    contract: slots in 1..K, no self pairs, no same-label pairs,
+    deterministic across runs."""
+    import hashlib
+
+    from simplemapreduceframework_spark.operators.traindata import _NEG_K
+
+    emb = sorted(
+        (
+            (r.vec_id, r.label)
+            for r in spark.read.parquet(
+                f"{sf_dir}/embeddings.parquet"
+            ).collect()
+        )
+    )
+    n = len(emb)
+    want = set()
+    for vec_id, label in emb:
+        for s in range(1, _NEG_K + 1):
+            h = hashlib.md5(f"{vec_id}:{s}".encode()).hexdigest()
+            draw = int(h[:8], 16) % n  # 0-based index into vec_id order
+            nv, nl = emb[draw]
+            if nv != vec_id and nl != label:
+                want.add((vec_id, s, nv, nl))
+    got = {
+        (r.vec_id, r.slot, r.neg_vec_id, r.neg_label)
+        for r in Q["train_negative_sampling"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(1 <= s <= _NEG_K for _, s, _, _ in got)
+    got2 = {
+        (r.vec_id, r.slot, r.neg_vec_id, r.neg_label)
+        for r in Q["train_negative_sampling"](spark, sf_dir).collect()
+    }
+    assert got2 == got
