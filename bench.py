@@ -132,6 +132,7 @@ HEADLINE = [
     "simjoin_prefix_filter",
     "graph_triangles",
     "train_negative_sampling",
+    "split_leakage_safe",
 ]
 
 

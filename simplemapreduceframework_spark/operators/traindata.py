@@ -577,3 +577,65 @@ def train_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_label",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: the near-dup-aware refinement of split_train_test.
+# Hashing doc_id splits a near-duplicate PAIR across train and test
+# ~18% of the time (2 * 0.9 * 0.1) — the eval set then contains
+# near-copies of training documents and the benchmark leaks. Assigning
+# by the CLUSTER label instead moves whole components: by construction
+# no verified near-dup pair can straddle the boundary.
+
+
+from .dedup import _MINHASH_PAIRS_CTES as _PAIR_CTES  # noqa: E402
+
+_LEAKAGE_ORACLE = f"""
+WITH RECURSIVE {_PAIR_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST('0x' || substr(
+                md5('split' || CAST(cluster_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 100 < {_TEST_PCT}
+            THEN 'test' ELSE 'train' END AS split
+FROM lab
+"""
+
+
+@query("split_leakage_safe", oracle=_LEAKAGE_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc train/test assignment keyed on the near-dup cluster
+    label: split = salted-hash(cluster_id) % 100, so every document in
+    a MinHash-verified near-dup component lands on the same side
+    (singleton clusters degenerate to the plain doc_id split — the
+    label IS the doc_id).
+
+    Shape at scale: cluster labels come from the memoized O(log n)
+    large-star/small-star components (dedup.dedup_clusters); the split
+    is a row-local hash of the label; the only new exchange is the
+    doc->label equi-join, both sides partitioned on doc_id. The oracle
+    recomputes labels via the recursive-CTE closure and applies the
+    identical salted hash.
+    """
+    from .dedup import dedup_clusters
+
+    labels = dedup_clusters(spark, sf_dir)
+    split = (
+        hex32(F.concat(F.lit("split"), F.col("cluster_id").cast("string")))
+        % 100
+    )
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(split < _TEST_PCT, "test").otherwise("train").alias("split"),
+    )

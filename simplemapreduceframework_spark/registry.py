@@ -98,6 +98,7 @@ CHECK_PRIORITY: list[str] = [
     "simjoin_prefix_filter",  # new: lossless prefix-filtered Jaccard join
     "graph_triangles",  # new: degree-oriented triangle counting
     "train_negative_sampling",  # new: seeded contrastive negatives
+    "split_leakage_safe",  # new: cluster-keyed train/test split
     # stale r1 rows (pre-testdata regeneration) — rotate the record
     "dedup_ngram_jaccard",
     "q26_sql_api",

@@ -263,3 +263,25 @@ def test_negative_sampling_python_twin_and_invariants(spark, sf_dir):
         for r in Q["train_negative_sampling"](spark, sf_dir).collect()
     }
     assert got2 == got
+
+
+def test_leakage_safe_split_never_splits_a_near_dup_pair(spark, sf_dir):
+    """The defining property: every MinHash-verified near-dup pair
+    lands on ONE side of the boundary, and each cluster maps to
+    exactly one split."""
+    assign = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in Q["split_leakage_safe"](spark, sf_dir).collect()
+    }
+    pairs = Q["dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert pairs  # vacuous otherwise
+    for p in pairs:
+        assert assign[p.doc_a][1] == assign[p.doc_b][1]
+    by_cluster = {}
+    for cid, split in assign.values():
+        by_cluster.setdefault(cid, set()).add(split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # full coverage of the corpus, both splits populated
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(assign) == n
+    assert {s for _, s in assign.values()} == {"train", "test"}
