@@ -974,6 +974,113 @@ def make_jpeg_color(
     return b"".join(segs)
 
 
+def make_jpeg_420(
+    width: int, height: int, fill: int = 0, restart_interval: int = 0
+) -> bytes:
+    """A REAL baseline COLOR JPEG with 4:2:0 CHROMA SUBSAMPLING (SOF0,
+    luma 2x2 / chroma 1x1 sampling — the factors every camera and web
+    encoder ships), pure stdlib: each 16x16 MCU interleaves four Y
+    blocks (row-major) then one Cb and one Cr block covering the same
+    area at half resolution, per-component DC predictors, shared Annex
+    K tables, DRI/RSTn per MCU when requested. Luma is the same
+    8x8-block checkerboard as make_jpeg; chroma is constant per image
+    (same derivations as make_jpeg_color), so replication upsampling
+    is exact and the decoded RGB pixel sum keeps the 4:4:4 closed
+    form."""
+    import struct
+
+    if width % 16 or height % 16:
+        raise ValueError("make_jpeg_420 emits whole 16x16 MCUs only")
+    ya = fill % 256
+    yb = (fill * 7 + 13) % 256
+    cb = (fill * 31 + 7) % 256
+    cr = (fill * 17 + 3) % 256
+    mw, mh = width // 16, height // 16
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    scan = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, n: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << n) | code
+        nbits += n
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0)  # T.81 byte stuffing
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def flush_to_byte() -> None:
+        if nbits:
+            emit((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+    def emit_dc_eob(diff: int) -> None:
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        emit(code, ln)
+        if s:
+            emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        eob, eln = ac_codes[0x00]
+        emit(eob, eln)
+
+    preds = [0, 0, 0]
+    rst = 0
+    mcu = 0
+    for my in range(mh):
+        for mx in range(mw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                flush_to_byte()
+                scan += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = [0, 0, 0]
+            # four luma blocks, row-major within the MCU, checkerboard
+            # on the GLOBAL 8x8 block grid (2*my+byy, 2*mx+bxx)
+            for byy in range(2):
+                for bxx in range(2):
+                    by, bx = 2 * my + byy, 2 * mx + bxx
+                    y = (ya if (bx + by) % 2 == 0 else yb) - 128
+                    emit_dc_eob(y - preds[0])
+                    preds[0] = y
+            for ci, v in ((1, cb - 128), (2, cr - 128)):
+                emit_dc_eob(v - preds[ci])
+                preds[ci] = v
+            mcu += 1
+    flush_to_byte()
+
+    qtable = bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)  # zigzag order
+    segs = [
+        b"\xff\xd8",  # SOI
+        b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + qtable,  # DQT
+        b"\xff\xc0"  # SOF0: 8-bit, 3 components, 2x2 luma sampling
+        + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS),
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS),
+    ]
+    if restart_interval:
+        segs.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
+    segs += [
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00])
+        + bytes([0, 63, 0]),  # SOS: 3 components, shared tables
+        bytes(scan),
+        b"\xff\xd9",  # EOI
+    ]
+    return b"".join(segs)
+
+
 class _JpegBitReader:
     """MSB-first bit reader over already-unstuffed entropy bytes."""
 
@@ -1020,11 +1127,13 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
     the oracle can replicate it bit-for-bit in SQL. This is a GENERAL
     baseline decoder for the unsubsampled case — AC coefficients,
     restart predictor resets, and edge-block cropping all handled —
-    not just the inverse of make_jpeg. Progressive (SOF2), arithmetic
-    coding, and subsampled chroma (sampling factors other than 1x1,
-    which add the multi-block-per-MCU interleave) raise
-    NotImplementedError: honest gates, dimensions still available via
-    decode_real."""
+    not just the inverse of make_jpeg. Subsampled chroma decodes too:
+    general (h, v) sampling factors drive the T.81 multi-block MCU
+    interleave, per-component sample grids, and replication upsampling
+    (the libjpeg non-fancy upsampler) back to full resolution — 4:2:0
+    / 4:2:2 / 4:4:0 all take this path. Progressive (SOF2) and
+    arithmetic coding raise NotImplementedError: honest gates,
+    dimensions still available via decode_real."""
     import struct
 
     import numpy as np
@@ -1083,12 +1192,15 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
                 )
             for ci in range(ncomp):
                 cid, sampling, qid = seg[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
+                comps.append((cid, qid, sampling >> 4, sampling & 0xF))
+            for _, _, sh, sv in comps:
+                if (
+                    max(c[2] for c in comps) % sh
+                    or max(c[3] for c in comps) % sv
+                ):
                     raise NotImplementedError(
-                        "subsampled chroma (multi-block MCU interleave) "
-                        "not implemented — 4:4:4 only"
+                        "non-integer chroma upsampling ratio"
                     )
-                comps.append((cid, qid))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1128,7 +1240,12 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
         i += 1
     segments.append(bytes(cur))
 
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    # MCU grid: hmax x vmax blocks of luma per MCU (1x1 when
+    # unsubsampled, where this reduces to the plain block grid)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); f = A^T F A
     u = np.arange(8).reshape(8, 1)
     x = np.arange(8).reshape(1, 8)
@@ -1160,32 +1277,53 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
         return pred, np.clip(np.round(block) + 128, 0, 255).astype(np.int64)
 
     ncomp = len(comps)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in comps]
+    planes = [
+        np.zeros((mcuy * sv * 8, mcux * sh * 8), dtype=np.int64)
+        for _, _, sh, sv in comps
+    ]
     tables = []  # per SOF-order component: (dcd, acd, q)
-    for cid, qid in comps:
+    for cid, qid, _, _ in comps:
         dc_id, ac_id = sos_tables[cid]
         tables.append((huff[(0, dc_id)], huff[(1, ac_id)], qt[qid]))
     mcus_done = 0
     seg_iter = iter(segments)
     br = _JpegBitReader(next(seg_iter))
     preds = [0] * ncomp
-    while mcus_done < bw * bh:
+    while mcus_done < mcux * mcuy:
         if dri and mcus_done and mcus_done % dri == 0:
             br = _JpegBitReader(next(seg_iter))
             preds = [0] * ncomp
-        by, bx = divmod(mcus_done, bw)
+        my, mx = divmod(mcus_done, mcux)
+        # T.81 interleave: per MCU each component contributes its
+        # full v x h block grid, row-major, before the next component
         for ci, (dcd, acd, q) in enumerate(tables):
-            preds[ci], px = read_block(br, dcd, acd, q, preds[ci])
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            sh, sv = comps[ci][2], comps[ci][3]
+            for byy in range(sv):
+                for bxx in range(sh):
+                    preds[ci], px = read_block(br, dcd, acd, q, preds[ci])
+                    r0 = (my * sv + byy) * 8
+                    c0 = (mx * sh + bxx) * 8
+                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
         mcus_done += 1
+    # crop each component to its true sample grid, then upsample by
+    # pixel replication (the libjpeg non-fancy upsampler) to full res
+    full = []
+    for ci, (_, _, sh, sv) in enumerate(comps):
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        p = planes[ci][:ch, :cw]
+        if sh != hmax or sv != vmax:
+            p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
+        full.append(p[:h, :w])
+    planes = full
     if ncomp == 1:
-        return w, h, 1, int(planes[0][:h, :w].sum())
+        return w, h, 1, int(planes[0].sum())
     # T.871 YCbCr -> RGB, rounding pinned to floor(x + 0.5) so a SQL
     # oracle (FLOOR(x + 0.5), LEAST/GREATEST clip) reproduces every
     # sample bit-for-bit — np.round's half-even would diverge at .5.
-    Y = planes[0][:h, :w].astype(np.float64)
-    Cb = planes[1][:h, :w].astype(np.float64)
-    Cr = planes[2][:h, :w].astype(np.float64)
+    Y = planes[0].astype(np.float64)
+    Cb = planes[1].astype(np.float64)
+    Cr = planes[2].astype(np.float64)
     r = np.clip(np.floor(Y + 1.402 * (Cr - 128.0) + 0.5), 0, 255)
     g = np.clip(
         np.floor(
@@ -1379,6 +1517,25 @@ def encode_sample_jpeg_color(
         payloads = [
             make_jpeg_color(
                 8 * (1 + d % 5), 8 * (1 + d % 3), d, restart_interval=2
+            )
+            for d in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def encode_sample_jpeg_420(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic 4:2:0 JPEG synthesis (mapInPandas body): each doc
+    gets a real chroma-subsampled baseline JPEG whose luma checkerboard
+    and chroma constants derive from doc_id; a 2-MCU restart interval
+    exercises the per-component predictor resets across the
+    multi-block interleave."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = [
+            make_jpeg_420(
+                16 * (1 + d % 3), 16 * (1 + d % 2), d, restart_interval=2
             )
             for d in ids
         ]
@@ -1707,6 +1864,72 @@ def multimodal_decode_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_jpeg_color, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA).select(
+        "doc_id", "width", "height", "format", "n_pixels", "pixel_sum",
+        "mean_pixel",
+    )
+
+
+@query(
+    "multimodal_decode_subsampled",
+    oracle="""
+SELECT doc_id,
+       CAST(16 * mw AS INTEGER) AS width,
+       CAST(16 * mh AS INTEGER) AS height,
+       'jpeg' AS format,
+       CAST(256 * mw * mh AS BIGINT) AS n_pixels,
+       CAST(64 * (n_even * s_even + (4 * mw * mh - n_even) * s_odd)
+            AS BIGINT) AS pixel_sum,
+       CAST(64 * (n_even * s_even + (4 * mw * mh - n_even) * s_odd)
+            AS DOUBLE) / (3 * 256 * mw * mh) AS mean_pixel
+FROM (
+    SELECT doc_id, mw, mh,
+           -- luma block grid is 2mw x 2mh (both even): exactly half
+           -- the blocks sit on the even checkerboard color
+           2 * mw * mh AS n_even,
+           LEAST(255, GREATEST(0,
+               FLOOR(ya + 1.402 * (cr - 128.0) + 0.5)))
+         + LEAST(255, GREATEST(0,
+               FLOOR(ya - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0) + 0.5)))
+         + LEAST(255, GREATEST(0,
+               FLOOR(ya + 1.772 * (cb - 128.0) + 0.5))) AS s_even,
+           LEAST(255, GREATEST(0,
+               FLOOR(yb + 1.402 * (cr - 128.0) + 0.5)))
+         + LEAST(255, GREATEST(0,
+               FLOOR(yb - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0) + 0.5)))
+         + LEAST(255, GREATEST(0,
+               FLOOR(yb + 1.772 * (cb - 128.0) + 0.5))) AS s_odd
+    FROM (SELECT doc_id,
+                 1 + doc_id % 3 AS mw,
+                 1 + doc_id % 2 AS mh,
+                 doc_id % 256 AS ya,
+                 (doc_id * 7 + 13) % 256 AS yb,
+                 (doc_id * 31 + 7) % 256 AS cb,
+                 (doc_id * 17 + 3) % 256 AS cr
+          FROM documents))
+""",
+)
+def multimodal_decode_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHROMA-SUBSAMPLED JPEG decode end-to-end: synthesize a genuine
+    4:2:0 baseline JPEG per doc (2x2 luma sampling — four Y blocks
+    then Cb then Cr per 16x16 MCU, the factors every camera ships;
+    luma checkerboard + constant chroma from doc_id, 2-MCU restart
+    interval), then decode the actual bytes back — the T.81
+    multi-block MCU interleave, per-component sample grids,
+    replication upsampling to full resolution, and the same pinned
+    floor(x + 0.5) YCbCr->RGB conversion. Constant chroma makes the
+    half-resolution path exactly invertible, so the oracle keeps the
+    4:4:4 closed form; an interleave slip, a predictor cross-wire
+    between the four Y blocks, or an upsample misalignment changes
+    pixel_sum and fails the hash. Both stages chained row-local
+    mapInPandas — one scan, no shuffle. Only progressive JPEG remains
+    behind NotImplementedError (the PIL/ffmpeg integration point)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_sample_jpeg_420, "doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA).select(
         "doc_id", "width", "height", "format", "n_pixels", "pixel_sum",

@@ -420,17 +420,15 @@ def test_decode_pixels_bmp_strips_row_padding():
     assert decode_pixels(make_png(4, 3, 50)) == ("png", 4, 3, 3, 50 * 3 * 4 * 3)
 
 
-def test_jpeg_rejects_progressive_and_subsampled():
-    """Baseline grayscale AND 4:4:4 color decode for real now;
-    progressive (SOF2) and subsampled chroma (non-1x1 sampling, the
-    multi-block-per-MCU interleave) stay behind honest
-    NotImplementedError gates."""
+def test_jpeg_rejects_progressive_and_nonint_ratio():
+    """Baseline grayscale, 4:4:4 color, and subsampled-chroma all
+    decode for real now; progressive (SOF2) and non-integer
+    upsampling ratios stay behind honest NotImplementedError gates."""
     import struct
 
     from simplemapreduceframework_spark.operators.multimodal import (
         decode_pixels,
         make_jpeg,
-        make_jpeg_color,
     )
 
     j = bytearray(make_jpeg(8, 8, 50))
@@ -438,20 +436,15 @@ def test_jpeg_rejects_progressive_and_subsampled():
     j[sof + 1] = 0xC2  # flip baseline -> progressive
     with pytest.raises(NotImplementedError):
         decode_pixels(bytes(j))
+    # 3x1 luma with 2x1 chroma: hmax=3 does not divide by sh=2
     sub = (
         b"\xff\xd8"
         + b"\xff\xc0"
         + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
-        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # 2x2 luma: 4:2:0
+        + bytes([1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1])
     )
     with pytest.raises(NotImplementedError):
         decode_pixels(sub)
-    # flipping a sampling byte in a real color file must also raise
-    c = bytearray(make_jpeg_color(8, 8, 50))
-    sof = c.find(b"\xff\xc0")
-    c[sof + 2 + 8 + 1] = 0x22  # first component's sampling byte
-    with pytest.raises(NotImplementedError):
-        decode_pixels(bytes(c))
 
 
 def test_jpeg_color_roundtrip_closed_form():
@@ -774,3 +767,159 @@ def test_decode_wav_negative_samples_sum_exactly():
     assert (rate, ch, n) == (16000, 1, 6)
     assert total == sum(samples)
     assert peak == 32768
+
+
+def _encode_jpeg_sampled(
+    width, height, y_blocks, cb, cr, y_sampling=(2, 2)
+):
+    """Test-local generic encoder for constant-block sampled JPEGs —
+    exists to drive the decoder BEYOND make_jpeg_420's 4:2:0 dialect
+    (e.g. 4:2:2). y_blocks is the [by][bx] grid of 0-255 luma block
+    values at the full-resolution 8x8 block grid."""
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_QAC,
+        _JPEG_QDC,
+        _jpeg_huff_codes,
+    )
+
+    sh, sv = y_sampling
+    assert width % (8 * sh) == 0 and height % (8 * sv) == 0
+    mw, mh = width // (8 * sh), height // (8 * sv)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    scan = bytearray()
+    state = {"acc": 0, "n": 0}
+
+    def emit(code, n):
+        state["acc"] = (state["acc"] << n) | code
+        state["n"] += n
+        while state["n"] >= 8:
+            byte = (state["acc"] >> (state["n"] - 8)) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0)
+            state["n"] -= 8
+            state["acc"] &= (1 << state["n"]) - 1
+
+    def emit_dc_eob(diff):
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        emit(code, ln)
+        if s:
+            emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        eob, eln = ac_codes[0x00]
+        emit(eob, eln)
+
+    preds = [0, 0, 0]
+    for my in range(mh):
+        for mx in range(mw):
+            for byy in range(sv):
+                for bxx in range(sh):
+                    v = y_blocks[my * sv + byy][mx * sh + bxx] % 256 - 128
+                    emit_dc_eob(v - preds[0])
+                    preds[0] = v
+            for ci, v in ((1, cb - 128), (2, cr - 128)):
+                emit_dc_eob(v - preds[ci])
+                preds[ci] = v
+    if state["n"]:
+        emit((1 << (8 - state["n"])) - 1, 8 - state["n"])
+    qtable = bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)
+    sampling_byte = (sh << 4) | sv
+    return b"".join(
+        [
+            b"\xff\xd8",
+            b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + qtable,
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 17, 8, height, width, 3)
+            + bytes([1, sampling_byte, 0, 2, 0x11, 0, 3, 0x11, 0]),
+            b"\xff\xc4"
+            + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+            + bytes(_JPEG_DC_BITS)
+            + bytes(_JPEG_DC_VALS),
+            b"\xff\xc4"
+            + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
+            + bytes(_JPEG_AC_BITS)
+            + bytes(_JPEG_AC_VALS),
+            b"\xff\xda"
+            + struct.pack(">HB", 12, 3)
+            + bytes([1, 0x00, 2, 0x00, 3, 0x00])
+            + bytes([0, 63, 0]),
+            bytes(scan),
+            b"\xff\xd9",
+        ]
+    )
+
+
+def _rgb_sum_of(y, cb, cr):
+    import math
+
+    r = min(255, max(0, math.floor(y + 1.402 * (cr - 128.0) + 0.5)))
+    g = min(
+        255,
+        max(
+            0,
+            math.floor(
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+            ),
+        ),
+    )
+    b = min(255, max(0, math.floor(y + 1.772 * (cb - 128.0) + 0.5)))
+    return r + g + b
+
+
+def test_jpeg_420_roundtrip_closed_form():
+    """4:2:0 encode->decode is bit-exact: four-Y-block MCU interleave,
+    per-component predictors across restart resets, replication
+    upsampling of constant chroma — swept over fills (incl. chroma
+    extremes wrapping through clipping) and MCU grid shapes."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+        make_jpeg_420,
+    )
+
+    for fill in (0, 50, 127, 128, 200, 255, 77, 3):
+        for (w, h) in ((16, 16), (48, 16), (32, 32), (16, 48)):
+            for ri in (0, 1, 2, 5):
+                fmt, W, H, ch, psum = decode_pixels(
+                    make_jpeg_420(w, h, fill, restart_interval=ri)
+                )
+                ya, yb = fill % 256, (fill * 7 + 13) % 256
+                cb, cr = (fill * 31 + 7) % 256, (fill * 17 + 3) % 256
+                bw, bh = w // 8, h // 8
+                n_even = (bw * bh + (bw % 2) * (bh % 2)) // 2
+                want = 64 * (
+                    n_even * _rgb_sum_of(ya, cb, cr)
+                    + (bw * bh - n_even) * _rgb_sum_of(yb, cb, cr)
+                )
+                assert (fmt, W, H, ch) == ("jpeg", w, h, 3)
+                assert psum == want
+
+
+def test_jpeg_422_decodes_beyond_encoder_dialect():
+    """The decoder handles sampling factors make_jpeg_420 never emits:
+    a hand-assembled 4:2:2 stream (2x1 luma, 16x8 MCUs) with a
+    DISTINCT value per luma block — placement-sensitive, so a
+    transposed interleave or row/column-swapped upsample changes the
+    sum."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+    )
+
+    w, h = 32, 16  # 2x2 MCUs of 16x8 -> luma block grid 4x2
+    y_blocks = [[10, 40, 90, 160], [250, 200, 130, 60]]
+    cb, cr = 77, 190
+    payload = _encode_jpeg_sampled(
+        w, h, y_blocks, cb, cr, y_sampling=(2, 1)
+    )
+    fmt, W, H, ch, psum = decode_pixels(payload)
+    want = 64 * sum(
+        _rgb_sum_of(v % 256, cb, cr) for row in y_blocks for v in row
+    )
+    assert (fmt, W, H, ch) == ("jpeg", w, h, 3)
+    assert psum == want

@@ -28,6 +28,7 @@ _ROUND7_MUST_CHECK = [
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
     "multimodal_decode_color",
+    "multimodal_decode_subsampled",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",
