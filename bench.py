@@ -133,6 +133,12 @@ HEADLINE = [
     "graph_triangles",
     "train_negative_sampling",
     "split_leakage_safe",
+    # round 7 hygiene tier — NFC normalize, exact-substring dup scan,
+    # fertility report, and the 4:2:0 JPEG decode gate.
+    "text_normalize_unicode",
+    "dedup_substring",
+    "tokenizer_fertility",
+    "multimodal_decode_subsampled",
 ]
 
 

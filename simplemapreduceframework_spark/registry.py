@@ -57,6 +57,7 @@ def load_all() -> None:
         similarity,
         streamingq,
         textanalysis,
+        textnorm,
         timeseries,
         traindata,
         udfs,
@@ -100,6 +101,9 @@ CHECK_PRIORITY: list[str] = [
     "graph_triangles",  # new: degree-oriented triangle counting
     "train_negative_sampling",  # new: seeded contrastive negatives
     "split_leakage_safe",  # new: cluster-keyed train/test split
+    "text_normalize_unicode",  # new: NFC normalize (pandas UDF, exact)
+    "dedup_substring",  # new: cross-doc exact-substring duplication
+    "tokenizer_fertility",  # new: per-lang chars/token report
     # stale r1 rows (pre-testdata regeneration) — rotate the record
     "dedup_ngram_jaccard",
     "q26_sql_api",

@@ -38,6 +38,9 @@ _ROUND7_MUST_CHECK = [
     "experiment_readout",
     "streaming_capped_contrib_live",
     "entity_golden_records",
+    "text_normalize_unicode",
+    "dedup_substring",
+    "tokenizer_fertility",
 ]
 
 

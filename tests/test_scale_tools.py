@@ -307,6 +307,10 @@ def test_operators_on_empty_tables(spark, tmp_path):
         "events_transition_matrix",
         "text_quality_classifier",
         "text_bm25_batch",
+        # round 7: unicode/substring/fertility hygiene tier
+        "text_normalize_unicode",
+        "dedup_substring",
+        "tokenizer_fertility",
     ]:
         rows = registry.QUERIES[name](spark, empty_dir).collect()
         assert rows == [], (name, rows[:3])
@@ -394,6 +398,12 @@ def test_operators_with_null_text_rows(spark, tmp_path):
             # pairs; the GIF gate synthesizes from doc_id alone
             "doc_similarity_sparse",
             "multimodal_decode_gif",
+            # round 7: NULL text must propagate NULL through the NFC
+            # UDF/concat/md5 chain, drop out of the window set, and
+            # SUM-skip in the fertility report on both engines
+            "text_normalize_unicode",
+            "dedup_substring",
+            "tokenizer_fertility",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
