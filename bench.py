@@ -139,6 +139,7 @@ HEADLINE = [
     "dedup_substring",
     "tokenizer_fertility",
     "multimodal_decode_subsampled",
+    "embedding_pca_gate",
 ]
 
 

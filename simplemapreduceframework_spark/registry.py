@@ -44,6 +44,7 @@ def load_all() -> None:
         bpe,
         dedup,
         graph,
+        linalg,
         linkage,
         llmfilters,
         multimodal,
@@ -104,6 +105,7 @@ CHECK_PRIORITY: list[str] = [
     "text_normalize_unicode",  # new: NFC normalize (pandas UDF, exact)
     "dedup_substring",  # new: cross-doc exact-substring duplication
     "tokenizer_fertility",  # new: per-lang chars/token report
+    "embedding_pca_gate",  # new: distributed PCA variance-identity gate
     # stale r1 rows (pre-testdata regeneration) — rotate the record
     "dedup_ngram_jaccard",
     "q26_sql_api",

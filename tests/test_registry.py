@@ -41,6 +41,7 @@ _ROUND7_MUST_CHECK = [
     "text_normalize_unicode",
     "dedup_substring",
     "tokenizer_fertility",
+    "embedding_pca_gate",
 ]
 
 

@@ -444,6 +444,10 @@ def test_operators_with_null_embedding_rows(spark, tmp_path):
             "ann_lsh_bucketed",
             "dedup_embedding_cosine",
             "hybrid_search_rrf",
+            # round 7: the moment sketch must skip NULL vectors (same
+            # load-boundary filter), keeping the count and gate aligned
+            # with the oracle's COUNT(*) ... IS NOT NULL
+            "embedding_pca_gate",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
