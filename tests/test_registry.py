@@ -42,6 +42,7 @@ _ROUND7_MUST_CHECK = [
     "dedup_substring",
     "tokenizer_fertility",
     "embedding_pca_gate",
+    "approx_percentiles_gate",
 ]
 
 
