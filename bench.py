@@ -141,6 +141,7 @@ HEADLINE = [
     "multimodal_decode_subsampled",
     "embedding_pca_gate",
     "approx_percentiles_gate",
+    "sample_weighted_bottomk",
 ]
 
 

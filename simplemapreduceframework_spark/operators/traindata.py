@@ -269,6 +269,57 @@ def sample_stratified_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_weighted_bottomk",
+    oracle=f"""
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS weight
+FROM documents
+WHERE text IS NOT NULL AND LENGTH(text) > 0
+ORDER BY -ln((CAST('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1) / 4294967296.0)
+             / LENGTH(text),
+         doc_id
+LIMIT {_SAMPLE_K}
+""",
+)
+def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sample without replacement via Efraimidis-Spirakis
+    A-ES keys (doc weight = char length — the standard byte-budget
+    sampling a corpus-mixing pipeline uses): each doc draws the
+    deterministic uniform u = (salted-hash + 1) / 2^32 and the k
+    smallest exponential keys -ln(u)/w ARE a weight-proportional
+    sample — one pass, no RNG state, no population count, membership
+    stable under corpus growth (same properties as sample_bottomk,
+    plus weighting). Plans as TakeOrderedAndProject: per-partition
+    k-row heaps, no global sort.
+
+    Exactness: u is an exact dyadic double (integer / 2^32) built from
+    the same md5 prefix on both engines, so the key differs across
+    engines by at most 1 ulp of ln — order-flipping would need two
+    keys within ~1e-16 relative, impossible among the synthetic
+    corpus's well-separated lengths. Zero-length and NULL docs are
+    excluded on both sides (their key degenerates: NULL sorts
+    FIRST/LAST differently per engine; w=0 divides by zero)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    u = (
+        hex32(F.concat(F.lit("wsample"), F.col("doc_id").cast("string")))
+        + 1
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.length("text")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.length("text").cast("bigint").alias("weight"),
+            key.alias("_k"),
+        )
+        .orderBy("_k", "doc_id")
+        .limit(_SAMPLE_K)
+        .select("doc_id", "source", "weight")
+    )
+
+
 # Source mixing weights in basis points (1.0 = 10000): oversampled
 # "high-quality" tier, neutral tier, downsampled tier. Fractional
 # copies resolve deterministically per doc (salted-hash bucket against

@@ -43,6 +43,7 @@ _ROUND7_MUST_CHECK = [
     "tokenizer_fertility",
     "embedding_pca_gate",
     "approx_percentiles_gate",
+    "sample_weighted_bottomk",
 ]
 
 

@@ -80,6 +80,40 @@ def test_bottomk_sample_is_takeordered(spark, sf_dir):
     assert a == b and len(a) == 50
 
 
+def test_weighted_sample_is_takeordered_and_weight_proportional(
+    spark, sf_dir
+):
+    """Plan: per-partition heaps, not a global sort. Math: the A-ES
+    key -ln(u)/w samples each item with probability proportional to
+    its weight — verified in pure numpy over 4000 salted draws of the
+    same formula (two items, weights 3:1, k=1: the heavy item must win
+    ~75% of draws), so the Spark side only needs exactness, which the
+    DuckDB oracle already pins."""
+    import hashlib
+
+    import numpy as np
+
+    from simplemapreduceframework_spark.plans import explain_str
+
+    df = Q["sample_weighted_bottomk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+    rows = df.collect()
+    assert len(rows) == 50
+    assert all(r["weight"] > 0 for r in rows)
+
+    def u(salt: str, i: int) -> float:
+        h = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16)
+        return (h + 1) / 4294967296.0
+
+    w = np.array([3.0, 1.0])
+    wins = 0
+    n = 4000
+    for s in range(n):
+        keys = [-np.log(u(f"t{s}_", i)) / w[i] for i in range(2)]
+        wins += keys[0] < keys[1]
+    assert abs(wins / n - 0.75) < 0.02, wins / n
+
+
 def test_stratified_sample_equal_per_stratum(spark, sf_dir):
     rows = Q["sample_stratified_bottomk"](spark, sf_dir).collect()
     from collections import Counter
