@@ -142,6 +142,7 @@ HEADLINE = [
     "embedding_pca_gate",
     "approx_percentiles_gate",
     "sample_weighted_bottomk",
+    "streaming_normalize_live",
 ]
 
 

@@ -252,6 +252,33 @@ SHOWCASE = [
         "before the (user, type) exchange, and the per-type rollup "
         "crosses only a user-sized frame; no window, no join.",
     ),
+    (
+        "text_normalize_unicode",
+        "NFC normalization: scan -> project -> one Arrow-batched "
+        "pandas UDF — zero exchanges; the only Python is the "
+        "normalizer itself, vectorized over Arrow batches.",
+    ),
+    (
+        "dedup_substring",
+        "Exact-substring duplication: the window explode is codegen'd "
+        "(transform/sequence/substring, no Python), then exactly "
+        "three exchanges — (win,doc) pre-aggregate, win-partitioned "
+        "count window, doc rollup — and NO self-join back to the "
+        "exploded window corpus.",
+    ),
+    (
+        "sample_weighted_bottomk",
+        "Weighted sampling: the A-ES exponential key is a row-local "
+        "expression and the plan is TakeOrderedAndProject — "
+        "per-partition k-row heaps, no global sort, no RNG state.",
+    ),
+    (
+        "multimodal_decode_subsampled",
+        "4:2:0 JPEG decode: two chained row-local mapInPandas stages "
+        "(synthesize, decode) over one pruned scan — no shuffle; the "
+        "multi-block MCU interleave and upsampling stay inside the "
+        "Arrow batch.",
+    ),
 ]
 
 

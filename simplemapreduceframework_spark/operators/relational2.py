@@ -473,29 +473,34 @@ def approx_percentiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     `exact_percentiles` (full-value-gated); this query pins the
     approximate path against it."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for p in (0.50, 0.90, 0.99):
-        tag = f"p{int(p * 100)}"
-        aggs += [
-            F.percentile_approx(
-                "l_quantity", F.lit(p), F.lit(_PCTL_ACCURACY)
-            ).alias(f"a_{tag}"),
-            F.percentile("l_quantity", F.lit(max(p - _PCTL_EPS, 0.0))).alias(
-                f"lo_{tag}"
-            ),
-            F.percentile("l_quantity", F.lit(min(p + _PCTL_EPS, 1.0))).alias(
-                f"hi_{tag}"
-            ),
-        ]
-    g = li.groupBy("l_returnflag").agg(*aggs)
+    ps = (0.50, 0.90, 0.99)
+    # ONE exact-percentile buffer and ONE sketch for all ranks (the
+    # array forms): six separate percentile aggregates would each
+    # buffer the group's values independently — 6x the agg memory and
+    # merge cost for identical output
+    exact_ranks = [
+        r
+        for p in ps
+        for r in (max(p - _PCTL_EPS, 0.0), min(p + _PCTL_EPS, 1.0))
+    ]
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_quantity",
+            F.array(*[F.lit(p) for p in ps]),
+            F.lit(_PCTL_ACCURACY),
+        ).alias("a"),
+        F.percentile(
+            "l_quantity", F.array(*[F.lit(r) for r in exact_ranks])
+        ).alias("x"),
+    )
     return g.select(
         "l_returnflag",
         *[
             (
-                (F.col(f"a_p{t}") >= F.col(f"lo_p{t}"))
-                & (F.col(f"a_p{t}") <= F.col(f"hi_p{t}"))
-            ).alias(f"p{t}_ok")
-            for t in (50, 90, 99)
+                (F.element_at("a", i + 1) >= F.element_at("x", 2 * i + 1))
+                & (F.element_at("a", i + 1) <= F.element_at("x", 2 * i + 2))
+            ).alias(f"p{int(p * 100)}_ok")
+            for i, p in enumerate(ps)
         ],
     )
 

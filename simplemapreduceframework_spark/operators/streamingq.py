@@ -425,6 +425,34 @@ def streaming_decontaminate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, spark, output_mode="append")
 
 
+def _nfc_oracle() -> str:
+    from .textnorm import _NFC_ORACLE
+
+    return _NFC_ORACLE
+
+
+@query("streaming_normalize_live", oracle=_nfc_oracle())
+def streaming_normalize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization at ingest: the NFC projection applied to
+    a LIVE document stream — readStream(parquet) -> Arrow-batched
+    pandas UDF -> availableNow -> memory sink.
+
+    This is the streaming tier's Python-UDF exercise: normalization is
+    row-local, so the plan is a stateless projection in append mode
+    (no state store, no watermark) with the same vectorized UDF the
+    batch path uses — proving pandas UDFs run unchanged inside
+    Structured Streaming micro-batches. Gated against the SAME oracle
+    as batch text_normalize_unicode, so one hash-match proves batch ==
+    streaming == oracle."""
+    from ..streaming import read_table_stream, run_available_now
+    from .textnorm import normalize_projection
+
+    docs = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(
+        normalize_projection(docs), spark, output_mode="append"
+    )
+
+
 def _customer_nation_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The customer -> nation enrichment dimension (c_custkey, n_name),
     shared by streaming_enrich_live and the composed ingest pipeline so

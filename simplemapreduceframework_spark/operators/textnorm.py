@@ -67,36 +67,10 @@ def _nfc_udf(s: pd.Series) -> pd.Series:
     )
 
 
-@query(
-    "text_normalize_unicode",
-    oracle=f"""
-WITH src AS (
-    SELECT doc_id, text || {_NFC_VARIANTS_SQL} AS raw
-    FROM documents
-),
-norm AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM src)
-SELECT doc_id,
-       CAST(LENGTH(raw) AS BIGINT) AS n_cp_raw,
-       CAST(LENGTH(nfc) AS BIGINT) AS n_cp_nfc,
-       CAST(nfc <> raw AS INTEGER) AS changed,
-       md5(nfc) AS nfc_md5
-FROM norm
-""",
-)
-def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NFC Unicode normalization with a bit-exact oracle: each doc gets
-    a deterministic denormalized suffix (combining sequence, singleton,
-    NFC-invariant ligature, or canonical-reorder case, by doc_id % 4),
-    the Arrow-batched pandas UDF normalizes, and the output pins
-    codepoint counts, a changed flag, and the md5 of the normalized
-    UTF-8 bytes — a wrong composition, a skipped reorder, or a
-    mangled byte changes the digest and fails the driver hash.
-
-    Scale shape: row-local (scan -> project -> vectorized UDF), zero
-    shuffles; the only Python is the normalizer itself, batched over
-    Arrow. NULL text propagates as NULL through concat/normalize/md5
-    identically on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+def normalize_projection(docs: DataFrame) -> DataFrame:
+    """The row-local NFC normalization projection, shared by the batch
+    query and its streaming twin (stateless — legal in append mode
+    with zero streaming state)."""
     variant = F.element_at(
         F.array(*[F.lit(v) for v in _NFC_VARIANTS]),
         (F.col("doc_id") % 4 + 1).cast("int"),
@@ -110,6 +84,38 @@ def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nfc != raw).cast("int").alias("changed"),
         F.md5(F.encode(nfc, "UTF-8")).alias("nfc_md5"),
     )
+
+
+_NFC_ORACLE = f"""
+WITH src AS (
+    SELECT doc_id, text || {_NFC_VARIANTS_SQL} AS raw
+    FROM documents
+),
+norm AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM src)
+SELECT doc_id,
+       CAST(LENGTH(raw) AS BIGINT) AS n_cp_raw,
+       CAST(LENGTH(nfc) AS BIGINT) AS n_cp_nfc,
+       CAST(nfc <> raw AS INTEGER) AS changed,
+       md5(nfc) AS nfc_md5
+FROM norm
+"""
+
+
+@query("text_normalize_unicode", oracle=_NFC_ORACLE)
+def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC Unicode normalization with a bit-exact oracle: each doc gets
+    a deterministic denormalized suffix (combining sequence, singleton,
+    NFC-invariant ligature, or canonical-reorder case, by doc_id % 4),
+    the Arrow-batched pandas UDF normalizes, and the output pins
+    codepoint counts, a changed flag, and the md5 of the normalized
+    UTF-8 bytes — a wrong composition, a skipped reorder, or a
+    mangled byte changes the digest and fails the driver hash.
+
+    Scale shape: row-local (scan -> project -> vectorized UDF), zero
+    shuffles; the only Python is the normalizer itself, batched over
+    Arrow. NULL text propagates as NULL through concat/normalize/md5
+    identically on both engines."""
+    return normalize_projection(load_table(spark, sf_dir, "documents"))
 
 
 # ExactSubstr window geometry: 32-char windows every 8 chars. 32 chars

@@ -108,6 +108,7 @@ CHECK_PRIORITY: list[str] = [
     "embedding_pca_gate",  # new: distributed PCA variance-identity gate
     "approx_percentiles_gate",  # new: quantile-sketch rank-error gate
     "sample_weighted_bottomk",  # new: A-ES weighted sample w/o replacement
+    "streaming_normalize_live",  # new: pandas-UDF NFC at ingest (live twin)
     # stale r1 rows (pre-testdata regeneration) — rotate the record
     "dedup_ngram_jaccard",
     "q26_sql_api",

@@ -44,6 +44,7 @@ _ROUND7_MUST_CHECK = [
     "embedding_pca_gate",
     "approx_percentiles_gate",
     "sample_weighted_bottomk",
+    "streaming_normalize_live",
 ]
 
 
