@@ -143,6 +143,7 @@ HEADLINE = [
     "approx_percentiles_gate",
     "sample_weighted_bottomk",
     "streaming_normalize_live",
+    "multimodal_decode_progressive",
 ]
 
 

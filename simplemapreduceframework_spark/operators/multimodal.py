@@ -1081,6 +1081,120 @@ def make_jpeg_420(
     return b"".join(segs)
 
 
+def make_jpeg_progressive(width: int, height: int, fill: int = 0) -> bytes:
+    """A REAL PROGRESSIVE JPEG (SOF2, grayscale), pure stdlib, using
+    both progressive mechanisms: SUCCESSIVE APPROXIMATION on DC (a
+    first scan at Al=1 sending coeff>>1 as Huffman-coded diffs, then a
+    refinement scan at Ah=1/Al=0 sending one raw bit per block) and
+    SPECTRAL SELECTION on AC (one scan covering band 1..63 whose
+    all-zero coefficients compress to a single EOBRUN spanning every
+    block — the progressive-only EOBn code baseline JPEG doesn't
+    have). Same block-checkerboard raster and quantization convention
+    as make_jpeg, so the decoded pixel sum keeps the same closed
+    form."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("make_jpeg_progressive emits whole 8x8 blocks")
+    a = fill % 256
+    bval = (fill * 7 + 13) % 256
+    bw, bh = width // 8, height // 8
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def coded_scan(emitter) -> bytes:
+        scan = bytearray()
+        state = {"acc": 0, "n": 0}
+
+        def emit(code: int, n: int) -> None:
+            state["acc"] = (state["acc"] << n) | code
+            state["n"] += n
+            while state["n"] >= 8:
+                byte = (state["acc"] >> (state["n"] - 8)) & 0xFF
+                scan.append(byte)
+                if byte == 0xFF:
+                    scan.append(0)  # T.81 byte stuffing
+                state["n"] -= 8
+                state["acc"] &= (1 << state["n"]) - 1
+
+        emitter(emit)
+        if state["n"]:
+            emit((1 << (8 - state["n"])) - 1, 8 - state["n"])  # 1-pad
+        return bytes(scan)
+
+    def block_values():
+        for by in range(bh):
+            for bx in range(bw):
+                yield (a if (bx + by) % 2 == 0 else bval) - 128
+
+    def dc_first(emit):  # Ss=0 Se=0 Ah=0 Al=1: diffs of coeff>>1
+        pred = 0
+        for v in block_values():
+            hi = v >> 1  # arithmetic shift = T.81 DC point transform
+            diff = hi - pred
+            pred = hi
+            s = abs(diff).bit_length()
+            code, ln = dc_codes[s]
+            emit(code, ln)
+            if s:
+                emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def dc_refine(emit):  # Ah=1 Al=0: one raw bit (coeff bit 0)
+        for v in block_values():
+            emit(v & 1, 1)
+
+    # The Annex K AC table has no EOBn (0x10..0xE0) codes — those are
+    # progressive-only, so progressive encoders ship custom tables.
+    # Canonical 4-bit table over EOB0..EOB7 + ZRL (codes 0000..1000).
+    prog_ac_vals = [0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70, 0xF0]
+    prog_ac_bits = [0, 0, 0, 9] + [0] * 12
+    prog_ac_codes = _jpeg_huff_codes(prog_ac_bits, prog_ac_vals)
+
+    def ac_first(emit):  # Ss=1 Se=63 Ah=0 Al=0: ONE EOBRUN, all blocks
+        n = bw * bh
+        r = n.bit_length() - 1
+        code, ln = prog_ac_codes[r << 4]
+        emit(code, ln)
+        if r:
+            emit(n - (1 << r), r)
+
+    def sos(comp_tables: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        return b"\xff\xda" + struct.pack(
+            ">HB", 8, 1
+        ) + bytes([1, comp_tables, ss, se, (ah << 4) | al])
+
+    qtable = bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)
+    segs = [
+        b"\xff\xd8",
+        b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + qtable,
+        b"\xff\xc2"  # SOF2: progressive DCT
+        + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        + bytes([1, 0x11, 0]),
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS),
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS),
+        sos(0x00, 0, 0, 0, 1),
+        coded_scan(dc_first),
+        sos(0x00, 0, 0, 1, 0),  # DC refinement: no entropy tables used
+        coded_scan(dc_refine),
+        # custom EOBn AC table lands MID-FILE, before the scan that
+        # binds it (table class 1, id 1) — per-scan table rebinding
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(prog_ac_vals), 0x11)
+        + bytes(prog_ac_bits)
+        + bytes(prog_ac_vals),
+        sos(0x01, 1, 63, 0, 0),
+        coded_scan(ac_first),
+        b"\xff\xd9",
+    ]
+    return b"".join(segs)
+
+
 class _JpegBitReader:
     """MSB-first bit reader over already-unstuffed entropy bytes."""
 
@@ -1115,6 +1229,304 @@ class _JpegBitReader:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, channels, pixel_sum) for a PROGRESSIVE (SOF2)
+    JPEG: full multi-scan decode — spectral selection (per-scan
+    [Ss, Se] bands with EOBn end-of-band run codes), successive
+    approximation (DC/AC first scans at Al with arithmetic-shifted
+    coefficients, then refinement scans at Ah=Al+1 carrying raw DC
+    bits and the T.81 G.1.2.3 AC correction-bit algorithm, mirroring
+    libjpeg's decode_mcu_AC_refine), interleaved multi-component DC
+    scans in MCU order vs single-component AC scans over the
+    component's own block grid, per-scan Huffman table rebinding, and
+    RSTn restarts resetting predictors and the EOB run. Coefficients
+    accumulate across scans into per-component block arrays; the back
+    half (dequantize, de-zigzag, IDCT, crop/upsample, pinned YCbCr)
+    matches the baseline decoder."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, qid, sh, sv)
+    dri = 0
+    # each scan: (comp_idx list, dc/ac table ids per comp, Ss, Se, Ah,
+    # Al, [entropy segments split at RSTn], table snapshot)
+    scans = []
+    pos = 2
+    while pos < len(b) - 1:
+        if b[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = np.frombuffer(
+                    seg[i : i + 64], dtype=np.uint8
+                ).astype(np.int32)
+                i += 64
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                bits = list(seg[i : i + 16])
+                i += 16
+                n = sum(bits)
+                huff[(tc, th)] = _jpeg_huff_decode_table(
+                    bits, list(seg[i : i + n])
+                )
+                i += n
+        elif marker == 0xC2:
+            h, w = struct.unpack_from(">HH", seg, 1)
+            for ci in range(seg[5]):
+                cid, sampling, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, qid, sampling >> 4, sampling & 0xF))
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            nsc = seg[0]
+            sc_idx, sc_tabs = [], []
+            for ci in range(nsc):
+                cid = seg[1 + 2 * ci]
+                sc_idx.append([c[0] for c in comps].index(cid))
+                t = seg[2 + 2 * ci]
+                sc_tabs.append((t >> 4, t & 0xF))
+            ss, se = seg[1 + 2 * nsc], seg[2 + 2 * nsc]
+            ahl = seg[3 + 2 * nsc]
+            # entropy data follows: split at RSTn, strip stuffing
+            segments: list[bytes] = []
+            cur = bytearray()
+            i = pos
+            while i < len(b):
+                byte = b[i]
+                if byte == 0xFF:
+                    nxt = b[i + 1]
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        i += 2
+                        continue
+                    break
+                cur.append(byte)
+                i += 1
+            segments.append(bytes(cur))
+            pos = i
+            scans.append(
+                (sc_idx, sc_tabs, ss, se, ahl >> 4, ahl & 0xF,
+                 segments, dict(huff))
+            )
+    if w is None or not comps or not scans:
+        raise ValueError("JPEG missing SOF2/SOS")
+
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # zigzag-ordered quantized coefficients, MCU-padded block grid
+    coef = [
+        np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int64)
+        for _, _, sh, sv in comps
+    ]
+    # real (non-dummy) block dims per component, for AC scans
+    nreal = []
+    for _, _, sh, sv in comps:
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        nreal.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    for sc_idx, sc_tabs, ss, se, ah, al, segments, tabs in scans:
+        seg_iter = iter(segments)
+        br = _JpegBitReader(next(seg_iter))
+        if ss == 0:  # DC scan (possibly interleaved)
+            if se != 0:
+                raise ValueError("corrupt scan: DC band with Se != 0")
+            preds = [0] * len(sc_idx)
+            # restart unit = one block (non-interleaved) or one MCU
+            if len(sc_idx) == 1:
+                ci = sc_idx[0]
+                units = [
+                    [(ci, by, bx, 0)]
+                    for by in range(nreal[ci][0])
+                    for bx in range(nreal[ci][1])
+                ]
+            else:  # MCU order incl. dummy edge blocks
+                units = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        unit = []
+                        for si, ci in enumerate(sc_idx):
+                            sh, sv = comps[ci][2], comps[ci][3]
+                            for byy in range(sv):
+                                for bxx in range(sh):
+                                    unit.append(
+                                        (ci, my * sv + byy,
+                                         mx * sh + bxx, si)
+                                    )
+                        units.append(unit)
+            for ui, unit in enumerate(units):
+                if dri and ui and ui % dri == 0:
+                    br = _JpegBitReader(next(seg_iter))
+                    preds = [0] * len(sc_idx)
+                for ci, by, bx, si in unit:
+                    c = coef[ci][by, bx]
+                    if ah == 0:  # first DC scan: Huffman diffs << Al
+                        dcd = tabs[(0, sc_tabs[si][0])]
+                        preds[si] += br.receive_extend(br.huff(dcd))
+                        c[0] = preds[si] << al
+                    else:  # refinement: one raw bit into bit Al
+                        if br.bit():
+                            c[0] |= 1 << al
+        else:  # AC scan: single component, its own block grid
+            if len(sc_idx) != 1:
+                raise ValueError("corrupt scan: interleaved AC band")
+            ci = sc_idx[0]
+            acd = tabs[(1, sc_tabs[0][1])]
+            p1, m1 = 1 << al, -(1 << al)
+            eobrun = 0
+            done = 0
+            for by in range(nreal[ci][0]):
+                for bx in range(nreal[ci][1]):
+                    if dri and done and done % dri == 0:
+                        br = _JpegBitReader(next(seg_iter))
+                        eobrun = 0
+                    done += 1
+                    c = coef[ci][by, bx]
+                    if ah == 0:  # first AC scan
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = br.huff(acd)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "corrupt JPEG: AC run past band"
+                                )
+                            c[k] = br.receive_extend(s) << al
+                            k += 1
+                        continue
+                    # AC refinement (T.81 G.1.2.3 / libjpeg
+                    # decode_mcu_AC_refine): insert new +-p1 values,
+                    # reading a correction bit for every nonzero
+                    # coefficient passed over
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = br.huff(acd)
+                            r, s = rs >> 4, rs & 0xF
+                            val = 0
+                            if s == 0:
+                                if r < 15:
+                                    # INCLUDES the current block (its
+                                    # remainder still takes correction
+                                    # bits below, then decrements) —
+                                    # unlike the first-scan convention
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                # r == 15: skip 16 zero-history coeffs
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "corrupt refinement size"
+                                    )
+                                val = p1 if br.bit() else m1
+                            while k <= se:
+                                if c[k] != 0:
+                                    if br.bit() and (c[k] & p1) == 0:
+                                        c[k] += p1 if c[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s and k <= se:
+                                c[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if c[k] != 0:
+                                if br.bit() and (c[k] & p1) == 0:
+                                    c[k] += p1 if c[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    # reconstruction: dequantize in zigzag order, IDCT, level shift,
+    # crop/upsample, pinned YCbCr — same math as the baseline decoder
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    A[0, :] /= np.sqrt(2)
+    zig = np.array(_JPEG_ZIGZAG)
+    planes = []
+    for ci, (cid, qid, sh, sv) in enumerate(comps):
+        q = qt[qid]
+        plane = np.zeros((mcuy * sv * 8, mcux * sh * 8), dtype=np.int64)
+        for by in range(coef[ci].shape[0]):
+            for bx in range(coef[ci].shape[1]):
+                F = np.zeros(64, dtype=np.float64)
+                F[zig] = coef[ci][by, bx] * q
+                block = A.T @ F.reshape(8, 8) @ A
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(block) + 128, 0, 255
+                ).astype(np.int64)
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        p = plane[:ch, :cw]
+        if sh != hmax or sv != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+        planes.append(p[:h, :w])
+    if len(comps) == 1:
+        return w, h, 1, int(planes[0].sum())
+    Y = planes[0].astype(np.float64)
+    Cb = planes[1].astype(np.float64)
+    Cr = planes[2].astype(np.float64)
+    r = np.clip(np.floor(Y + 1.402 * (Cr - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(
+            Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0) + 0.5
+        ),
+        0,
+        255,
+    )
+    bl = np.clip(np.floor(Y + 1.772 * (Cb - 128.0) + 0.5), 0, 255)
+    return w, h, 3, int(r.sum() + g.sum() + bl.sum())
+
+
 def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
     """(width, height, channels, pixel_sum) for a baseline JPEG,
     grayscale OR 4:4:4 color: full marker walk (DQT / DHT / SOF0 /
@@ -1131,8 +1543,9 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
     general (h, v) sampling factors drive the T.81 multi-block MCU
     interleave, per-component sample grids, and replication upsampling
     (the libjpeg non-fancy upsampler) back to full resolution — 4:2:0
-    / 4:2:2 / 4:4:0 all take this path. Progressive (SOF2) and
-    arithmetic coding raise NotImplementedError: honest gates,
+    / 4:2:2 / 4:4:0 all take this path. Progressive (SOF2) dispatches
+    to the multi-scan decoder (_decode_jpeg_progressive); arithmetic
+    coding and lossless SOFs raise NotImplementedError: honest gates,
     dimensions still available via decode_real."""
     import struct
 
@@ -1201,10 +1614,14 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
                     raise NotImplementedError(
                         "non-integer chroma upsampling ratio"
                     )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # progressive DCT: multi-scan path
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline SOF0 implemented"
+                f"JPEG SOF{marker - 0xC0}: baseline SOF0 and "
+                "progressive SOF2 implemented; extended-sequential/"
+                "lossless/arithmetic variants are not"
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
@@ -1542,6 +1959,22 @@ def encode_sample_jpeg_420(
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
+def encode_sample_jpeg_progressive(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic progressive-JPEG synthesis (mapInPandas body):
+    same geometry and checkerboard as encode_sample_jpeg, but the
+    raster arrives in three SOF2 scans (DC at Al=1, DC refinement,
+    AC band as a single EOBRUN under a custom mid-file EOBn table)."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = [
+            make_jpeg_progressive(8 * (1 + d % 6), 8 * (1 + d % 4), d)
+            for d in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
 def encode_sample_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic media synthesis (mapInPandas body): each doc gets a
     REAL image file — BMP / PPM / PNG / PGM cycling on doc_id % 4 —
@@ -1794,12 +2227,67 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The checkerboard of block-level DC deltas exercises multiple
     Huffman size categories, byte-seam packing, and 0xFF stuffing.
     Both stages chained row-local mapInPandas — one scan, no shuffle.
-    4:4:4 color decodes too (multimodal_decode_color); only
-    subsampled-chroma and progressive JPEG remain behind
-    NotImplementedError (the PIL/ffmpeg integration point)."""
+    4:4:4 color (multimodal_decode_color), subsampled chroma
+    (multimodal_decode_subsampled), and progressive
+    (multimodal_decode_progressive) decode too; only arithmetic-coded
+    and lossless JPEG remain behind NotImplementedError (the
+    PIL/ffmpeg integration point)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_jpeg, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA).select(
+        "doc_id", "width", "height", "format", "n_pixels", "pixel_sum",
+        "mean_pixel",
+    )
+
+
+@query(
+    "multimodal_decode_progressive",
+    oracle="""
+SELECT doc_id,
+       CAST(8 * bw AS INTEGER) AS width,
+       CAST(8 * bh AS INTEGER) AS height,
+       'jpeg' AS format,
+       CAST(64 * bw * bh AS BIGINT) AS n_pixels,
+       CAST(64 * (n_even * a + (bw * bh - n_even) * b) AS BIGINT)
+           AS pixel_sum,
+       CAST(64 * (n_even * a + (bw * bh - n_even) * b) AS DOUBLE)
+           / (64 * bw * bh) AS mean_pixel
+FROM (SELECT doc_id, bw, bh, a, b,
+             (bw * bh + (bw % 2) * (bh % 2)) // 2 AS n_even
+      FROM (SELECT doc_id,
+                   1 + doc_id % 6 AS bw,
+                   1 + doc_id % 4 AS bh,
+                   doc_id % 256 AS a,
+                   (doc_id * 7 + 13) % 256 AS b
+            FROM documents))
+""",
+)
+def multimodal_decode_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode end-to-end: synthesize a genuine
+    multi-scan progressive JPEG per doc — the raster arrives as a DC
+    scan at successive-approximation Al=1, a DC refinement scan of raw
+    bits, and a spectral-selection AC scan whose all-zero band packs
+    into one EOBn run under a custom mid-file Huffman table (the
+    progressive-only code baseline JPEG doesn't have) — then decode
+    the actual bytes back through the full multi-scan coefficient
+    accumulation (_decode_jpeg_progressive). Same checkerboard and
+    quantization convention as the baseline gate, so the oracle keeps
+    the same closed form; a wrong shift direction in the point
+    transform, a dropped refinement bit, a misparsed EOBRUN, or a
+    table-rebinding slip changes pixel_sum and fails the hash. The AC
+    successive-approximation refinement path (never emitted by this
+    encoder) is pinned by hand-assembled multi-scan streams in tests,
+    including an EOB run spanning blocks with in-run correction bits.
+    Both stages chained row-local mapInPandas — one scan, no shuffle.
+    Only arithmetic-coded and lossless JPEG remain behind
+    NotImplementedError (the PIL/ffmpeg integration point)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_sample_jpeg_progressive, "doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA).select(
         "doc_id", "width", "height", "format", "n_pixels", "pixel_sum",
@@ -1925,8 +2413,9 @@ def multimodal_decode_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     4:4:4 closed form; an interleave slip, a predictor cross-wire
     between the four Y blocks, or an upsample misalignment changes
     pixel_sum and fails the hash. Both stages chained row-local
-    mapInPandas — one scan, no shuffle. Only progressive JPEG remains
-    behind NotImplementedError (the PIL/ffmpeg integration point)."""
+    mapInPandas — one scan, no shuffle. Progressive JPEG decodes too
+    (multimodal_decode_progressive); only arithmetic-coded and
+    lossless variants remain behind NotImplementedError."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_jpeg_420, "doc_id bigint, payload binary"

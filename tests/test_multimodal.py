@@ -420,10 +420,12 @@ def test_decode_pixels_bmp_strips_row_padding():
     assert decode_pixels(make_png(4, 3, 50)) == ("png", 4, 3, 3, 50 * 3 * 4 * 3)
 
 
-def test_jpeg_rejects_progressive_and_nonint_ratio():
-    """Baseline grayscale, 4:4:4 color, and subsampled-chroma all
-    decode for real now; progressive (SOF2) and non-integer
-    upsampling ratios stay behind honest NotImplementedError gates."""
+def test_jpeg_rejects_lossless_and_nonint_ratio():
+    """Baseline, 4:4:4 color, subsampled-chroma, and progressive all
+    decode for real now; lossless/arithmetic SOFs and non-integer
+    upsampling ratios stay behind honest NotImplementedError gates —
+    and a MALFORMED hybrid (SOF2 whose single scan spans DC+AC, which
+    T.81 forbids in progressive) must error, not decode garbage."""
     import struct
 
     from simplemapreduceframework_spark.operators.multimodal import (
@@ -433,8 +435,11 @@ def test_jpeg_rejects_progressive_and_nonint_ratio():
 
     j = bytearray(make_jpeg(8, 8, 50))
     sof = j.find(b"\xff\xc0")
-    j[sof + 1] = 0xC2  # flip baseline -> progressive
+    j[sof + 1] = 0xC3  # flip baseline -> lossless sequential
     with pytest.raises(NotImplementedError):
+        decode_pixels(bytes(j))
+    j[sof + 1] = 0xC2  # SOF2 + a baseline Ss=0..Se=63 scan: malformed
+    with pytest.raises(ValueError, match="DC band"):
         decode_pixels(bytes(j))
     # 3x1 luma with 2x1 chroma: hmax=3 does not divide by sh=2
     sub = (
@@ -923,3 +928,387 @@ def test_jpeg_422_decodes_beyond_encoder_dialect():
     )
     assert (fmt, W, H, ch) == ("jpeg", w, h, 3)
     assert psum == want
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """make_jpeg_progressive delivers the same raster as make_jpeg in
+    three scans (DC at Al=1, DC refinement, AC band as one EOBRUN with
+    a custom mid-file EOBn table): the progressive decode must equal
+    the baseline decode exactly for every geometry and fill."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    for w, h, fill in [
+        (8, 8, 50),
+        (16, 8, 7),
+        (24, 16, 123),
+        (48, 32, 200),
+        (8, 24, 0),
+        (40, 40, 255),
+    ]:
+        base = decode_pixels(make_jpeg(w, h, fill))
+        prog = decode_pixels(make_jpeg_progressive(w, h, fill))
+        assert prog == base, (w, h, fill, prog, base)
+
+
+def test_jpeg_progressive_ac_refinement_matches_direct_idct():
+    """The AC successive-approximation path, which the synthesizing
+    encoder never emits (its ACs are zero): a hand-assembled four-scan
+    stream — DC first (Al=1), DC refinement, AC first at Al=1 (with a
+    ZRL skip), AC refinement at Ah=1/Al=0 carrying a NEW +-1 insertion
+    AND correction bits for both previously-nonzero coefficients (one
+    inside the insertion run, one under the closing EOB run) — must
+    decode to exactly the direct dequant+IDCT of the final
+    coefficients, on a non-multiple-of-8 crop."""
+    import struct
+
+    import numpy as np
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_ZIGZAG,
+        _jpeg_huff_codes,
+        decode_pixels,
+    )
+
+    w, h = 6, 5
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def coded(emitter):
+        bits = []
+
+        def emit(code, n):
+            bits.extend((code >> (n - 1 - i)) & 1 for i in range(n))
+
+        emitter(emit)
+        while len(bits) % 8:
+            bits.append(1)
+        scan = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[i : i + 8])), 2)
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0)
+        return bytes(scan)
+
+    def emit_val(v):
+        s = abs(v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    # final coefficients (zigzag): DC=-40, k1=-16, k2=+1, k18=7
+    def dc_first(emit):  # sends -40 >> 1 = -20 as the diff
+        s, low = emit_val(-20)
+        emit(*dc_codes[s])
+        emit(low, s)
+
+    def dc_refine(emit):  # bit 0 of -40 (two's complement) = 0
+        emit(0, 1)
+
+    def ac_first(emit):  # Al=1: k1 -> -8, k2 -> 0 (invisible), k18 -> 3
+        s, low = emit_val(-8)
+        emit(*ac_codes[(0 << 4) | s])
+        emit(low, s)
+        emit(*ac_codes[0xF0])  # ZRL skips k2..k17
+        s, low = emit_val(3)
+        emit(*ac_codes[(0 << 4) | s])
+        emit(low, s)
+        emit(*ac_codes[0x00])  # EOB
+
+    def ac_refine(emit):  # Ah=1, Al=0
+        # insert +1 at k2: rs=0x01, sign bit 1, then the correction
+        # bit for nonzero-history k1 (|−16| gains no bit: 0) read as
+        # the decoder passes it
+        emit(*ac_codes[0x01])
+        emit(1, 1)  # sign: +p1
+        emit(0, 1)  # correction bit for k1 (-16 stays -16)
+        # EOB run covering the block remainder: correction bit for
+        # k18 (6 -> 7) rides inside the EOB-run scan-over
+        emit(*ac_codes[0x00])
+        emit(1, 1)  # correction bit for k18
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    j = b"".join(
+        [
+            b"\xff\xd8",
+            b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64),
+            b"\xff\xc2"
+            + struct.pack(">HBHHBBBB", 11, 8, h, w, 1, 1, 0x11, 0),
+            b"\xff\xc4"
+            + struct.pack(">HB", 31, 0x00)
+            + bytes(_JPEG_DC_BITS)
+            + bytes(_JPEG_DC_VALS),
+            b"\xff\xc4"
+            + struct.pack(">HB", 181, 0x10)
+            + bytes(_JPEG_AC_BITS)
+            + bytes(_JPEG_AC_VALS),
+            sos(0, 0, 0, 1),
+            coded(dc_first),
+            sos(0, 0, 1, 0),
+            coded(dc_refine),
+            sos(1, 63, 0, 1),
+            coded(ac_first),
+            sos(1, 63, 1, 0),
+            coded(ac_refine),
+            b"\xff\xd9",
+        ]
+    )
+    F = np.zeros(64)
+    F[_JPEG_ZIGZAG[0]] = -40
+    F[_JPEG_ZIGZAG[1]] = -16
+    F[_JPEG_ZIGZAG[2]] = 1
+    F[_JPEG_ZIGZAG[18]] = 7
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    A[0, :] /= np.sqrt(2)
+    px = np.clip(np.round(A.T @ F.reshape(8, 8) @ A) + 128, 0, 255)
+    want = int(px[:h, :w].sum())
+    assert decode_pixels(j) == ("jpeg", w, h, 1, want)
+
+
+def test_jpeg_progressive_color_interleaved_dc_scan():
+    """Progressive COLOR: a hand-assembled 3-component file whose DC
+    scan is INTERLEAVED (one MCU, per-component predictors) and whose
+    AC bands arrive as three single-component EOB scans — must decode
+    to exactly the same pixels as the equivalent single-block baseline
+    color file (make_jpeg_color 8x8 shares the same constants and the
+    same pinned YCbCr conversion)."""
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_QAC,
+        _JPEG_QDC,
+        _jpeg_huff_codes,
+        decode_pixels,
+        make_jpeg_color,
+    )
+
+    fill = 77
+    ya = fill % 256
+    cb = (fill * 31 + 7) % 256
+    cr = (fill * 17 + 3) % 256
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def coded(emitter):
+        bits = []
+
+        def emit(code, n):
+            bits.extend((code >> (n - 1 - i)) & 1 for i in range(n))
+
+        emitter(emit)
+        while len(bits) % 8:
+            bits.append(1)
+        scan = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[i : i + 8])), 2)
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0)
+        return bytes(scan)
+
+    def emit_val(emit, v):
+        s = abs(v).bit_length()
+        emit(*dc_codes[s])
+        if s:
+            emit(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def dc_interleaved(emit):  # full precision (Ah=0, Al=0)
+        for v in (ya - 128, cb - 128, cr - 128):
+            emit_val(emit, v)  # predictors start at 0 per component
+
+    def ac_eob(emit):
+        emit(*ac_codes[0x00])
+
+    qtable = bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)
+    j = b"".join(
+        [
+            b"\xff\xd8",
+            b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + qtable,
+            b"\xff\xc2"
+            + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+            b"\xff\xc4"
+            + struct.pack(">HB", 31, 0x00)
+            + bytes(_JPEG_DC_BITS)
+            + bytes(_JPEG_DC_VALS),
+            b"\xff\xc4"
+            + struct.pack(">HB", 181, 0x10)
+            + bytes(_JPEG_AC_BITS)
+            + bytes(_JPEG_AC_VALS),
+            # interleaved DC scan: all three components, MCU order
+            b"\xff\xda"
+            + struct.pack(">HB", 12, 3)
+            + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0]),
+            coded(dc_interleaved),
+        ]
+        + [
+            seg
+            for cid in (1, 2, 3)
+            for seg in (
+                b"\xff\xda"
+                + struct.pack(">HB", 8, 1)
+                + bytes([cid, 0x00, 1, 63, 0]),
+                coded(ac_eob),
+            )
+        ]
+        + [b"\xff\xd9"]
+    )
+    assert decode_pixels(j) == decode_pixels(make_jpeg_color(8, 8, fill))
+
+
+def test_jpeg_progressive_refinement_eobrun_spans_blocks():
+    """A refinement EOB run covering MORE than the current block: two
+    blocks, the run opens in block 0 after an insertion (covering its
+    remainder's correction bit) and swallows block 1 whole — whose own
+    nonzero-history coefficient still takes a correction bit inside
+    the run. Decoded pixels must equal the direct IDCT of both final
+    blocks."""
+    import struct
+
+    import numpy as np
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_ZIGZAG,
+        _jpeg_huff_codes,
+        decode_pixels,
+    )
+
+    w, h = 16, 8  # two full blocks
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    # custom AC table (the Annex K baseline table has no EOBn>0
+    # codes — progressive files ship their own): the 7 symbols these
+    # scans need, canonical 3-bit codes
+    ac_bits = [0, 0, 7] + [0] * 13
+    ac_vals = [0x00, 0x01, 0x02, 0x04, 0x10, 0x22, 0xF0]
+    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+
+    def coded(emitter):
+        bits = []
+
+        def emit(code, n):
+            bits.extend((code >> (n - 1 - i)) & 1 for i in range(n))
+
+        emitter(emit)
+        while len(bits) % 8:
+            bits.append(1)
+        scan = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[i : i + 8])), 2)
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0)
+        return bytes(scan)
+
+    def emit_val(emit, codes, v):
+        s = abs(v).bit_length()
+        emit(*codes[s])
+        if s:
+            emit(v if v >= 0 else v + (1 << s) - 1, s)
+
+    # final coefficients (zigzag):
+    #   block 0: DC=-40, k1=-16, k2=+1, k18=7
+    #   block 1: DC=24,  k3=-5
+    def dc_first(emit):  # Al=1 diffs: -20, then 12 - (-20) = 32
+        emit_val(emit, dc_codes, -20)
+        emit_val(emit, dc_codes, 32)
+
+    def dc_refine(emit):  # bits 0 of -40 and 24
+        emit(0, 1)
+        emit(0, 1)
+
+    def ac_first(emit):  # Al=1: b0: -8 @k1, ZRL, 3 @k18; b1: -2 @k3
+        emit_val_ac = lambda run, v: (
+            emit(*ac_codes[(run << 4) | abs(v).bit_length()]),
+            emit(
+                v if v >= 0 else v + (1 << abs(v).bit_length()) - 1,
+                abs(v).bit_length(),
+            ),
+        )
+        emit_val_ac(0, -8)
+        emit(*ac_codes[0xF0])
+        emit_val_ac(0, 3)
+        emit(*ac_codes[0x00])  # EOB block 0
+        emit_val_ac(2, -2)  # block 1: run 2 zeros (k1,k2) then k3
+        emit(*ac_codes[0x00])  # EOB block 1
+    def ac_refine(emit):  # Ah=1, Al=0
+        # block 0: insert +1 at k2 (corr bit for k1 = 0 on the way),
+        # then EOB run r=1 (eobrun = 2 + extra bit 0): covers block
+        # 0's remainder (corr bit for k18 = 1) AND all of block 1
+        # (corr bit for its k3: |-5| bit0 = 1)
+        emit(*ac_codes[0x01])
+        emit(1, 1)  # sign of the k2 insertion
+        emit(0, 1)  # correction bit for k1 (-16)
+        emit(*ac_codes[0x10])  # EOB, r=1
+        emit(0, 1)  # extra bits: eobrun = 2 + 0
+        emit(1, 1)  # correction bit for block-0 k18 (6 -> 7)
+        emit(1, 1)  # correction bit for block-1 k3 (-4 -> -5)
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    j = b"".join(
+        [
+            b"\xff\xd8",
+            b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64),
+            b"\xff\xc2"
+            + struct.pack(">HBHHBBBB", 11, 8, h, w, 1, 1, 0x11, 0),
+            b"\xff\xc4"
+            + struct.pack(">HB", 31, 0x00)
+            + bytes(_JPEG_DC_BITS)
+            + bytes(_JPEG_DC_VALS),
+            b"\xff\xc4"
+            + struct.pack(">HB", 2 + 1 + 16 + len(ac_vals), 0x10)
+            + bytes(ac_bits)
+            + bytes(ac_vals),
+            sos(0, 0, 0, 1),
+            coded(dc_first),
+            sos(0, 0, 1, 0),
+            coded(dc_refine),
+            sos(1, 63, 0, 1),
+            coded(ac_first),
+            sos(1, 63, 1, 0),
+            coded(ac_refine),
+            b"\xff\xd9",
+        ]
+    )
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    A[0, :] /= np.sqrt(2)
+
+    def block_sum(coeffs):
+        F = np.zeros(64)
+        for k, v in coeffs.items():
+            F[_JPEG_ZIGZAG[k]] = v
+        return int(
+            np.clip(np.round(A.T @ F.reshape(8, 8) @ A) + 128, 0, 255).sum()
+        )
+
+    # AC first at Al=1 leaves block-1 k3 at -2<<1 = -4; the in-run
+    # correction takes it to -5
+    want = block_sum({0: -40, 1: -16, 2: 1, 18: 7}) + block_sum(
+        {0: 24, 3: -5}
+    )
+    assert decode_pixels(j) == ("jpeg", w, h, 1, want)

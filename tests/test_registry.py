@@ -29,6 +29,7 @@ _ROUND7_MUST_CHECK = [
     "multimodal_decode_jpeg",
     "multimodal_decode_color",
     "multimodal_decode_subsampled",
+    "multimodal_decode_progressive",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",
