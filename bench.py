@@ -144,6 +144,7 @@ HEADLINE = [
     "sample_weighted_bottomk",
     "streaming_normalize_live",
     "multimodal_decode_progressive",
+    "multimodal_audio_adpcm",
 ]
 
 

@@ -1783,14 +1783,140 @@ AUDIO_SCHEMA = (
 )
 
 
+# IMA/DVI ADPCM tables (IMA ADPCM reference algorithm; the same
+# tables libsndfile/ffmpeg ship). 89 quantizer steps, 8-entry index
+# adaptation keyed on the nibble's magnitude bits.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition (the bit-test form of the
+    reference algorithm — NOT the ((2m+1)*step)>>3 multiply form,
+    which rounds differently). Returns (new_pred, new_index)."""
+    step = _IMA_STEPS[index]
+    delta = step >> 3
+    if nib & 1:
+        delta += step >> 2
+    if nib & 2:
+        delta += step >> 1
+    if nib & 4:
+        delta += step
+    pred = pred - delta if nib & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+    return pred, index
+
+
+def _decode_ima_adpcm(
+    data: bytes, block_align: int, n_samples: int
+) -> tuple[int, int]:
+    """(sample_sum, peak_abs) over a mono IMA-ADPCM data chunk: walks
+    4-byte-headed blocks (initial predictor int16 LE + step index +
+    reserved — the header predictor IS the block's first output
+    sample), unpacks LOW-nibble-first 4-bit codes, and runs the full
+    quantizer state machine with int16 clamping and index clamping.
+    Stops at exactly n_samples (from the fact chunk), so a final
+    pad nibble is never consumed."""
+    import struct
+
+    total = 0
+    peak = 0
+    out = 0
+    pos = 0
+    while out < n_samples and pos < len(data):
+        block = data[pos : pos + block_align]
+        pos += block_align
+        (pred,) = struct.unpack_from("<h", block, 0)
+        index = max(0, min(88, block[2]))
+        total += pred
+        peak = max(peak, abs(pred))
+        out += 1
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):  # low nibble FIRST
+                if out >= n_samples:
+                    return total, peak
+                pred, index = _ima_adpcm_step(pred, index, nib)
+                total += pred
+                peak = max(peak, abs(pred))
+                out += 1
+    return total, peak
+
+
+def make_adpcm_wav(
+    n_samples: int, pred0: int, sample_rate: int = 8000
+) -> bytes:
+    """A REAL single-block mono IMA-ADPCM WAV (wFormatTag 0x0011),
+    pure stdlib: fmt chunk with the cbSize=2 wSamplesPerBlock
+    extension, a fact chunk carrying the true sample count (mandatory
+    for compressed WAV), and a 4-byte block header whose predictor is
+    the first output sample. The nibble stream alternates codes 1 and
+    9: at step-table index 0 (step 7, where index stays clamped —
+    index_table[1] = -1) code 1 is exactly +1 and code 9 exactly -1,
+    so the decoded signal is the closed-form h, h+1, h, h+1, ... —
+    while still exercising real deltas, the sign bit, low-nibble-first
+    packing (0x91 bytes are asymmetric), and odd-count pad
+    truncation."""
+    import struct
+
+    if n_samples < 1 or n_samples > 1 + 2 * (512 - 4):
+        raise ValueError("make_adpcm_wav: single 512-byte block only")
+    nibs = [1 if i % 2 == 0 else 9 for i in range(n_samples - 1)]
+    if len(nibs) % 2:
+        nibs.append(0)  # pad nibble, never consumed (fact count stops)
+    body = bytes(
+        nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2)
+    )
+    block = struct.pack("<hBB", pred0, 0, 0) + body
+    block_align = 512
+    samples_per_block = 1 + 2 * (block_align - 4)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011,
+        1,
+        sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align,
+        4,
+        2,
+        samples_per_block,
+    )
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8 + len(block)),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<I", len(fmt)),
+            fmt,
+            b"fact",
+            struct.pack("<II", 4, n_samples),
+            b"data",
+            struct.pack("<I", len(block)),
+            block,
+        ]
+    )
+
+
 def decode_wav(b: bytes) -> tuple[int, int, int, int, int]:
     """REAL WAV decode, pure stdlib: walks the RIFF chunk list, reads
-    the fmt chunk (16-bit PCM only), and decodes the data chunk's
-    int16 samples. Returns (sample_rate, channels, n_frames,
-    sample_sum, peak_abs) with sample_sum the exact integer sum over
-    every decoded sample and peak_abs the max absolute sample.
-    Compressed codecs (MP3/AAC/FLAC...) raise NotImplementedError —
-    that is the ffmpeg integration point."""
+    the fmt chunk, and decodes the data chunk — 16-bit PCM int16
+    samples, or mono IMA ADPCM (fmt 0x0011) through the full
+    quantizer state machine (_decode_ima_adpcm) bounded by the fact
+    chunk. Returns (sample_rate, channels, n_frames, sample_sum,
+    peak_abs) with sample_sum the exact integer sum over every decoded
+    sample and peak_abs the max absolute sample. Perceptual codecs
+    (MP3/AAC/FLAC...) raise NotImplementedError — that is the ffmpeg
+    integration point."""
     import struct
 
     import numpy as np
@@ -1802,23 +1928,41 @@ def decode_wav(b: bytes) -> tuple[int, int, int, int, int]:
         )
     pos = 12
     rate = channels = bits = None
+    fmt_code = block_align = fact_samples = None
     data = None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (length,) = struct.unpack_from("<I", b, pos + 4)
         if cid == b"fmt ":
             fmt_code, channels, rate = struct.unpack_from("<HHI", b, pos + 8)
+            block_align = struct.unpack_from("<H", b, pos + 20)[0]
             bits = struct.unpack_from("<H", b, pos + 22)[0]
-            if fmt_code != 1 or bits != 16:
+            if not (
+                (fmt_code == 1 and bits == 16)
+                or (fmt_code == 0x11 and bits == 4)
+            ):
                 raise NotImplementedError(
-                    f"WAV format {fmt_code} / {bits}-bit: only 16-bit "
-                    "PCM implemented"
+                    f"WAV format {fmt_code} / {bits}-bit: 16-bit PCM "
+                    "and 4-bit IMA ADPCM implemented; other codecs "
+                    "need ffmpeg"
                 )
+        elif cid == b"fact":
+            (fact_samples,) = struct.unpack_from("<I", b, pos + 8)
         elif cid == b"data":
             data = b[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if fmt_code == 0x11:  # IMA ADPCM: full quantizer state machine
+        if channels != 1:
+            raise NotImplementedError(
+                "multi-channel IMA ADPCM (per-channel 4-byte "
+                "interleave) not implemented"
+            )
+        if fact_samples is None:
+            raise ValueError("compressed WAV missing the fact chunk")
+        total, peak = _decode_ima_adpcm(data, block_align, fact_samples)
+        return rate, channels, fact_samples, total, peak
     samples = np.frombuffer(data, dtype="<i2")
     n_frames = len(samples) // channels
     total = int(samples.astype(np.int64).sum())
@@ -1842,6 +1986,25 @@ def encode_sample_audio(
                 sample_rate=8000,
                 channels=1 + d % 2,
                 fill=d,
+            )
+            for d in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def encode_sample_adpcm(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic IMA-ADPCM synthesis (mapInPandas body): each doc
+    gets a real compressed WAV (fmt 0x0011 + fact chunk + headed
+    block) whose sample count and base level derive from doc_id; the
+    alternating 1/9 nibble stream keeps the decode closed-form (see
+    make_adpcm_wav)."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = [
+            make_adpcm_wav(
+                n_samples=1 + d % 900, pred0=100 + d % 800
             )
             for d in ids
         ]
@@ -2452,11 +2615,52 @@ def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode->decode roundtrip is hash-gated; a chunk-alignment or
     endianness slip changes sample_sum and fails the hash. Both stages
     are chained row-local mapInPandas — one scan, no shuffle.
-    Compressed codecs (MP3/AAC/...) stay behind decode_wav's
+    IMA-ADPCM compressed audio decodes too (multimodal_audio_adpcm);
+    perceptual codecs (MP3/AAC/...) stay behind decode_wav's
     NotImplementedError — the ffmpeg integration point."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_audio, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(decode_real_audio, AUDIO_SCHEMA)
+
+
+@query(
+    "multimodal_audio_adpcm",
+    oracle="""
+SELECT doc_id,
+       CAST(64 + n // 2 AS BIGINT) AS n_bytes,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+       CAST(h * n + n // 2 AS BIGINT) AS sample_sum,
+       CAST(CASE WHEN n > 1 THEN h + 1 ELSE h END AS INTEGER) AS peak_abs
+FROM (SELECT doc_id, 1 + doc_id % 900 AS n, 100 + doc_id % 800 AS h
+      FROM documents)
+""",
+)
+def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode end-to-end: synthesize a genuine mono
+    IMA-ADPCM WAV per doc (wFormatTag 0x0011, cbSize fmt extension,
+    mandatory fact chunk, 4-byte block header whose predictor is the
+    first output sample), then decode the actual bytes back through
+    the full quantizer state machine — step/index tables, int16 and
+    index clamping, LOW-nibble-first unpacking, fact-bounded pad
+    truncation. The alternating 1/9 nibble stream sits at the step
+    table's index-0 fixed point (+1/-1 deltas), so the decoded signal
+    is closed-form h, h+1, h, ... and the oracle recomputes byte size
+    (64 + n//2), the exact sample sum (h*n + n//2), and the peak from
+    doc_id alone; a step-table typo, a nibble-order swap (0x91 bytes
+    are asymmetric), a sign-bit slip, or an off-by-one in the fact
+    bound changes sample_sum and fails the hash. The general state
+    machine (all 89 steps, clamps, multi-block headers) is pinned by a
+    reference-model sweep in tests. Both stages chained row-local
+    mapInPandas — one scan, no shuffle. MP3/AAC/FLAC remain behind
+    NotImplementedError — the ffmpeg integration point."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_sample_adpcm, "doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(decode_real_audio, AUDIO_SCHEMA)
 

@@ -90,6 +90,7 @@ CHECK_PRIORITY: list[str] = [
     "multimodal_decode_color",  # new: 4:4:4 color JPEG + YCbCr gate
     "multimodal_decode_subsampled",  # new: 4:2:0 multi-block MCU gate
     "multimodal_decode_progressive",  # new: SOF2 multi-scan decode gate
+    "multimodal_audio_adpcm",  # new: IMA-ADPCM compressed-audio gate
     "basket_rules",  # new: association rules (support/confidence/lift)
     "doc_similarity_sparse",  # new: sparse-cosine similarity index join
     "events_attribution",  # new: first/last-touch conversion attribution

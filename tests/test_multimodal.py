@@ -1312,3 +1312,147 @@ def test_jpeg_progressive_refinement_eobrun_spans_blocks():
         {0: 24, 3: -5}
     )
     assert decode_pixels(j) == ("jpeg", w, h, 1, want)
+
+
+def test_adpcm_state_machine_matches_reference_model():
+    """The decoder's quantizer transition must equal an independent
+    table-driven model (per-(step, nibble) delta table precomputed
+    with the bit-test formula) over random nibble streams that drive
+    the index across its full range — including int16 clamping at
+    both rails and index clamping at 0 and 88."""
+    import random
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        decode_wav,
+    )
+
+    # independent model: precomputed delta per (index, nibble)
+    delta_tab = [
+        [
+            (s >> 3)
+            + ((s >> 2) if n & 1 else 0)
+            + ((s >> 1) if n & 2 else 0)
+            + (s if n & 4 else 0)
+            for n in range(16)
+        ]
+        for s in _IMA_STEPS
+    ]
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n_samples = rng.randrange(1, 400)
+        pred0 = rng.randrange(-32768, 32768)
+        idx0 = rng.randrange(0, 89)
+        nibs = [rng.randrange(16) for _ in range(n_samples - 1)]
+        # model
+        pred, idx = pred0, idx0
+        samples = [pred]
+        for nib in nibs:
+            d = delta_tab[idx][nib]
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+            samples.append(pred)
+        want_sum = sum(samples)
+        want_peak = max(abs(s) for s in samples)
+        # hand-build the wav (block_align fits one block)
+        padded = nibs + ([0] if len(nibs) % 2 else [])
+        body = bytes(
+            padded[i] | (padded[i + 1] << 4)
+            for i in range(0, len(padded), 2)
+        )
+        block = struct.pack("<hBB", pred0, idx0, 0) + body
+        ba = 512
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, 8000, 4096, ba, 4, 2, 1 + 2 * (ba - 4)
+        )
+        wav = b"".join(
+            [
+                b"RIFF",
+                struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8 + len(block)),
+                b"WAVE",
+                b"fmt ",
+                struct.pack("<I", len(fmt)),
+                fmt,
+                b"fact",
+                struct.pack("<II", 4, n_samples),
+                b"data",
+                struct.pack("<I", len(block)),
+                block,
+            ]
+        )
+        got = decode_wav(wav)
+        assert got == (8000, 1, n_samples, want_sum, want_peak), (
+            trial, got, (want_sum, want_peak),
+        )
+
+
+def test_adpcm_multiblock_resets_state_per_header():
+    """Each block header re-initializes predictor AND index: two
+    blocks whose second header jumps the state must decode as two
+    independent runs, not a continuation."""
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    ba = 8  # 4-byte header + 4 data bytes = 9 samples per block
+    spb = 1 + 2 * (ba - 4)
+    # block 1: pred 100, idx 0, nibbles all 1 (+1 each at step 7)
+    b1 = struct.pack("<hBB", 100, 0, 0) + bytes([0x11] * 4)
+    # block 2: pred -500, idx 0, nibbles all 9 (-1 each)
+    b2 = struct.pack("<hBB", -500, 0, 0) + bytes([0x99] * 4)
+    data = b1 + b2
+    n = 2 * spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4096, ba, 4, 2, spb)
+    wav = b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8 + len(data)),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<I", len(fmt)),
+            fmt,
+            b"fact",
+            struct.pack("<II", 4, n),
+            b"data",
+            struct.pack("<I", len(data)),
+            data,
+        ]
+    )
+    want_sum = sum(100 + i for i in range(spb)) + sum(
+        -500 - i for i in range(spb)
+    )
+    assert decode_wav(wav) == (8000, 1, n, want_sum, 500 + spb - 1)
+
+
+def test_adpcm_nibble_order_and_gates():
+    """Low-nibble-first is load-bearing: byte 0x91 decodes +1 then -1;
+    a swapped decoder would emit -1 then +1 and change the running sum
+    at every odd position. Also: stereo ADPCM and unknown codecs stay
+    behind NotImplementedError."""
+    import struct
+
+    import pytest
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_wav,
+        make_adpcm_wav,
+    )
+
+    # n=3: samples h, h+1, h -> sum 3h+1. High-nibble-first would give
+    # h, h-1, h -> sum 3h-1.
+    assert decode_wav(make_adpcm_wav(3, 1000))[3] == 3001
+    wav = bytearray(make_adpcm_wav(3, 1000))
+    # flip channels to 2 in the fmt chunk -> documented gate
+    struct.pack_into("<H", wav, 22, 2)
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        decode_wav(bytes(wav))
+    wav = bytearray(make_adpcm_wav(3, 1000))
+    struct.pack_into("<H", wav, 20, 0x55)  # unknown codec tag
+    with pytest.raises(NotImplementedError, match="WAV format"):
+        decode_wav(bytes(wav))

@@ -30,6 +30,7 @@ _ROUND7_MUST_CHECK = [
     "multimodal_decode_color",
     "multimodal_decode_subsampled",
     "multimodal_decode_progressive",
+    "multimodal_audio_adpcm",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",
