@@ -145,6 +145,7 @@ HEADLINE = [
     "streaming_normalize_live",
     "multimodal_decode_progressive",
     "multimodal_audio_adpcm",
+    "multimodal_audio_flac",
 ]
 
 

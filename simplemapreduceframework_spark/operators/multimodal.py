@@ -1852,6 +1852,253 @@ def _decode_ima_adpcm(
     return total, peak
 
 
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8 with polynomial 0x07 (FLAC frame-header CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16 with polynomial 0x8005 (FLAC frame-footer CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _FlacBitReader:
+    """MSB-first bit reader with byte-position tracking (for CRC
+    spans)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos  # byte position of the next unread byte
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, n: int) -> int:
+        while self.n < n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        v = (self.acc >> (self.n - n)) & ((1 << n) - 1)
+        self.n -= n
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def align(self) -> None:
+        self.n = 0
+        self.acc = 0
+
+
+# FLAC frame-header code tables (RFC 9639 §9.1)
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def decode_flac(b: bytes) -> tuple[int, int, int, int, int]:
+    """REAL FLAC decode, pure stdlib, for the CONSTANT and VERBATIM
+    subframe types: 'fLaC' magic, STREAMINFO metadata walk (sample
+    rate / channels / bits / total samples), then per frame — sync
+    code, blocking strategy, block-size/rate codes (incl. the 8/16-bit
+    trailing forms), UTF-8-coded frame number, REAL CRC-8 header and
+    CRC-16 frame verification — and per channel a subframe with
+    wasted-bits unary handling. Returns the decode_wav-shaped tuple
+    (rate, channels, n_frames, sample_sum, peak_abs). The predictive
+    subframe types (FIXED/LPC with Rice residuals) raise
+    NotImplementedError: FLAC's entropy-coded path is the documented
+    integration point, while container, CRC, and the raw sample paths
+    are real."""
+    import struct
+
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    rate = channels = bits = total = None
+    while pos < len(b):  # metadata blocks
+        hdr = b[pos]
+        (length,) = struct.unpack(">I", b"\x00" + b[pos + 1 : pos + 4])
+        body = b[pos + 4 : pos + 4 + length]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            br = _FlacBitReader(body)
+            br.bits(16)  # min block size
+            br.bits(16)  # max block size
+            br.bits(24)  # min frame size
+            br.bits(24)  # max frame size
+            rate = br.bits(20)
+            channels = br.bits(3) + 1
+            bits = br.bits(5) + 1
+            total = br.bits(36)
+        pos += 4 + length
+        if hdr & 0x80:  # last-metadata flag
+            break
+    if rate is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    sample_sum = 0
+    peak = 0
+    done = 0
+    while done < total and pos < len(b):
+        frame_start = pos
+        br = _FlacBitReader(b, pos)
+        sync = br.bits(14)
+        if sync != 0x3FFE:
+            raise ValueError("FLAC frame sync lost")
+        br.bits(1)  # reserved
+        br.bits(1)  # blocking strategy
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        ch_code = br.bits(4)
+        ss_code = br.bits(3)
+        br.bits(1)  # reserved
+        # UTF-8-coded frame/sample number: skip by leading-ones count
+        lead = b[br.pos]
+        br.bits(8)
+        extra = 0
+        while lead & (0x80 >> extra) and extra < 7:
+            extra += 1
+        for _ in range(max(0, extra - 1)):
+            br.bits(8)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block-size code")
+        elif bs_code == 1:
+            n = 192
+        elif bs_code <= 5:
+            n = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            n = br.bits(8) + 1
+        elif bs_code == 7:
+            n = br.bits(16) + 1
+        else:
+            n = 256 << (bs_code - 8)
+        if sr_code == 12:
+            br.bits(8)
+        elif sr_code in (13, 14):
+            br.bits(16)
+        frame_rate = _FLAC_RATES.get(sr_code, rate)
+        if ch_code >= 8:
+            raise NotImplementedError(
+                "FLAC side/mid stereo decorrelation not implemented"
+            )
+        nch = ch_code + 1
+        frame_bits = _FLAC_BITS.get(ss_code, bits)
+        header_crc = b[br.pos]
+        if _crc8_flac(b[frame_start : br.pos]) != header_crc:
+            raise ValueError("FLAC frame-header CRC mismatch")
+        br.bits(8)
+        for _ in range(nch):
+            br.bits(1)  # zero pad
+            sub_type = br.bits(6)
+            wasted = 0
+            if br.bits(1):  # wasted-bits flag: unary count follows
+                wasted = 1
+                while br.bits(1) == 0:
+                    wasted += 1
+            eff = frame_bits - wasted
+            if sub_type == 0:  # CONSTANT
+                v = br.signed(eff) << wasted
+                sample_sum += v * n
+                peak = max(peak, abs(v))
+            elif sub_type == 1:  # VERBATIM
+                for _ in range(n):
+                    v = br.signed(eff) << wasted
+                    sample_sum += v
+                    peak = max(peak, abs(v))
+            else:
+                raise NotImplementedError(
+                    f"FLAC subframe type {sub_type}: FIXED/LPC with "
+                    "Rice residuals not implemented (the entropy-"
+                    "coded integration point)"
+                )
+        br.align()
+        (want_crc,) = struct.unpack_from(">H", b, br.pos)
+        if _crc16_flac(b[frame_start : br.pos]) != want_crc:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.pos + 2
+        done += n
+    return rate, channels, done, sample_sum, peak
+
+
+def make_flac(
+    n_samples: int,
+    value: int,
+    verbatim: "list[int] | None" = None,
+    sample_rate: int = 8000,
+) -> bytes:
+    """A REAL minimal FLAC file, pure stdlib: fLaC magic + STREAMINFO,
+    one CONSTANT-subframe frame holding ``value`` for ``n_samples``
+    16-bit mono samples, and (optionally) a second VERBATIM frame of
+    raw samples — with genuine CRC-8 frame-header and CRC-16 frame
+    checksums, a 16-bit trailing block-size field, and the 8 kHz rate
+    code. Decodable by any FLAC implementation."""
+    import struct
+
+    def frame(idx: int, samples_n: int, body_bits) -> bytes:
+        hdr = bytearray()
+        # sync(14) 11111111111110 + reserved 0 + fixed blocking 0
+        hdr += b"\xff\xf8"
+        hdr.append((0x7 << 4) | 0x4)  # bs code 7 (16-bit n-1), 8 kHz
+        hdr.append((0x0 << 4) | (0x4 << 1))  # mono, 16-bit, reserved 0
+        hdr.append(idx)  # UTF-8 frame number (< 0x80: one byte)
+        hdr += struct.pack(">H", samples_n - 1)
+        hdr.append(_crc8_flac(bytes(hdr)))
+        bits: list[int] = []
+
+        def emit(v: int, nbits: int) -> None:
+            bits.extend((v >> (nbits - 1 - i)) & 1 for i in range(nbits))
+
+        body_bits(emit)
+        while len(bits) % 8:
+            bits.append(0)
+        body = bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+        out = bytes(hdr) + body
+        return out + struct.pack(">H", _crc16_flac(out))
+
+    def constant_body(emit) -> None:
+        emit(0b00000000, 8)  # pad 0, type CONSTANT (000000), no waste
+        emit(value & 0xFFFF, 16)
+
+    frames = [frame(0, n_samples, constant_body)]
+    total = n_samples
+    if verbatim is not None:
+
+        def verbatim_body(emit) -> None:
+            emit(0b00000010, 8)  # pad 0, type VERBATIM (000001)
+            for v in verbatim:
+                emit(v & 0xFFFF, 16)
+
+        frames.append(frame(1, len(verbatim), verbatim_body))
+        total += len(verbatim)
+    streaminfo = bytearray()
+    streaminfo += struct.pack(">HH", 16, 65535)  # min/max block size
+    streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    # 20b rate | 3b channels-1 | 5b bits-1 | 36b total samples
+    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | total
+    streaminfo += packed.to_bytes(8, "big")
+    streaminfo += bytes(16)  # MD5 unset
+    meta = b"\x80\x00\x00\x22" + bytes(streaminfo)  # last-block flag
+    return b"fLaC" + meta + b"".join(frames)
+
+
 def make_adpcm_wav(
     n_samples: int, pred0: int, sample_rate: int = 8000
 ) -> bytes:
@@ -1992,6 +2239,24 @@ def encode_sample_audio(
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
+def encode_sample_flac(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic FLAC synthesis (mapInPandas body): each doc gets
+    a real fLaC container (STREAMINFO + one CRC-checked
+    constant-subframe frame) whose sample count and constant level
+    derive from doc_id."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = [
+            make_flac(
+                n_samples=16 + d % 1000, value=(d % 2001) - 1000
+            )
+            for d in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
 def encode_sample_adpcm(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -2031,7 +2296,10 @@ def decode_real_audio(
                     rows[k].append(None)
                 continue
             b = bytes(payload)
-            rate, ch, n_frames, total, peak = decode_wav(b)
+            if b[:4] == b"fLaC":
+                rate, ch, n_frames, total, peak = decode_flac(b)
+            else:
+                rate, ch, n_frames, total, peak = decode_wav(b)
             rows["n_bytes"].append(len(b))
             rows["sample_rate"].append(rate)
             rows["channels"].append(ch)
@@ -2661,6 +2929,44 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_adpcm, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(decode_real_audio, AUDIO_SCHEMA)
+
+
+@query(
+    "multimodal_audio_flac",
+    oracle="""
+SELECT doc_id,
+       CAST(55 AS BIGINT) AS n_bytes,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+       CAST(v * n AS BIGINT) AS sample_sum,
+       CAST(ABS(v) AS INTEGER) AS peak_abs
+FROM (SELECT doc_id, 16 + doc_id % 1000 AS n, doc_id % 2001 - 1000 AS v
+      FROM documents)
+""",
+)
+def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode end-to-end: synthesize a genuine fLaC container per
+    doc (STREAMINFO metadata, one frame with sync code, block-size and
+    rate codes, UTF-8 frame number, REAL CRC-8 header and CRC-16 frame
+    checksums, a constant 16-bit mono subframe), then decode the
+    actual bytes back (decode_flac). A constant subframe stores its
+    value ONCE regardless of block length — which is why every
+    payload is exactly 55 bytes while carrying up to 1015 samples —
+    so the oracle recomputes size, count, exact sample sum, and peak
+    from doc_id alone; a CRC polynomial slip, a block-size table
+    error, a sign-extension bug, or a STREAMINFO misparse changes the
+    output and fails the hash. The VERBATIM raw-sample path and
+    wasted-bits handling are pinned by unit tests; FIXED/LPC subframes
+    with Rice residuals raise NotImplementedError (FLAC's
+    entropy-coded integration point), as do side-stereo modes. Both
+    stages chained row-local mapInPandas — one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_sample_flac, "doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(decode_real_audio, AUDIO_SCHEMA)
 

@@ -1456,3 +1456,108 @@ def test_adpcm_nibble_order_and_gates():
     struct.pack_into("<H", wav, 20, 0x55)  # unknown codec tag
     with pytest.raises(NotImplementedError, match="WAV format"):
         decode_wav(bytes(wav))
+
+
+def test_flac_roundtrip_and_verbatim():
+    """Constant and verbatim subframes decode sample-exactly, the
+    frame counters accumulate across frames, and the 55-byte constant
+    payload really is constant-size regardless of sample count."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_flac,
+        make_flac,
+    )
+
+    assert len(make_flac(16, 5)) == len(make_flac(1015, -32000)) == 55
+    vb = [((i * 37) % 4001) - 2000 for i in range(64)]
+    got = decode_flac(make_flac(10, 7, verbatim=vb))
+    assert got == (8000, 1, 74, 70 + sum(vb), 2000)
+
+
+def test_flac_crc_and_gates():
+    """Both CRCs are really verified (a flipped sample byte breaks
+    CRC-16; a flipped header byte breaks CRC-8), and the predictive
+    subframe types / side stereo raise the documented gates."""
+    import pytest
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_flac,
+        make_flac,
+    )
+
+    good = make_flac(16, 1000)
+    corrupt = bytearray(good)
+    corrupt[-3] ^= 0x40  # sample byte inside the frame body
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(corrupt))
+    corrupt = bytearray(good)
+    corrupt[-9] ^= 0x01  # block-size field inside the frame header
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(corrupt))
+    # subframe type FIXED (0b001000 = 8): flip the subframe header and
+    # re-stamp both CRCs so ONLY the type gate can fire
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _crc8_flac,
+        _crc16_flac,
+    )
+
+    hacked = bytearray(good)
+    frame_start = len(good) - 13
+    hacked[frame_start + 8] = 0b00010000  # pad 0, type 8, no waste
+    hacked[frame_start + 7] = _crc8_flac(
+        bytes(hacked[frame_start : frame_start + 7])
+    )
+    import struct
+
+    struct.pack_into(
+        ">H",
+        hacked,
+        len(hacked) - 2,
+        _crc16_flac(bytes(hacked[frame_start:-2])),
+    )
+    with pytest.raises(NotImplementedError, match="FIXED/LPC"):
+        decode_flac(bytes(hacked))
+
+
+def test_flac_wasted_bits_shift():
+    """The wasted-bits-per-sample flag (unary count after the subframe
+    header) must left-shift decoded values back: a constant subframe
+    storing value>>2 with 2 wasted bits decodes to the original
+    value."""
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _crc8_flac,
+        _crc16_flac,
+        decode_flac,
+    )
+
+    n, value = 20, -4096  # divisible by 4: representable with 2 wasted
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append((0x7 << 4) | 0x4)
+    hdr.append((0x0 << 4) | (0x4 << 1))
+    hdr.append(0)
+    hdr += struct.pack(">H", n - 1)
+    hdr.append(_crc8_flac(bytes(hdr)))
+    bits = []
+
+    def emit(v, nb):
+        bits.extend((v >> (nb - 1 - i)) & 1 for i in range(nb))
+
+    emit(0b0000000, 7)  # pad + CONSTANT type
+    emit(1, 1)  # wasted-bits flag set
+    emit(0b01, 2)  # unary: one 0 then terminating 1 -> 2 wasted bits
+    emit((value >> 2) & 0x3FFF, 14)  # 16 - 2 effective bits
+    while len(bits) % 8:
+        bits.append(0)
+    body = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    frame = bytes(hdr) + body
+    frame += struct.pack(">H", _crc16_flac(frame))
+    streaminfo = struct.pack(">HH", 16, 65535) + b"\x00" * 6
+    streaminfo += ((8000 << 44) | (0 << 41) | (15 << 36) | n).to_bytes(
+        8, "big"
+    ) + bytes(16)
+    flac = b"fLaC" + b"\x80\x00\x00\x22" + streaminfo + frame
+    assert decode_flac(flac) == (8000, 1, n, value * n, abs(value))

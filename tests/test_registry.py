@@ -31,6 +31,7 @@ _ROUND7_MUST_CHECK = [
     "multimodal_decode_subsampled",
     "multimodal_decode_progressive",
     "multimodal_audio_adpcm",
+    "multimodal_audio_flac",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",
