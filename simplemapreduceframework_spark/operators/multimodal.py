@@ -1819,8 +1819,11 @@ def _ima_adpcm_step(pred: int, index: int, nib: int) -> tuple[int, int]:
 
 def _decode_ima_adpcm(
     data: bytes, block_align: int, n_samples: int
-) -> tuple[int, int]:
-    """(sample_sum, peak_abs) over a mono IMA-ADPCM data chunk: walks
+) -> tuple[int, int, int]:
+    """(n_decoded, sample_sum, peak_abs) over a mono IMA-ADPCM data
+    chunk — n_decoded can fall short of the fact count on a truncated
+    chunk, and the caller must report what was actually decoded so
+    count and sum stay consistent. Walks
     4-byte-headed blocks (initial predictor int16 LE + step index +
     reserved — the header predictor IS the block's first output
     sample), unpacks LOW-nibble-first 4-bit codes, and runs the full
@@ -1844,12 +1847,12 @@ def _decode_ima_adpcm(
         for byte in block[4:]:
             for nib in (byte & 0xF, byte >> 4):  # low nibble FIRST
                 if out >= n_samples:
-                    return total, peak
+                    return out, total, peak
                 pred, index = _ima_adpcm_step(pred, index, nib)
                 total += pred
                 peak = max(peak, abs(pred))
                 out += 1
-    return total, peak
+    return out, total, peak
 
 
 def _crc8_flac(data: bytes) -> int:
@@ -1905,6 +1908,51 @@ class _FlacBitReader:
         self.acc = 0
 
 
+def _flac_rice_residuals(
+    br: "_FlacBitReader", blocksize: int, order: int
+) -> list[int]:
+    """FLAC residual decode (RFC 9639 §9.2.7): 2-bit coding method
+    (4- or 5-bit Rice parameters), 4-bit partition order, 2^p
+    partitions (the first shortened by the predictor warmup), unary/
+    binary Rice codes with zigzag sign folding, and the escape code
+    (all-ones parameter -> 5-bit width + raw twos-complement
+    residuals)."""
+    method = br.bits(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = br.bits(4)
+    nparts = 1 << porder
+    if blocksize % nparts or (blocksize >> porder) <= order:
+        raise ValueError("corrupt FLAC partition order")
+    out: list[int] = []
+    for j in range(nparts):
+        count = (blocksize >> porder) - (order if j == 0 else 0)
+        param = br.bits(pbits)
+        if param == escape:
+            width = br.bits(5)
+            for _ in range(count):
+                out.append(br.signed(width) if width else 0)
+            continue
+        for _ in range(count):
+            q = 0
+            while br.bits(1) == 0:
+                q += 1
+            v = (q << param) | (br.bits(param) if param else 0)
+            out.append((v >> 1) ^ -(v & 1))  # zigzag unfold
+    return out
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
 # FLAC frame-header code tables (RFC 9639 §9.1)
 _FLAC_RATES = {
     1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
@@ -1914,18 +1962,19 @@ _FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
 def decode_flac(b: bytes) -> tuple[int, int, int, int, int]:
-    """REAL FLAC decode, pure stdlib, for the CONSTANT and VERBATIM
-    subframe types: 'fLaC' magic, STREAMINFO metadata walk (sample
-    rate / channels / bits / total samples), then per frame — sync
-    code, blocking strategy, block-size/rate codes (incl. the 8/16-bit
-    trailing forms), UTF-8-coded frame number, REAL CRC-8 header and
-    CRC-16 frame verification — and per channel a subframe with
-    wasted-bits unary handling. Returns the decode_wav-shaped tuple
-    (rate, channels, n_frames, sample_sum, peak_abs). The predictive
-    subframe types (FIXED/LPC with Rice residuals) raise
-    NotImplementedError: FLAC's entropy-coded path is the documented
-    integration point, while container, CRC, and the raw sample paths
-    are real."""
+    """REAL FLAC decode, pure stdlib, for the CONSTANT, VERBATIM, and
+    FIXED-predictor subframe types: 'fLaC' magic, STREAMINFO metadata
+    walk (sample rate / channels / bits / total samples), then per
+    frame — sync code, blocking strategy, block-size/rate codes
+    (incl. the 8/16-bit trailing forms), UTF-8-coded frame number,
+    REAL CRC-8 header and CRC-16 frame verification — and per channel
+    a subframe with wasted-bits unary handling. FIXED orders 0-4
+    reconstruct through the full Rice residual path
+    (_flac_rice_residuals: partitioned parameters, zigzag unfolding,
+    escape codes). Returns the decode_wav-shaped tuple (rate,
+    channels, n_frames, sample_sum, peak_abs). Arbitrary-LPC
+    subframes raise NotImplementedError — the remaining entropy-coded
+    integration point."""
     import struct
 
     if b[:4] != b"fLaC":
@@ -2020,11 +2069,26 @@ def decode_flac(b: bytes) -> tuple[int, int, int, int, int]:
                     v = br.signed(eff) << wasted
                     sample_sum += v
                     peak = max(peak, abs(v))
+            elif 8 <= sub_type <= 12:  # FIXED predictor, order 0..4
+                order = sub_type - 8
+                warm = [br.signed(eff) for _ in range(order)]
+                res = _flac_rice_residuals(br, n, order)
+                coefs = _FLAC_FIXED_COEFS[order]
+                samples = list(warm)
+                for e in res:
+                    pred = e + sum(
+                        c * samples[-1 - i] for i, c in enumerate(coefs)
+                    )
+                    samples.append(pred)
+                for s in samples:
+                    v = s << wasted
+                    sample_sum += v
+                    peak = max(peak, abs(v))
             else:
                 raise NotImplementedError(
-                    f"FLAC subframe type {sub_type}: FIXED/LPC with "
-                    "Rice residuals not implemented (the entropy-"
-                    "coded integration point)"
+                    f"FLAC subframe type {sub_type}: LPC with "
+                    "arbitrary coefficients not implemented (the "
+                    "remaining entropy-coded integration point)"
                 )
         br.align()
         (want_crc,) = struct.unpack_from(">H", b, br.pos)
@@ -2039,6 +2103,7 @@ def make_flac(
     n_samples: int,
     value: int,
     verbatim: "list[int] | None" = None,
+    fixed_ramp: "tuple[int, int] | None" = None,
     sample_rate: int = 8000,
 ) -> bytes:
     """A REAL minimal FLAC file, pure stdlib: fLaC magic + STREAMINFO,
@@ -2086,8 +2151,24 @@ def make_flac(
             for v in verbatim:
                 emit(v & 0xFFFF, 16)
 
-        frames.append(frame(1, len(verbatim), verbatim_body))
+        frames.append(frame(len(frames), len(verbatim), verbatim_body))
         total += len(verbatim)
+    if fixed_ramp is not None:
+        base, m = fixed_ramp
+
+        def fixed_body(emit) -> None:
+            # pad 0, type FIXED order 1 (001001), no wasted bits
+            emit(0b00010010, 8)
+            emit(base & 0xFFFF, 16)  # warmup sample
+            emit(0b00, 2)  # 4-bit Rice parameters
+            emit(0, 4)  # partition order 0: one partition
+            emit(2, 4)  # Rice parameter k=2
+            for _ in range(m - 1):
+                # residual +1 -> zigzag 2 -> q=0 (unary '1'), r=0b10
+                emit(0b110, 3)
+
+        frames.append(frame(len(frames), m, fixed_body))
+        total += m
     streaminfo = bytearray()
     streaminfo += struct.pack(">HH", 16, 65535)  # min/max block size
     streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
@@ -2208,8 +2289,8 @@ def decode_wav(b: bytes) -> tuple[int, int, int, int, int]:
             )
         if fact_samples is None:
             raise ValueError("compressed WAV missing the fact chunk")
-        total, peak = _decode_ima_adpcm(data, block_align, fact_samples)
-        return rate, channels, fact_samples, total, peak
+        out, total, peak = _decode_ima_adpcm(data, block_align, fact_samples)
+        return rate, channels, out, total, peak
     samples = np.frombuffer(data, dtype="<i2")
     n_frames = len(samples) // channels
     total = int(samples.astype(np.int64).sum())
@@ -2250,7 +2331,9 @@ def encode_sample_flac(
         ids = pdf["doc_id"]
         payloads = [
             make_flac(
-                n_samples=16 + d % 1000, value=(d % 2001) - 1000
+                n_samples=16 + d % 1000,
+                value=(d % 2001) - 1000,
+                fixed_ramp=(d % 500, 8 + d % 200),
             )
             for d in ids
         ]
@@ -2937,14 +3020,18 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_flac",
     oracle="""
 SELECT doc_id,
-       CAST(55 AS BIGINT) AS n_bytes,
+       CAST(65 + (41 + 3 * (m - 1)) // 8 AS BIGINT) AS n_bytes,
        CAST(8000 AS INTEGER) AS sample_rate,
        CAST(1 AS INTEGER) AS channels,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
-       CAST(v * n AS BIGINT) AS sample_sum,
-       CAST(ABS(v) AS INTEGER) AS peak_abs
-FROM (SELECT doc_id, 16 + doc_id % 1000 AS n, doc_id % 2001 - 1000 AS v
+       CAST(n + m AS BIGINT) AS n_samples,
+       CAST(((n + m) * 1000) // 8000 AS BIGINT) AS duration_ms,
+       CAST(v * n + m * base + m * (m - 1) // 2 AS BIGINT) AS sample_sum,
+       CAST(GREATEST(ABS(v), base + m - 1) AS INTEGER) AS peak_abs
+FROM (SELECT doc_id,
+             16 + doc_id % 1000 AS n,
+             doc_id % 2001 - 1000 AS v,
+             doc_id % 500 AS base,
+             8 + doc_id % 200 AS m
       FROM documents)
 """,
 )
@@ -2959,10 +3046,14 @@ def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle recomputes size, count, exact sample sum, and peak
     from doc_id alone; a CRC polynomial slip, a block-size table
     error, a sign-extension bug, or a STREAMINFO misparse changes the
-    output and fails the hash. The VERBATIM raw-sample path and
-    wasted-bits handling are pinned by unit tests; FIXED/LPC subframes
-    with Rice residuals raise NotImplementedError (FLAC's
-    entropy-coded integration point), as do side-stereo modes. Both
+    output and fails the hash. A second frame per doc is a FIXED
+    order-1 predictor whose Rice-coded residuals (+1 each) decode to
+    an arithmetic ramp — the real entropy path: unary/binary Rice
+    codes, zigzag unfolding, partitioned parameters, predictor
+    reconstruction — all inside the same closed-form sum. The VERBATIM
+    path, wasted bits, higher predictor orders, partition orders > 0,
+    and the escape code are pinned by unit tests; arbitrary-LPC
+    subframes and side-stereo modes raise NotImplementedError. Both
     stages chained row-local mapInPandas — one scan, no shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(

@@ -1493,8 +1493,9 @@ def test_flac_crc_and_gates():
     corrupt[-9] ^= 0x01  # block-size field inside the frame header
     with pytest.raises(ValueError, match="CRC"):
         decode_flac(bytes(corrupt))
-    # subframe type FIXED (0b001000 = 8): flip the subframe header and
-    # re-stamp both CRCs so ONLY the type gate can fire
+    # subframe type LPC (0b100000 = 32): flip the subframe header and
+    # re-stamp both CRCs so ONLY the type gate can fire (FIXED types
+    # 8-12 decode for real now)
     from simplemapreduceframework_spark.operators.multimodal import (
         _crc8_flac,
         _crc16_flac,
@@ -1502,7 +1503,7 @@ def test_flac_crc_and_gates():
 
     hacked = bytearray(good)
     frame_start = len(good) - 13
-    hacked[frame_start + 8] = 0b00010000  # pad 0, type 8, no waste
+    hacked[frame_start + 8] = 0b01000000  # pad 0, type 32, no waste
     hacked[frame_start + 7] = _crc8_flac(
         bytes(hacked[frame_start : frame_start + 7])
     )
@@ -1514,7 +1515,7 @@ def test_flac_crc_and_gates():
         len(hacked) - 2,
         _crc16_flac(bytes(hacked[frame_start:-2])),
     )
-    with pytest.raises(NotImplementedError, match="FIXED/LPC"):
+    with pytest.raises(NotImplementedError, match="LPC"):
         decode_flac(bytes(hacked))
 
 
@@ -1561,3 +1562,78 @@ def test_flac_wasted_bits_shift():
     ) + bytes(16)
     flac = b"fLaC" + b"\x80\x00\x00\x22" + streaminfo + frame
     assert decode_flac(flac) == (8000, 1, n, value * n, abs(value))
+
+
+def test_flac_fixed_rice_matches_reference_model():
+    """The FIXED+Rice path is GENERAL, not just make_flac's ramp: a
+    hand-built frame with predictor order 2, partition order 1 (two
+    partitions with different Rice parameters, the first shortened by
+    the warmup), negative residuals, and an ESCAPE partition (raw
+    5-bit twos-complement residuals) must reconstruct exactly the
+    samples a pure-Python predictor model computes."""
+    import random
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _crc8_flac,
+        _crc16_flac,
+        decode_flac,
+    )
+
+    rng = random.Random(3)
+    n = 32  # blocksize; partition order 1 -> two partitions of 16
+    order = 2
+    warm = [100, 103]
+    res_a = [rng.randrange(-6, 7) for _ in range(16 - order)]
+    res_b = [rng.randrange(-10, 11) for _ in range(16)]  # escape part
+
+    # reference reconstruction: x(i) = e(i) + 2x(i-1) - x(i-2)
+    samples = list(warm)
+    for e in res_a + res_b:
+        samples.append(e + 2 * samples[-1] - samples[-2])
+    want_sum = sum(samples)
+    want_peak = max(abs(s) for s in samples)
+
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append((0x7 << 4) | 0x4)
+    hdr.append((0x0 << 4) | (0x4 << 1))
+    hdr.append(0)
+    hdr += struct.pack(">H", n - 1)
+    hdr.append(_crc8_flac(bytes(hdr)))
+    bits = []
+
+    def emit(v, nb):
+        bits.extend((v >> (nb - 1 - i)) & 1 for i in range(nb))
+
+    emit(0b0, 1)  # pad
+    emit(8 + order, 6)  # FIXED order 2
+    emit(0, 1)  # no wasted bits
+    for w in warm:
+        emit(w & 0xFFFF, 16)
+    emit(0b00, 2)  # 4-bit Rice parameters
+    emit(1, 4)  # partition order 1
+    emit(3, 4)  # partition 1: Rice k=3
+    for e in res_a:
+        z = (abs(e) << 1) - 1 if e < 0 else e << 1  # zigzag fold
+        q, r = z >> 3, z & 7
+        emit(0, q)  # q zero bits
+        emit(1, 1)  # terminator
+        emit(r, 3)
+    emit(0xF, 4)  # partition 2: ESCAPE
+    emit(5, 5)  # raw width 5
+    for e in res_b:
+        emit(e & 0x1F, 5)
+    while len(bits) % 8:
+        bits.append(0)
+    body = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    frame = bytes(hdr) + body
+    frame += struct.pack(">H", _crc16_flac(frame))
+    streaminfo = struct.pack(">HH", 16, 65535) + b"\x00" * 6
+    streaminfo += ((8000 << 44) | (0 << 41) | (15 << 36) | n).to_bytes(
+        8, "big"
+    ) + bytes(16)
+    flac = b"fLaC" + b"\x80\x00\x00\x22" + streaminfo + frame
+    assert decode_flac(flac) == (8000, 1, n, want_sum, want_peak)
