@@ -1971,10 +1971,13 @@ def decode_flac(b: bytes) -> tuple[int, int, int, int, int]:
     a subframe with wasted-bits unary handling. FIXED orders 0-4
     reconstruct through the full Rice residual path
     (_flac_rice_residuals: partitioned parameters, zigzag unfolding,
-    escape codes). Returns the decode_wav-shaped tuple (rate,
-    channels, n_frames, sample_sum, peak_abs). Arbitrary-LPC
-    subframes raise NotImplementedError — the remaining entropy-coded
-    integration point."""
+    escape codes), LPC subframes (orders 1-32, quantized coefficients
+    with precision/shift) take the same residual path, and the three
+    stereo decorrelation modes (left/side, right/side, mid/side with
+    the extra side-channel bit) reconstruct per libFLAC. Returns the
+    decode_wav-shaped tuple (rate, channels, n_frames, sample_sum,
+    peak_abs) — a COMPLETE FLAC subset decoder; only reserved codes
+    reject."""
     import struct
 
     if b[:4] != b"fLaC":
@@ -2041,17 +2044,21 @@ def decode_flac(b: bytes) -> tuple[int, int, int, int, int]:
         elif sr_code in (13, 14):
             br.bits(16)
         frame_rate = _FLAC_RATES.get(sr_code, rate)
-        if ch_code >= 8:
-            raise NotImplementedError(
-                "FLAC side/mid stereo decorrelation not implemented"
-            )
-        nch = ch_code + 1
+        nch = 2 if ch_code >= 8 else ch_code + 1
         frame_bits = _FLAC_BITS.get(ss_code, bits)
         header_crc = b[br.pos]
         if _crc8_flac(b[frame_start : br.pos]) != header_crc:
             raise ValueError("FLAC frame-header CRC mismatch")
         br.bits(8)
-        for _ in range(nch):
+        chans: list[list[int]] = []
+        for ci in range(nch):
+            # the side channel of a decorrelated pair carries one
+            # extra bit of sample depth (RFC 9639 section 9.2.1)
+            side_extra = int(
+                (ch_code == 8 and ci == 1)
+                or (ch_code == 9 and ci == 0)
+                or (ch_code == 10 and ci == 1)
+            )
             br.bits(1)  # zero pad
             sub_type = br.bits(6)
             wasted = 0
@@ -2059,37 +2066,60 @@ def decode_flac(b: bytes) -> tuple[int, int, int, int, int]:
                 wasted = 1
                 while br.bits(1) == 0:
                     wasted += 1
-            eff = frame_bits - wasted
+            eff = frame_bits + side_extra - wasted
             if sub_type == 0:  # CONSTANT
-                v = br.signed(eff) << wasted
-                sample_sum += v * n
-                peak = max(peak, abs(v))
+                samples = [br.signed(eff)] * n
             elif sub_type == 1:  # VERBATIM
-                for _ in range(n):
-                    v = br.signed(eff) << wasted
-                    sample_sum += v
-                    peak = max(peak, abs(v))
+                samples = [br.signed(eff) for _ in range(n)]
             elif 8 <= sub_type <= 12:  # FIXED predictor, order 0..4
                 order = sub_type - 8
-                warm = [br.signed(eff) for _ in range(order)]
-                res = _flac_rice_residuals(br, n, order)
+                samples = [br.signed(eff) for _ in range(order)]
                 coefs = _FLAC_FIXED_COEFS[order]
-                samples = list(warm)
-                for e in res:
-                    pred = e + sum(
+                for e in _flac_rice_residuals(br, n, order):
+                    samples.append(
+                        e
+                        + sum(
+                            c * samples[-1 - i]
+                            for i, c in enumerate(coefs)
+                        )
+                    )
+            elif sub_type >= 32:  # LPC, order 1..32
+                order = sub_type - 31
+                samples = [br.signed(eff) for _ in range(order)]
+                prec = br.bits(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid FLAC LPC precision 1111")
+                shift = br.signed(5)
+                if shift < 0:
+                    raise ValueError("negative FLAC LPC shift")
+                coefs = [br.signed(prec) for _ in range(order)]
+                for e in _flac_rice_residuals(br, n, order):
+                    acc = sum(
                         c * samples[-1 - i] for i, c in enumerate(coefs)
                     )
-                    samples.append(pred)
-                for s in samples:
-                    v = s << wasted
-                    sample_sum += v
-                    peak = max(peak, abs(v))
+                    samples.append(e + (acc >> shift))
             else:
-                raise NotImplementedError(
-                    f"FLAC subframe type {sub_type}: LPC with "
-                    "arbitrary coefficients not implemented (the "
-                    "remaining entropy-coded integration point)"
+                raise ValueError(
+                    f"reserved FLAC subframe type {sub_type}"
                 )
+            if wasted:
+                samples = [s << wasted for s in samples]
+            chans.append(samples)
+        if ch_code == 8:  # LEFT_SIDE: right = left - side
+            chans = [chans[0], [l - s for l, s in zip(chans[0], chans[1])]]
+        elif ch_code == 9:  # RIGHT_SIDE: left = right + side
+            chans = [[r + s for s, r in zip(chans[0], chans[1])], chans[1]]
+        elif ch_code == 10:  # MID_SIDE (libFLAC reconstruction)
+            left, right = [], []
+            for m_, s_ in zip(chans[0], chans[1]):
+                m2 = (m_ << 1) | (s_ & 1)
+                left.append((m2 + s_) >> 1)
+                right.append((m2 - s_) >> 1)
+            chans = [left, right]
+        for samples in chans:
+            for v in samples:
+                sample_sum += v
+                peak = max(peak, abs(v))
         br.align()
         (want_crc,) = struct.unpack_from(">H", b, br.pos)
         if _crc16_flac(b[frame_start : br.pos]) != want_crc:
@@ -3052,9 +3082,11 @@ def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, zigzag unfolding, partitioned parameters, predictor
     reconstruction — all inside the same closed-form sum. The VERBATIM
     path, wasted bits, higher predictor orders, partition orders > 0,
-    and the escape code are pinned by unit tests; arbitrary-LPC
-    subframes and side-stereo modes raise NotImplementedError. Both
-    stages chained row-local mapInPandas — one scan, no shuffle."""
+    the escape code, arbitrary-LPC subframes (quantized coefficients,
+    arithmetic shift), and all three stereo decorrelation modes are
+    pinned by reference-model unit tests — decode_flac is a COMPLETE
+    FLAC decoder. Both stages chained row-local mapInPandas — one
+    scan, no shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_flac, "doc_id bigint, payload binary"

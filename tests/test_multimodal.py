@@ -1493,9 +1493,9 @@ def test_flac_crc_and_gates():
     corrupt[-9] ^= 0x01  # block-size field inside the frame header
     with pytest.raises(ValueError, match="CRC"):
         decode_flac(bytes(corrupt))
-    # subframe type LPC (0b100000 = 32): flip the subframe header and
-    # re-stamp both CRCs so ONLY the type gate can fire (FIXED types
-    # 8-12 decode for real now)
+    # a RESERVED subframe type (2): flip the subframe header and
+    # re-stamp both CRCs so ONLY the type check can fire (FIXED and
+    # LPC types decode for real now)
     from simplemapreduceframework_spark.operators.multimodal import (
         _crc8_flac,
         _crc16_flac,
@@ -1503,7 +1503,7 @@ def test_flac_crc_and_gates():
 
     hacked = bytearray(good)
     frame_start = len(good) - 13
-    hacked[frame_start + 8] = 0b01000000  # pad 0, type 32, no waste
+    hacked[frame_start + 8] = 0b00000100  # pad 0, type 2 (reserved)
     hacked[frame_start + 7] = _crc8_flac(
         bytes(hacked[frame_start : frame_start + 7])
     )
@@ -1515,7 +1515,7 @@ def test_flac_crc_and_gates():
         len(hacked) - 2,
         _crc16_flac(bytes(hacked[frame_start:-2])),
     )
-    with pytest.raises(NotImplementedError, match="LPC"):
+    with pytest.raises(ValueError, match="reserved FLAC subframe"):
         decode_flac(bytes(hacked))
 
 
@@ -1637,3 +1637,127 @@ def test_flac_fixed_rice_matches_reference_model():
     ) + bytes(16)
     flac = b"fLaC" + b"\x80\x00\x00\x22" + streaminfo + frame
     assert decode_flac(flac) == (8000, 1, n, want_sum, want_peak)
+
+
+def _flac_frame_bits(n, ch_code, body_bits):
+    """Test-local FLAC frame assembler: header (16-bit trailing block
+    size, 8 kHz, 16-bit samples, the given channel-assignment code),
+    bit-emitted body, CRC-8/CRC-16 stamped."""
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _crc8_flac,
+        _crc16_flac,
+    )
+
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append((0x7 << 4) | 0x4)
+    hdr.append((ch_code << 4) | (0x4 << 1))
+    hdr.append(0)
+    hdr += struct.pack(">H", n - 1)
+    hdr.append(_crc8_flac(bytes(hdr)))
+    bits = []
+
+    def emit(v, nb):
+        bits.extend((v >> (nb - 1 - i)) & 1 for i in range(nb))
+
+    body_bits(emit)
+    while len(bits) % 8:
+        bits.append(0)
+    body = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    frame = bytes(hdr) + body
+    return frame + struct.pack(">H", _crc16_flac(frame))
+
+
+def _flac_wrap(n_total, channels, frame):
+    import struct
+
+    streaminfo = struct.pack(">HH", 16, 65535) + b"\x00" * 6
+    streaminfo += (
+        (8000 << 44) | ((channels - 1) << 41) | (15 << 36) | n_total
+    ).to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + b"\x80\x00\x00\x22" + streaminfo + frame
+
+
+def _emit_rice(emit, residuals, k):
+    for e in residuals:
+        z = (abs(e) << 1) - 1 if e < 0 else e << 1
+        q, r = z >> k, z & ((1 << k) - 1)
+        emit(0, q) if q else None
+        emit(1, 1)
+        if k:
+            emit(r, k)
+
+
+def test_flac_lpc_subframe_matches_reference_model():
+    """Arbitrary-LPC decode: a hand-built order-2 LPC subframe with
+    quantized coefficients and a nonzero shift must reconstruct
+    x(i) = e(i) + ((c0*x(i-1) + c1*x(i-2)) >> shift) exactly —
+    including the arithmetic (sign-preserving) right shift on a
+    negative accumulator."""
+    import random
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_flac,
+    )
+
+    rng = random.Random(11)
+    n, order, prec, shift = 24, 2, 6, 4
+    coefs = [29, -13]  # 6-bit signed quantized coefficients
+    warm = [-40, 35]
+    res = [rng.randrange(-5, 6) for _ in range(n - order)]
+    samples = list(warm)
+    for e in res:
+        acc = coefs[0] * samples[-1] + coefs[1] * samples[-2]
+        samples.append(e + (acc >> shift))
+
+    def body(emit):
+        emit(0b0, 1)
+        emit(32 + order - 1, 6)  # LPC order 2
+        emit(0, 1)
+        for w in warm:
+            emit(w & 0xFFFF, 16)
+        emit(prec - 1, 4)
+        emit(shift & 0x1F, 5)
+        for c in coefs:
+            emit(c & ((1 << prec) - 1), prec)
+        emit(0b00, 2)
+        emit(0, 4)  # partition order 0
+        emit(2, 4)  # Rice parameter k=2
+        _emit_rice(emit, res, 2)
+
+    flac = _flac_wrap(n, 1, _flac_frame_bits(n, 0, body))
+    assert decode_flac(flac) == (
+        8000, 1, n, sum(samples), max(abs(s) for s in samples),
+    )
+
+
+def test_flac_stereo_decorrelation_all_three_modes():
+    """LEFT_SIDE, RIGHT_SIDE, and MID_SIDE frames (constant subframes
+    for clarity; the side channel carries its extra bit) must
+    reconstruct the same (left, right) pair a reference computation
+    produces."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_flac,
+    )
+
+    n = 10
+    left, right = 1000, -250
+    side = left - right  # 1250
+    mid = (left + right) >> 1  # 375
+
+    def mk(ch_code, c0, c1, extra_on):
+        def body(emit):
+            for v, extra in ((c0, extra_on == 0), (c1, extra_on == 1)):
+                emit(0b00000000, 8)  # CONSTANT, no waste
+                emit(v & 0x1FFFF, 17 if extra else 16)
+
+        return _flac_wrap(n, 2, _flac_frame_bits(n, ch_code, body))
+
+    want = (8000, 2, n, (left + right) * n, max(abs(left), abs(right)))
+    assert decode_flac(mk(8, left, side, 1)) == want  # LEFT_SIDE
+    assert decode_flac(mk(9, side, right, 0)) == want  # RIGHT_SIDE
+    assert decode_flac(mk(10, mid, side, 1)) == want  # MID_SIDE
