@@ -146,6 +146,7 @@ HEADLINE = [
     "multimodal_decode_progressive",
     "multimodal_audio_adpcm",
     "multimodal_audio_flac",
+    "multimodal_decode_lossless",
 ]
 
 

@@ -1195,6 +1195,173 @@ def make_jpeg_progressive(width: int, height: int, fill: int = 0) -> bytes:
     return b"".join(segs)
 
 
+def _jpeg_lossless_predict(
+    px: "list[list[int]]", x: int, y: int, sel: int, p: int, pt: int
+) -> int:
+    """T.81 Annex H lossless predictor: a=left, b=above, c=above-left;
+    the first sample seeds at half range, the rest of row 0 predicts
+    from a, column 0 predicts from b (H.1.2.1 boundary rules)."""
+    if y == 0 and x == 0:
+        return 1 << (p - 1 - pt)
+    if y == 0:
+        return px[0][x - 1]
+    if x == 0:
+        return px[y - 1][0]
+    a, b, c = px[y][x - 1], px[y - 1][x], px[y - 1][x - 1]
+    return [
+        None, a, b, c, a + b - c, a + ((b - c) >> 1), b + ((a - c) >> 1),
+        (a + b) >> 1,
+    ][sel]
+
+
+def make_jpeg_lossless(
+    width: int, height: int, fill: int = 0, sel: int = 4
+) -> bytes:
+    """A REAL LOSSLESS JPEG (SOF3, grayscale 8-bit, predictor ``sel``),
+    pure stdlib: the raster is the PIXEL-level pattern
+    v(x,y) = fill%64 + 3*(x%8) + 7*(y%8) (always < 256, so the decoded
+    sum has a closed form), differences against the Annex H predictor
+    are Huffman-coded with the Annex K DC table, modulo-65536
+    difference arithmetic per H.1.2.1."""
+    import struct
+
+    f = fill % 64
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    scan = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, n: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << n) | code
+        nbits += n
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    px = [[0] * width for _ in range(height)]
+    for y in range(height):
+        for x in range(width):
+            v = f + 3 * (x % 8) + 7 * (y % 8)
+            px[y][x] = v
+            pred = _jpeg_lossless_predict(px, x, y, sel, 8, 0)
+            diff = (v - pred + 32768) % 65536 - 32768  # mod-2^16 fold
+            s = abs(diff).bit_length()
+            code, ln = dc_codes[s]
+            emit(code, ln)
+            if s:
+                emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    if nbits:
+        emit((1 << (8 - nbits)) - 1, 8 - nbits)
+    return b"".join(
+        [
+            b"\xff\xd8",
+            b"\xff\xc3"  # SOF3: lossless sequential
+            + struct.pack(">HBHHB", 11, 8, height, width, 1)
+            + bytes([1, 0x11, 0]),
+            b"\xff\xc4"
+            + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+            + bytes(_JPEG_DC_BITS)
+            + bytes(_JPEG_DC_VALS),
+            # SOS: Ss = predictor selection, Se = 0, Al = point transf.
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00, sel, 0, 0]),
+            bytes(scan),
+            b"\xff\xd9",
+        ]
+    )
+
+
+def _decode_jpeg_lossless(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, channels, pixel_sum) for a LOSSLESS (SOF3)
+    grayscale JPEG: Annex H predictive decode — all seven predictor
+    selections with the H.1.2.1 boundary rules (half-range seed, row-0
+    left-prediction, column-0 above-prediction), point transform,
+    Huffman-coded differences in modulo-65536 arithmetic, 0xFF00
+    unstuffing. Multi-component lossless interleave raises
+    NotImplementedError."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = prec = None
+    dc_id = 0
+    sel = pt = None
+    scan_start = None
+    pos = 2
+    while pos < len(b) - 1:
+        if b[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                bits = list(seg[i : i + 16])
+                i += 16
+                n = sum(bits)
+                huff[(tc, th)] = _jpeg_huff_decode_table(
+                    bits, list(seg[i : i + n])
+                )
+                i += n
+        elif marker == 0xC3:
+            prec = seg[0]
+            h, w = struct.unpack_from(">HH", seg, 1)
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    "multi-component lossless JPEG interleave"
+                )
+        elif marker == 0xDA:
+            dc_id = seg[2] >> 4
+            sel, pt = seg[3], seg[5] & 0xF
+            scan_start = pos
+            break
+    if w is None or scan_start is None or sel is None:
+        raise ValueError("lossless JPEG missing SOF3/SOS")
+    if not 1 <= sel <= 7:
+        raise ValueError(f"invalid lossless predictor selection {sel}")
+    # unstuff (no restart support needed for single-scan grayscale)
+    data = bytearray()
+    i = scan_start
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            if b[i + 1] == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            break
+        data.append(byte)
+        i += 1
+    br = _JpegBitReader(bytes(data))
+    dcd = huff[(0, dc_id)]
+    px = [[0] * w for _ in range(h)]
+    total = 0
+    for y in range(h):
+        for x in range(w):
+            diff = br.receive_extend(br.huff(dcd))
+            pred = _jpeg_lossless_predict(px, x, y, sel, prec, pt)
+            v = (pred + diff) % 65536
+            px[y][x] = v  # prediction runs in the point-transformed
+            total += v << pt  # domain; output scales back up (H.2.2)
+    return w, h, 1, total
+
+
 class _JpegBitReader:
     """MSB-first bit reader over already-unstuffed entropy bytes."""
 
@@ -1616,12 +1783,14 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
                     )
         elif marker == 0xC2:  # progressive DCT: multi-scan path
             return _decode_jpeg_progressive(b)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:  # lossless sequential: predictive path
+            return _decode_jpeg_lossless(b)
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: baseline SOF0 and "
-                "progressive SOF2 implemented; extended-sequential/"
-                "lossless/arithmetic variants are not"
+                f"JPEG SOF{marker - 0xC0}: baseline SOF0, progressive "
+                "SOF2, and lossless SOF3 implemented; extended-"
+                "sequential/hierarchical/arithmetic variants are not"
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
@@ -2519,6 +2688,23 @@ def encode_sample_jpeg_progressive(
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
+def encode_sample_jpeg_lossless(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic lossless-JPEG synthesis (mapInPandas body): each
+    doc gets a real SOF3 file over the closed-form pixel ramp, cycling
+    through ALL SEVEN Annex H predictor selections by doc_id."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = [
+            make_jpeg_lossless(
+                8 * (1 + d % 5), 8 * (1 + d % 3), d, sel=1 + d % 7
+            )
+            for d in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
 def encode_sample_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic media synthesis (mapInPandas body): each doc gets a
     REAL image file — BMP / PPM / PNG / PGM cycling on doc_id % 4 —
@@ -2773,9 +2959,10 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both stages chained row-local mapInPandas — one scan, no shuffle.
     4:4:4 color (multimodal_decode_color), subsampled chroma
     (multimodal_decode_subsampled), and progressive
-    (multimodal_decode_progressive) decode too; only arithmetic-coded
-    and lossless JPEG remain behind NotImplementedError (the
-    PIL/ffmpeg integration point)."""
+    (multimodal_decode_progressive), and lossless SOF3
+    (multimodal_decode_lossless) decode too; only differential/
+    hierarchical/arithmetic-coded JPEG remains behind
+    NotImplementedError (the PIL/ffmpeg integration point)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_jpeg, "doc_id bigint, payload binary"
@@ -2827,11 +3014,59 @@ def multimodal_decode_progressive(
     encoder) is pinned by hand-assembled multi-scan streams in tests,
     including an EOB run spanning blocks with in-run correction bits.
     Both stages chained row-local mapInPandas — one scan, no shuffle.
-    Only arithmetic-coded and lossless JPEG remain behind
+    Lossless SOF3 decodes too (multimodal_decode_lossless); only
+    differential/hierarchical/arithmetic-coded JPEG remains behind
     NotImplementedError (the PIL/ffmpeg integration point)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_jpeg_progressive, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA).select(
+        "doc_id", "width", "height", "format", "n_pixels", "pixel_sum",
+        "mean_pixel",
+    )
+
+
+@query(
+    "multimodal_decode_lossless",
+    oracle="""
+SELECT doc_id,
+       CAST(8 * bw AS INTEGER) AS width,
+       CAST(8 * bh AS INTEGER) AS height,
+       'jpeg' AS format,
+       CAST(64 * bw * bh AS BIGINT) AS n_pixels,
+       CAST((64 * f + 2240) * bw * bh AS BIGINT) AS pixel_sum,
+       CAST((64 * f + 2240) * bw * bh AS DOUBLE)
+           / (64 * bw * bh) AS mean_pixel
+FROM (SELECT doc_id,
+             1 + doc_id % 5 AS bw,
+             1 + doc_id % 3 AS bh,
+             doc_id % 64 AS f
+      FROM documents)
+""",
+)
+def multimodal_decode_lossless(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOSSLESS (SOF3) JPEG decode end-to-end — the predictive codec
+    DNG/raw-camera files carry: synthesize a genuine lossless JPEG per
+    doc over a pixel-level ramp, CYCLING ALL SEVEN Annex H predictor
+    selections by doc_id, then decode the actual bytes back —
+    Huffman-coded differences, modulo-65536 arithmetic, half-range
+    seed and the row-0/column-0 boundary predictor rules. Lossless
+    means the oracle's closed-form sum ((64*fill + 2240) per 8x8
+    block: the ramp mass 3*sum(x%8) + 7*sum(y%8) = (3+7)*28*8)
+    holds for EVERY predictor — a boundary-rule slip, a predictor
+    table transposition, or a modulo fold error changes pixel_sum for
+    some doc_id residue class and fails the hash. Annex-H conformance
+    (not just encode/decode inverse consistency) is pinned by a
+    hand-computed-diff bitstream test. Both stages chained row-local
+    mapInPandas — one scan, no shuffle. Only extended-sequential,
+    hierarchical, and arithmetic-coded JPEG remain behind
+    NotImplementedError."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_sample_jpeg_lossless, "doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(decode_real_pixels, REAL_PIXEL_SCHEMA).select(
         "doc_id", "width", "height", "format", "n_pixels", "pixel_sum",
@@ -2958,8 +3193,9 @@ def multimodal_decode_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the four Y blocks, or an upsample misalignment changes
     pixel_sum and fails the hash. Both stages chained row-local
     mapInPandas — one scan, no shuffle. Progressive JPEG decodes too
-    (multimodal_decode_progressive); only arithmetic-coded and
-    lossless variants remain behind NotImplementedError."""
+    (multimodal_decode_progressive) and lossless SOF3
+    (multimodal_decode_lossless); only differential/hierarchical/
+    arithmetic-coded variants remain behind NotImplementedError."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         encode_sample_jpeg_420, "doc_id bigint, payload binary"

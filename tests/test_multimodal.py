@@ -420,12 +420,13 @@ def test_decode_pixels_bmp_strips_row_padding():
     assert decode_pixels(make_png(4, 3, 50)) == ("png", 4, 3, 3, 50 * 3 * 4 * 3)
 
 
-def test_jpeg_rejects_lossless_and_nonint_ratio():
-    """Baseline, 4:4:4 color, subsampled-chroma, and progressive all
-    decode for real now; lossless/arithmetic SOFs and non-integer
-    upsampling ratios stay behind honest NotImplementedError gates —
-    and a MALFORMED hybrid (SOF2 whose single scan spans DC+AC, which
-    T.81 forbids in progressive) must error, not decode garbage."""
+def test_jpeg_rejects_differential_and_nonint_ratio():
+    """Baseline, color, subsampled, progressive, and lossless all
+    decode for real now; differential/hierarchical/arithmetic SOFs and
+    non-integer upsampling ratios stay behind honest
+    NotImplementedError gates — and MALFORMED hybrids (SOF2 whose
+    single scan spans DC+AC; SOF3 whose scan carries predictor
+    selection 0) must error, not decode garbage."""
     import struct
 
     from simplemapreduceframework_spark.operators.multimodal import (
@@ -435,8 +436,11 @@ def test_jpeg_rejects_lossless_and_nonint_ratio():
 
     j = bytearray(make_jpeg(8, 8, 50))
     sof = j.find(b"\xff\xc0")
-    j[sof + 1] = 0xC3  # flip baseline -> lossless sequential
+    j[sof + 1] = 0xC5  # flip baseline -> differential sequential
     with pytest.raises(NotImplementedError):
+        decode_pixels(bytes(j))
+    j[sof + 1] = 0xC3  # SOF3 + a baseline Ss=0 scan: invalid predictor
+    with pytest.raises(ValueError, match="predictor selection"):
         decode_pixels(bytes(j))
     j[sof + 1] = 0xC2  # SOF2 + a baseline Ss=0..Se=63 scan: malformed
     with pytest.raises(ValueError, match="DC band"):
@@ -1761,3 +1765,80 @@ def test_flac_stereo_decorrelation_all_three_modes():
     assert decode_flac(mk(8, left, side, 1)) == want  # LEFT_SIDE
     assert decode_flac(mk(9, side, right, 0)) == want  # RIGHT_SIDE
     assert decode_flac(mk(10, mid, side, 1)) == want  # MID_SIDE
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """Every Annex H predictor selection (1-7) must losslessly invert
+    on the closed-form ramp raster, for several geometries."""
+    from simplemapreduceframework_spark.operators.multimodal import (
+        decode_pixels,
+        make_jpeg_lossless,
+    )
+
+    for sel in range(1, 8):
+        for w, h, fill in [(8, 8, 5), (24, 16, 63), (40, 8, 0)]:
+            f = fill % 64
+            want = (64 * f + 2240) * (w // 8) * (h // 8)
+            assert decode_pixels(make_jpeg_lossless(w, h, fill, sel=sel)) == (
+                "jpeg", w, h, 1, want,
+            ), (sel, w, h)
+
+
+def test_jpeg_lossless_hand_computed_stream_conformance():
+    """Annex-H CONFORMANCE, not just encoder/decoder inverse
+    consistency (a predictor bug shared by both sides would cancel in
+    a roundtrip): a 2x2 raster's diffs are computed BY HAND here for
+    predictor 4 (a+b-c) with the H.1.2.1 boundary rules, emitted as a
+    raw bitstream, and the decoder must reproduce the exact pixels.
+
+    raster [[100, 102], [107, 113]]:
+      (0,0): pred = 1<<7 = 128       -> diff = -28
+      (1,0): pred = a = 100          -> diff = +2
+      (0,1): pred = b(above) = 100   -> diff = +7
+      (1,1): pred = a+b-c = 107+102-100 = 109 -> diff = +4
+    """
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_huff_codes,
+        decode_pixels,
+    )
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    bits = []
+
+    def emit(code, n):
+        bits.extend((code >> (n - 1 - i)) & 1 for i in range(n))
+
+    for diff in (-28, 2, 7, 4):
+        s = abs(diff).bit_length()
+        emit(*dc_codes[s])
+        emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    while len(bits) % 8:
+        bits.append(1)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i : i + 8])), 2)
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0)
+    j = b"".join(
+        [
+            b"\xff\xd8",
+            b"\xff\xc3"
+            + struct.pack(">HBHHB", 11, 8, 2, 2, 1)
+            + bytes([1, 0x11, 0]),
+            b"\xff\xc4"
+            + struct.pack(">HB", 31, 0x00)
+            + bytes(_JPEG_DC_BITS)
+            + bytes(_JPEG_DC_VALS),
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00, 4, 0, 0]),  # predictor selection 4
+            bytes(scan),
+            b"\xff\xd9",
+        ]
+    )
+    assert decode_pixels(j) == ("jpeg", 2, 2, 1, 100 + 102 + 107 + 113)

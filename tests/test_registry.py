@@ -32,6 +32,7 @@ _ROUND7_MUST_CHECK = [
     "multimodal_decode_progressive",
     "multimodal_audio_adpcm",
     "multimodal_audio_flac",
+    "multimodal_decode_lossless",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",
