@@ -147,6 +147,7 @@ HEADLINE = [
     "multimodal_audio_adpcm",
     "multimodal_audio_flac",
     "multimodal_decode_lossless",
+    "privacy_k_anonymity",
 ]
 
 

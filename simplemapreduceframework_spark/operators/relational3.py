@@ -963,3 +963,77 @@ def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # owned by this entry, so repeat invocations reuse one cache chain
     memo[memo_key] = out
     return out
+
+
+# k-anonymity geometry: quasi-identifiers are the columns an adversary
+# can link from the outside (demographics + a generalized balance
+# bucket — bucketing IS the standard anonymization step); a class
+# smaller than K re-identifies its members.
+_KANON_K = 5
+_KANON_BUCKET = 1000
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           FLOOR(c_acctbal / {_KANON_BUCKET}) AS bal_bucket,
+           COUNT(*) AS cls
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(cls) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(cls) AS BIGINT) AS achieved_k,
+       CAST(COUNT(CASE WHEN cls < {_KANON_K} THEN 1 END) AS BIGINT)
+           AS n_risky_classes,
+       CAST(COALESCE(SUM(CASE WHEN cls < {_KANON_K} THEN cls END), 0)
+           AS BIGINT) AS n_risky_rows,
+       CAST(COUNT(CASE WHEN cls = 1 THEN 1 END) AS BIGINT)
+           AS n_singletons,
+       CAST(COALESCE(SUM(CASE WHEN cls < {_KANON_K} THEN cls END), 0)
+           AS DOUBLE) / NULLIF(SUM(cls), 0) AS risky_row_share
+FROM classes
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY report (data-governance tier): group the table by
+    its quasi-identifier columns (nation, market segment, and the
+    generalized account-balance bucket — bucketing is the standard
+    k-anonymization generalization), then report the achieved k (the
+    smallest equivalence class), how many classes and rows fall below
+    the k=5 policy threshold (_KANON_K), and the singleton count — the
+    directly re-identifiable rows a release gate must block.
+
+    Shape at scale: two chained partial-aggregable aggregations (the
+    per-class count map-side combines before its exchange; the report
+    folds the class-sized frame to one row) — the same shape at 1,500
+    customers or 1.5 billion. NULL quasi-identifier values form their
+    own class on both engines (GROUP BY NULL-equality semantics), so
+    missing demographics never silently vanish from the risk
+    accounting; FLOOR on the double balance matches DuckDB's FLOOR
+    exactly (both IEEE)."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _KANON_BUCKET).alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("cls"))
+    risky = F.when(F.col("cls") < _KANON_K, F.col("cls"))
+    return classes.agg(
+        F.sum("cls").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("cls").cast("bigint").alias("achieved_k"),
+        F.count(risky).cast("bigint").alias("n_risky_classes"),
+        F.coalesce(F.sum(risky), F.lit(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.count(F.when(F.col("cls") == 1, 1))
+        .cast("bigint")
+        .alias("n_singletons"),
+        (
+            F.coalesce(F.sum(risky), F.lit(0)).cast("double")
+            / F.nullif(F.sum("cls"), F.lit(0))
+        ).alias("risky_row_share"),
+    )

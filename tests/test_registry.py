@@ -33,6 +33,7 @@ _ROUND7_MUST_CHECK = [
     "multimodal_audio_adpcm",
     "multimodal_audio_flac",
     "multimodal_decode_lossless",
+    "privacy_k_anonymity",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",

@@ -562,6 +562,10 @@ def test_operators_with_null_dimension_rows(spark, tmp_path):
             "q36_lateral_topn",
             "customer_rfm_segments",
             "streaming_enrich_live",
+            # round 7: an all-NULL customer forms its own QI class
+            # (GROUP BY NULL-equality on both engines) and must count
+            # into the singleton/risk tallies, never vanish
+            "privacy_k_anonymity",
         ]:
             problems = compare_query(
                 spark, con, registry.QUERIES[name], registry.ORACLES[name], nd
@@ -1033,3 +1037,37 @@ def test_zvalue_rejects_unsupported_types_and_buckets_dates(spark):
     zs = [r[0] for r in df.select(z).collect()]
     assert len(set(zs)) > 1  # the date dimension discriminates
     assert all(v >= 0 for v in zs)
+
+
+def test_k_anonymity_report_exact_on_crafted_classes(spark, tmp_path):
+    """Known equivalence classes: 6 rows in one class (safe at k=5),
+    3 in another (risky), 1 singleton — the report's every counter is
+    checked exactly, including the singleton's membership in both the
+    risky-class and risky-row tallies."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+
+    registry.load_all()
+    nd = str(tmp_path / "sf_kanon")
+    os.makedirs(nd, exist_ok=True)
+    src = "/root/testdata/sf0.001"
+    rows = (
+        [(i, f"c{i}", 1, 500.0, "AUTO") for i in range(6)]  # class A: 6
+        + [(10 + i, f"c{10 + i}", 2, 1500.0, "AUTO") for i in range(3)]
+        + [(99, "c99", 3, 2500.0, "RAIL")]  # singleton
+    )
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "customer":
+            df = spark.createDataFrame(rows, df.schema)
+        df.write.parquet(f"{nd}/{t}.parquet")
+    got = registry.QUERIES["privacy_k_anonymity"](spark, nd).collect()[0]
+    assert got["n_rows"] == 10
+    assert got["n_classes"] == 3
+    assert got["achieved_k"] == 1
+    assert got["n_risky_classes"] == 2
+    assert got["n_risky_rows"] == 4
+    assert got["n_singletons"] == 1
+    assert got["risky_row_share"] == 0.4
