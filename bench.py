@@ -148,6 +148,7 @@ HEADLINE = [
     "multimodal_audio_flac",
     "multimodal_decode_lossless",
     "privacy_k_anonymity",
+    "privacy_l_diversity",
 ]
 
 

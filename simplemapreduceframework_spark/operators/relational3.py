@@ -1037,3 +1037,79 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("cls"), F.lit(0))
         ).alias("risky_row_share"),
     )
+
+
+_LDIV_L = 2
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+WITH joined AS (
+    SELECT c.c_nationkey, c.c_mktsegment,
+           FLOOR(c.c_acctbal / {_KANON_BUCKET}) AS bal_bucket,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderpriority IS NOT NULL
+),
+classes AS (
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderpriority) AS l
+    FROM joined GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(l) AS BIGINT) AS achieved_l,
+       CAST(COUNT(CASE WHEN l < {_LDIV_L} THEN 1 END) AS BIGINT)
+           AS n_homogeneous_classes,
+       CAST(COALESCE(SUM(CASE WHEN l < {_LDIV_L} THEN n_rows END), 0)
+           AS BIGINT) AS n_exposed_rows
+FROM classes
+""",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY report — k-anonymity's companion against the
+    HOMOGENEITY attack: a quasi-identifier class where every member
+    shares the same SENSITIVE value discloses that value even when the
+    class is large enough for k. The sensitive attribute here is order
+    priority (joined through the customer FK); per QI class (same
+    generalization as privacy_k_anonymity) the report carries the
+    achieved l (minimum distinct sensitive values), the count of
+    homogeneous classes (l < 2), and how many joined rows they expose.
+
+    Shape at scale: one fact-dimension equi-join (orders shuffle on
+    o_custkey, customer broadcast at dimension size), then a
+    distinct-count aggregate on the class key and a one-row fold.
+    NULL sensitive values are excluded on BOTH engines before the
+    distinct count — Spark's count_distinct skips NULLs while a class
+    of only-NULL priorities would otherwise differ between engines on
+    the n_rows side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _KANON_BUCKET).alias("bal_bucket"),
+        "o_orderpriority",
+    )
+    classes = joined.groupBy(
+        "c_nationkey", "c_mktsegment", "bal_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderpriority").alias("l"),
+    )
+    homog = F.when(F.col("l") < _LDIV_L, F.col("n_rows"))
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l").cast("bigint").alias("achieved_l"),
+        F.count(F.when(F.col("l") < _LDIV_L, 1))
+        .cast("bigint")
+        .alias("n_homogeneous_classes"),
+        F.coalesce(F.sum(homog), F.lit(0))
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+    )

@@ -34,6 +34,7 @@ _ROUND7_MUST_CHECK = [
     "multimodal_audio_flac",
     "multimodal_decode_lossless",
     "privacy_k_anonymity",
+    "privacy_l_diversity",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",

@@ -1071,3 +1071,61 @@ def test_k_anonymity_report_exact_on_crafted_classes(spark, tmp_path):
     assert got["n_risky_rows"] == 4
     assert got["n_singletons"] == 1
     assert got["risky_row_share"] == 0.4
+
+
+def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
+    """A crafted class where every member's orders share ONE priority
+    must be flagged homogeneous with its joined rows counted exposed;
+    a diverse class must not."""
+    import os
+
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.sources import TABLES, load_table
+
+    registry.load_all()
+    nd = str(tmp_path / "sf_ldiv")
+    os.makedirs(nd, exist_ok=True)
+    src = "/root/testdata/sf0.001"
+    cust_rows = [
+        (1, "a", 1, 500.0, "AUTO"),  # class X, two members
+        (2, "b", 1, 500.0, "AUTO"),
+        (3, "c", 2, 500.0, "RAIL"),  # class Y, one member
+    ]
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "customer":
+            df = spark.createDataFrame(cust_rows, df.schema)
+        if t == "orders":
+            order_rows = [
+                # class X: both members only '1-URGENT' -> homogeneous
+                (101, 1, "O", 10.0, None, "1-URGENT"),
+                (102, 2, "O", 10.0, None, "1-URGENT"),
+                (103, 2, "O", 10.0, None, "1-URGENT"),
+                # class Y: two priorities -> diverse
+                (104, 3, "O", 10.0, None, "1-URGENT"),
+                (105, 3, "O", 10.0, None, "5-LOW"),
+            ]
+            cols = df.columns
+            df = spark.createDataFrame(
+                [
+                    tuple(
+                        dict(
+                            zip(
+                                ["o_orderkey", "o_custkey", "o_orderstatus",
+                                 "o_totalprice", "o_orderdate",
+                                 "o_orderpriority"],
+                                r,
+                            )
+                        ).get(c)
+                        for c in cols
+                    )
+                    for r in order_rows
+                ],
+                df.schema,
+            )
+        df.write.parquet(f"{nd}/{t}.parquet")
+    got = registry.QUERIES["privacy_l_diversity"](spark, nd).collect()[0]
+    assert got["n_classes"] == 2
+    assert got["achieved_l"] == 1
+    assert got["n_homogeneous_classes"] == 1
+    assert got["n_exposed_rows"] == 3
