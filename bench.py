@@ -149,6 +149,7 @@ HEADLINE = [
     "multimodal_decode_lossless",
     "privacy_k_anonymity",
     "privacy_l_diversity",
+    "privacy_t_closeness",
 ]
 
 

@@ -1113,3 +1113,126 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_exposed_rows"),
     )
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+WITH joined AS (
+    SELECT c.c_nationkey, c.c_mktsegment,
+           FLOOR(c.c_acctbal / {_KANON_BUCKET}) AS bal_bucket,
+           o.o_orderpriority AS p
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderpriority IS NOT NULL
+),
+per AS (
+    SELECT c_nationkey, c_mktsegment, bal_bucket, p, COUNT(*) AS n_cp
+    FROM joined GROUP BY 1, 2, 3, 4
+),
+cls AS (
+    SELECT c_nationkey, c_mktsegment, bal_bucket, SUM(n_cp) AS n_c
+    FROM per GROUP BY 1, 2, 3
+),
+gp AS (SELECT p, COUNT(*) AS n_gp FROM joined GROUP BY p),
+g AS (SELECT COUNT(*) AS n_g FROM joined),
+tv AS (
+    SELECT per.c_nationkey, per.c_mktsegment, per.bal_bucket,
+           CAST(MIN(cls.n_c) AS BIGINT) AS n_c,
+           CAST(SUM(ABS(per.n_cp * g.n_g - gp.n_gp * cls.n_c))
+                - SUM(gp.n_gp * cls.n_c)
+                + MIN(cls.n_c) * MIN(g.n_g) AS BIGINT) AS tv_num
+    FROM per
+    JOIN cls USING (c_nationkey, c_mktsegment, bal_bucket)
+    JOIN gp USING (p)
+    CROSS JOIN g
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       MAX(CAST(tv_num AS DOUBLE) / (2.0 * n_c * (SELECT n_g FROM g)))
+           AS achieved_t,
+       CAST(COUNT(CASE WHEN 2 * tv_num > n_c * (SELECT n_g FROM g)
+                  THEN 1 END) AS BIGINT) AS n_violating_classes
+FROM tv
+""",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS report — completing the privacy triad (k-anonymity,
+    l-diversity, t-closeness): l-diversity misses SKEWED classes where
+    one sensitive value dominates; t-closeness bounds the total-
+    variation distance between each quasi-identifier class's sensitive
+    distribution (order priority) and the global one. Emits the
+    achieved t (the worst class's TV distance) and how many classes
+    exceed the t=0.25 policy.
+
+    Exactness: the TV numerator is computed in cross-multiplied
+    INTEGERS — sum over present values of |n_cp*n_g - n_gp*n_c|, the
+    absent-value mass folded in algebraically as n_c*n_g - sum(n_gp*
+    n_c) — so every term that crosses an exchange is an integer and
+    the single per-class division (and the t > 1/4 comparison, done as
+    2*tv_num > n_c*n_g in integers) is engine-identical. Scale note:
+    the cross products stay within int64 up to ~10^9 joined rows; a
+    1e12-row deployment would pre-normalize per-million (documented
+    rather than silently widened — DuckDB's HUGEINT habit is the r5
+    pagerank lesson).
+
+    Shape: the same broadcast dim join as l-diversity, a (class,
+    value) pre-aggregate, a |values|-sized global distribution
+    broadcast back, and a class-sized fold to one row."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    qi = [
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / _KANON_BUCKET).alias("bal_bucket"),
+    ]
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(*qi, F.col("o_orderpriority").alias("p"))
+    per = joined.groupBy(
+        "c_nationkey", "c_mktsegment", "bal_bucket", "p"
+    ).agg(F.count(F.lit(1)).alias("n_cp"))
+    from pyspark.sql import Window as W
+
+    keys = ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    # class totals via a window over the (class, value) pre-aggregate
+    # (high-cardinality partition key); global distribution broadcast
+    per = per.withColumn(
+        "n_c", F.sum("n_cp").over(W.partitionBy(*keys))
+    )
+    gp = joined.groupBy("p").agg(F.count(F.lit(1)).alias("n_gp"))
+    g_row = joined.agg(F.count(F.lit(1)).alias("n_g"))
+    tv = (
+        per.join(F.broadcast(gp), "p")
+        .crossJoin(F.broadcast(g_row))
+        .groupBy(*keys)
+        .agg(
+            F.min("n_c").cast("bigint").alias("n_c"),
+            (
+                F.sum(
+                    F.abs(
+                        F.col("n_cp") * F.col("n_g")
+                        - F.col("n_gp") * F.col("n_c")
+                    )
+                )
+                - F.sum(F.col("n_gp") * F.col("n_c"))
+                + F.min("n_c") * F.min("n_g")
+            )
+            .cast("bigint")
+            .alias("tv_num"),
+            F.min("n_g").alias("n_g"),
+        )
+    )
+    return tv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.max(
+            F.col("tv_num").cast("double")
+            / (2.0 * F.col("n_c") * F.col("n_g"))
+        ).alias("achieved_t"),
+        F.count(
+            F.when(2 * F.col("tv_num") > F.col("n_c") * F.col("n_g"), 1)
+        )
+        .cast("bigint")
+        .alias("n_violating_classes"),
+    )

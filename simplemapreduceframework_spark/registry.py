@@ -95,6 +95,7 @@ CHECK_PRIORITY: list[str] = [
     "multimodal_decode_lossless",  # new: SOF3 predictive decode gate
     "privacy_k_anonymity",  # new: QI equivalence-class risk report
     "privacy_l_diversity",  # new: homogeneity-attack companion report
+    "privacy_t_closeness",  # new: skew-attack TV-distance report
     "basket_rules",  # new: association rules (support/confidence/lift)
     "doc_similarity_sparse",  # new: sparse-cosine similarity index join
     "events_attribution",  # new: first/last-touch conversion attribution

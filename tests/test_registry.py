@@ -35,6 +35,7 @@ _ROUND7_MUST_CHECK = [
     "multimodal_decode_lossless",
     "privacy_k_anonymity",
     "privacy_l_diversity",
+    "privacy_t_closeness",
     "basket_rules",
     "doc_similarity_sparse",
     "events_attribution",

@@ -1129,3 +1129,48 @@ def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
     assert got["achieved_l"] == 1
     assert got["n_homogeneous_classes"] == 1
     assert got["n_exposed_rows"] == 3
+
+
+def test_t_closeness_matches_python_tv_computation(spark, sf_dir):
+    """The cross-multiplied integer TV formula must equal a direct
+    Python computation of 0.5 * sum |p_class - p_global| over ALL
+    sensitive values (including ones absent from a class) — the
+    algebraic absent-mass fold is the part a naive join-only
+    formulation silently drops."""
+    from collections import Counter, defaultdict
+
+    from simplemapreduceframework_spark.sources import load_table
+
+    cust = {
+        r["c_custkey"]: (
+            r["c_nationkey"],
+            r["c_mktsegment"],
+            None if r["c_acctbal"] is None else r["c_acctbal"] // 1000,
+        )
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    rows = [
+        (cust[r["o_custkey"]], r["o_orderpriority"])
+        for r in load_table(spark, sf_dir, "orders").collect()
+        if r["o_orderpriority"] is not None and r["o_custkey"] in cust
+    ]
+    global_counts = Counter(p for _, p in rows)
+    n_g = sum(global_counts.values())
+    per_class = defaultdict(Counter)
+    for qi, p in rows:
+        per_class[qi][p] += 1
+    ts = []
+    for qi, counts in per_class.items():
+        n_c = sum(counts.values())
+        tv = 0.5 * sum(
+            abs(counts.get(p, 0) / n_c - global_counts[p] / n_g)
+            for p in global_counts
+        )
+        ts.append(tv)
+    want_t = max(ts)
+    want_viol = sum(1 for t in ts if t > 0.25)
+
+    got = Q["privacy_t_closeness"](spark, sf_dir).collect()[0]
+    assert got["n_classes"] == len(per_class)
+    assert got["achieved_t"] == pytest.approx(want_t, rel=1e-12)
+    assert got["n_violating_classes"] == want_viol
