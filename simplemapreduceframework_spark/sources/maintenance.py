@@ -363,3 +363,61 @@ def incremental_mv_refresh(spark, sf_dir: str):
     out = finalize_mv(merge_mv(stored, delta))
     memo[out_key] = out
     return out
+
+
+def erase_by_key(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key: str,
+    partition_by: "list[str] | None" = None,
+) -> dict:
+    """RIGHT-TO-ERASURE maintenance (the operational half of the
+    privacy tier): remove every row whose ``key`` appears in ``keys``
+    from the parquet table at ``path`` — a read / anti-join / rewrite
+    on plain files (a table format like Iceberg/Delta would do this as
+    a transactional delete; the anti-join IS the delete either way) —
+    and return a PROOF-OF-ERASURE report the compliance workflow
+    records: rows before, rows erased, rows after, and a verified
+    zero count of surviving matches re-checked against the REWRITTEN
+    files (not the in-memory frame, so a partial or misdirected write
+    fails the proof, never silently passes it).
+
+    NULL keys in the table never match a NULL in the erasure list
+    (equi-join semantics) — an erasure request must name real keys;
+    NULLs in ``keys`` are dropped up front so they cannot silently
+    no-op. The erasure set is deduplicated and broadcast (it is
+    request-sized, not table-sized); the rewrite is one anti-join over
+    one table scan.
+    """
+    from pyspark.sql import functions as F
+
+    key_rows = (
+        keys.select(F.col(key)).filter(F.col(key).isNotNull()).distinct()
+    )
+    current = spark.read.parquet(path)
+    n_before = current.count()
+    kept = current.join(F.broadcast(key_rows), key, "left_anti")
+    tmp = path.rstrip("/") + ".erase_tmp"
+    writer = kept.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    after = spark.read.parquet(path)
+    n_after = after.count()
+    survivors = after.join(F.broadcast(key_rows), key, "left_semi").count()
+    if survivors:
+        raise RuntimeError(
+            f"erasure proof FAILED: {survivors} rows with erased keys "
+            f"survive in {path}"
+        )
+    return {
+        "n_before": n_before,
+        "n_erased": n_before - n_after,
+        "n_after": n_after,
+        "n_surviving_matches": survivors,
+    }

@@ -297,3 +297,59 @@ def test_table_expectations_reports_real_violations(spark, sf_dir):
     assert pk[0] > 0 and pk[1] is False
     assert rows["lineitem.l_quantity not_null"] == (0, True)
     assert rows["lineitem.l_orderkey fk orders"] == (0, True)
+
+
+def test_erase_by_key_proof_of_erasure(spark, tmp_path):
+    """Right-to-erasure: named keys vanish from the rewritten files,
+    everything else survives byte-identical, the report's counters
+    reconcile, NULL table keys are untouched (an erasure request can't
+    name NULL), and a NULL in the request list is dropped rather than
+    silently matching nothing while looking serviced."""
+    from pyspark.sql import functions as F
+
+    from simplemapreduceframework_spark.sources.maintenance import (
+        erase_by_key,
+    )
+
+    path = str(tmp_path / "users")
+    rows = [(i, f"user{i}") for i in range(20)] + [(None, "ghost")]
+    spark.createDataFrame(rows, "uid long, name string").write.parquet(path)
+
+    req = spark.createDataFrame(
+        [(3,), (7,), (7,), (None,), (999,)], "uid long"
+    )
+    report = erase_by_key(spark, path, req, "uid")
+    assert report["n_before"] == 21
+    assert report["n_erased"] == 2  # uids 3 and 7; 999 absent; NULL dropped
+    assert report["n_after"] == 19
+    assert report["n_surviving_matches"] == 0
+
+    after = spark.read.parquet(path)
+    got = {r["uid"] for r in after.collect()}
+    assert 3 not in got and 7 not in got
+    assert None in got  # the NULL-key row survives
+    assert after.filter(F.col("name") == "user5").count() == 1
+
+
+def test_erase_by_key_partitioned_table(spark, tmp_path):
+    """Erasure preserves the partition layout (partition_by passthrough)
+    and the proof re-checks the rewritten files."""
+    import os
+
+    from simplemapreduceframework_spark.sources.maintenance import (
+        erase_by_key,
+    )
+
+    path = str(tmp_path / "events_p")
+    rows = [(i, i % 3, f"v{i}") for i in range(30)]
+    (
+        spark.createDataFrame(rows, "eid long, shard int, v string")
+        .write.partitionBy("shard")
+        .parquet(path)
+    )
+    req = spark.createDataFrame([(0,), (29,)], "eid long")
+    report = erase_by_key(spark, path, req, "eid", partition_by=["shard"])
+    assert report["n_erased"] == 2 and report["n_after"] == 28
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("shard=")
+    ) == ["shard=0", "shard=1", "shard=2"]
