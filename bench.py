@@ -137,6 +137,7 @@ HEADLINE = [
     # fertility report, and the 4:2:0 JPEG decode gate.
     "text_normalize_unicode",
     "dedup_substring",
+    "dedup_substring_hashed",
     "tokenizer_fertility",
     "multimodal_decode_subsampled",
     "embedding_pca_gate",

@@ -1,0 +1,55 @@
+"""5-run timing spread for individual queries (VERDICT r7 items 2/7:
+pin a variance note for dedup_simhash / stats_exact_moments instead of
+chasing noise). Run with NOTHING else on the machine — concurrent Spark
+sessions inflate totals ~10% (round-6 measurement).
+
+Usage: python scripts/bench_spread.py query [query ...] [--sf DIR]
+Prints one JSON line per query: cold, then 5 warm timings, best/median.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simplemapreduceframework_spark import get_spark, registry
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.1"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+    registry.load_all()
+    spark = get_spark("bench-spread")
+    for name in args:
+        fn = registry.QUERIES[name]
+        times = []
+        for _ in range(6):  # first run = cold (plan + cache build)
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            times.append(round(time.monotonic() - t0, 3))
+        warm = times[1:]
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf_dir": sf_dir,
+                    "cold": times[0],
+                    "warm": warm,
+                    "best": min(warm),
+                    "median": round(statistics.median(warm), 3),
+                    "spread": round(max(warm) - min(warm), 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1071,18 +1071,24 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, so the double is engine-identical.
     """
     sh = _shingles(spark, sf_dir)  # persisted + memoized
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    docarr = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("df", "shingle"))
-            ).alias("arr"),
-            F.count(F.lit(1)).alias("n"),
+    memo = session_memo(spark)
+    dkey = ("simjoin_docarr", sf_dir)
+    if dkey in memo:  # one persisted copy per session (no pile-up)
+        docarr = memo[dkey]
+    else:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        docarr = (
+            sh.join(dfreq, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("df", "shingle"))
+                ).alias("arr"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .persist()
         )
-        .persist()
-    )
+        memo[dkey] = docarr
     prefix_len = (
         F.col("n") - F.ceil(F.col("n") * F.lit(_SIMJOIN_T)) + 1
     ).cast("int")

@@ -724,23 +724,29 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are distinct), so the triangle sets agree exactly.
     """
     baskets = _baskets(spark, sf_dir)
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) ->"
-                    " transform(slice(parts, i + 2, size(parts)),"
-                    "           y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
+    memo = session_memo(spark)
+    ekey = ("tri_edges", sf_dir)
+    if ekey in memo:  # one persisted copy per session (no pile-up)
+        edges = memo[ekey]
+    else:
+        edges = (
+            baskets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(parts, (x, i) ->"
+                        " transform(slice(parts, i + 2, size(parts)),"
+                        "           y -> struct(x AS u, y AS v))))"
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .filter(F.col("n_ab") >= _TRI_MIN_COBUY)
+            .drop("n_ab")
+            .persist()
         )
-        .select("e.u", "e.v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= _TRI_MIN_COBUY)
-        .drop("n_ab")
-        .persist()
-    )
+        memo[ekey] = edges
     deg = (
         edges.select(F.col("u").alias("p"))
         .unionAll(edges.select(F.col("v").alias("p")))
@@ -752,16 +758,23 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = F.struct(du.alias("d"), F.col("u").alias("p")) < F.struct(
         dv.alias("d"), F.col("v").alias("p")
     )
-    oriented = (
-        edges.join(F.broadcast(deg.alias("du")), F.col("du.p") == F.col("u"))
-        .join(F.broadcast(deg.alias("dv")), F.col("dv.p") == F.col("v"))
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(u_first, dv).otherwise(du).alias("dt"),
+    okey = ("tri_oriented", sf_dir)
+    if okey in memo:
+        oriented = memo[okey]
+    else:
+        oriented = (
+            edges.join(
+                F.broadcast(deg.alias("du")), F.col("du.p") == F.col("u")
+            )
+            .join(F.broadcast(deg.alias("dv")), F.col("dv.p") == F.col("v"))
+            .select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+                F.when(u_first, dv).otherwise(du).alias("dt"),
+            )
+            .persist()
         )
-        .persist()
-    )
+        memo[okey] = oriented
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     wedge_ord = F.struct(
         F.col("e1.dt").alias("d"), F.col("e1.t").alias("p")

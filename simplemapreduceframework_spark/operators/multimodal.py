@@ -2008,6 +2008,8 @@ def _decode_ima_adpcm(
     while out < n_samples and pos < len(data):
         block = data[pos : pos + block_align]
         pos += block_align
+        if len(block) < 4:  # truncated final block: partial decode
+            break
         (pred,) = struct.unpack_from("<h", block, 0)
         index = max(0, min(88, block[2]))
         total += pred
@@ -2212,9 +2214,15 @@ def decode_flac(b: bytes) -> tuple[int, int, int, int, int]:
             br.bits(8)
         elif sr_code in (13, 14):
             br.bits(16)
-        frame_rate = _FLAC_RATES.get(sr_code, rate)
+        if sr_code == 15:
+            raise ValueError("invalid FLAC sample-rate code 15")
+        # code 0 = get from STREAMINFO; 12-14 carry an explicit rate in
+        # the bytes skipped above (STREAMINFO rate is authoritative here)
+        frame_rate = rate if sr_code in (0, 12, 13, 14) else _FLAC_RATES[sr_code]
         nch = 2 if ch_code >= 8 else ch_code + 1
-        frame_bits = _FLAC_BITS.get(ss_code, bits)
+        if ss_code == 3:
+            raise ValueError("reserved FLAC sample-size code 3")
+        frame_bits = bits if ss_code == 0 else _FLAC_BITS[ss_code]
         header_crc = b[br.pos]
         if _crc8_flac(b[frame_start : br.pos]) != header_crc:
             raise ValueError("FLAC frame-header CRC mismatch")

@@ -1115,6 +1115,30 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tv_int64_guard(n_c: "Column", n_g: "Column") -> "Column":
+    """Runtime overflow guard for the integer-exact t-closeness TV
+    numerator: every cross product in the per-class fold is bounded by
+    2 * n_c * n_g, so the computation is int64-exact iff that bound
+    fits. Returns a NULL bigint column that RAISES (with the
+    pre-normalization recipe) when the bound does not fit — add it to
+    the numerator (``+ coalesce(guard, 0)``) so the optimizer cannot
+    prune the check away. The bound itself is checked in DOUBLE
+    arithmetic, which cannot wrap. A silent int64 wrap at ~1e12 joined
+    rows would be a WRONG ANSWER; this turns the documented limit into
+    a loud failure."""
+    i64_max = float((1 << 63) - 1)
+    return F.assert_true(
+        2.0 * n_c.cast("double") * n_g.cast("double") < i64_max,
+        F.lit(
+            "t-closeness TV numerator exceeds int64 (2*n_c*n_g >= 2^63"
+            " for some class). Pre-normalize before calling: divide the"
+            " per-(class,value) counts by a common factor m (TV distance"
+            " is invariant under uniform count scaling), e.g. m = 10^6"
+            " at ~1e12 joined rows, then recompute."
+        ),
+    ).cast("bigint")
+
+
 @query(
     "privacy_t_closeness",
     oracle=f"""
@@ -1170,10 +1194,10 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_c) — so every term that crosses an exchange is an integer and
     the single per-class division (and the t > 1/4 comparison, done as
     2*tv_num > n_c*n_g in integers) is engine-identical. Scale note:
-    the cross products stay within int64 up to ~10^9 joined rows; a
-    1e12-row deployment would pre-normalize per-million (documented
-    rather than silently widened — DuckDB's HUGEINT habit is the r5
-    pagerank lesson).
+    the cross products stay within int64 up to ~10^9 joined rows;
+    beyond that ``tv_int64_guard`` RAISES at runtime with the
+    pre-normalize-per-million recipe (a loud documented limit, never a
+    silent wrap — DuckDB's HUGEINT habit is the r5 pagerank lesson).
 
     Shape: the same broadcast dim join as l-diversity, a (class,
     value) pre-aggregate, a |values|-sized global distribution
@@ -1218,6 +1242,9 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 - F.sum(F.col("n_gp") * F.col("n_c"))
                 + F.min("n_c") * F.min("n_g")
+                + F.coalesce(  # raises past the int64 bound; else +0
+                    tv_int64_guard(F.min("n_c"), F.min("n_g")), F.lit(0)
+                )
             )
             .cast("bigint")
             .alias("tv_num"),

@@ -68,79 +68,23 @@ def load_all() -> None:
 
 
 # Driver-check ordering. The verify driver checks queries in dict order
-# with a per-round cap (50 in round 1), so queries that have never
-# produced a CORRECTNESS row, plus ones whose gate changed this round,
-# are listed first; long-green queries fall to the tail where a cap
-# costs nothing (their round-1 rows stand).
+# with a per-round cap (50 per round), so the head is whatever most
+# needs a fresh CORRECTNESS row. Round 8 is the archival-refresh round
+# (VERDICT r7 item 1): the head is EXACTLY the 49 queries whose latest
+# driver row is r4-vintage (predating the session_memo unification, the
+# DecimalType ban, and the NULL-fixture contracts), fragile families
+# first, plus the one new r8 query at position 50. The 47 r5-vintage
+# queries are staged immediately after and rotate in round 9.
 CHECK_PRIORITY: list[str] = [
-    # round 7 head: gates CHANGED since their last driver row. The three
-    # r6 hash-red rows re-projected decimal -> fixed-scale string (the
-    # no-DecimalType rule), plus the three whose semantics were pinned
-    # in the same commit (MAD medians to string, dangling-PageRank NULL
-    # edge contract, funnel broadcast fallback + NULL empty-top ratio).
-    "events_resample_ffill",
-    "incremental_mv_refresh",
-    "streaming_mv_refresh_live",
-    "events_outlier_mad",
-    "graph_pagerank_dangling",
-    "events_funnel",
-    # round 7 new queries
-    "multimodal_decode_gif",  # new: GIF LZW pixel decode gate
-    "multimodal_decode_jpeg",  # new: baseline JPEG Huffman+IDCT gate
-    "multimodal_decode_color",  # new: 4:4:4 color JPEG + YCbCr gate
-    "multimodal_decode_subsampled",  # new: 4:2:0 multi-block MCU gate
-    "multimodal_decode_progressive",  # new: SOF2 multi-scan decode gate
-    "multimodal_audio_adpcm",  # new: IMA-ADPCM compressed-audio gate
-    "multimodal_audio_flac",  # new: FLAC container/CRC/subframe gate
-    "multimodal_decode_lossless",  # new: SOF3 predictive decode gate
-    "privacy_k_anonymity",  # new: QI equivalence-class risk report
-    "privacy_l_diversity",  # new: homogeneity-attack companion report
-    "privacy_t_closeness",  # new: skew-attack TV-distance report
-    "basket_rules",  # new: association rules (support/confidence/lift)
-    "doc_similarity_sparse",  # new: sparse-cosine similarity index join
-    "events_attribution",  # new: first/last-touch conversion attribution
-    "dedup_canonical",  # new: per-cluster representative election
-    "corpus_snapshot_diff",  # new: fingerprint-level dataset version diff
-    "events_capped_contributions",  # new: DP-style contribution bounding
-    "experiment_readout",  # new: A/B arm split + lift + pooled z
-    "streaming_capped_contrib_live",  # new: live contribution bounding
-    "entity_golden_records",  # new: ER transitive merge + golden election
-    "simjoin_prefix_filter",  # new: lossless prefix-filtered Jaccard join
-    "graph_triangles",  # new: degree-oriented triangle counting
-    "train_negative_sampling",  # new: seeded contrastive negatives
-    "split_leakage_safe",  # new: cluster-keyed train/test split
-    "text_normalize_unicode",  # new: NFC normalize (pandas UDF, exact)
-    "dedup_substring",  # new: cross-doc exact-substring duplication
-    "tokenizer_fertility",  # new: per-lang chars/token report
-    "embedding_pca_gate",  # new: distributed PCA variance-identity gate
-    "approx_percentiles_gate",  # new: quantile-sketch rank-error gate
-    "sample_weighted_bottomk",  # new: A-ES weighted sample w/o replacement
-    "streaming_normalize_live",  # new: pandas-UDF NFC at ingest (live twin)
-    # stale r1 rows (pre-testdata regeneration) — rotate the record
-    "dedup_ngram_jaccard",
-    "q26_sql_api",
-    "q27_promo_revenue",
-    "q28_hierarchical_rollup",
-    "q29_large_orders",
-    "stats_exact_moments",
-    "exact_percentiles",
-    "ann_cosine_topk",
-    # stale r3 rows
-    "dedup_exact",
-    "q35_grouping_sets",
-    "q36_lateral_topn",
-    "q37_range_frame_window",
-    # r4-vintage rotation (oldest remaining rows). Fragile families
-    # first: timestamp/streaming, then dedup/ann arithmetic, then the
-    # TPC-H subqueries and compat layer. The ~22 r4 rows that miss the
-    # 50-slot cap rotate in round 8.
-    "events_dedup",
+    # --- r8 head: r4-vintage rows, fragile families first ---------
+    # timestamp/streaming
     "events_range_join",
     "events_session_10m",
     "events_sliding_1h_30m",
     "events_stream_join_live",
     "streaming_dedup_live",
     "streaming_tumbling_live",
+    # dedup / ANN / sketch arithmetic
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
@@ -149,8 +93,11 @@ CHECK_PRIORITY: list[str] = [
     "ann_ivf_topk",
     "ann_lsh_bucketed",
     "ann_search_ivf_gate",
-    "approx_distinct_gate",
     "approx_distinct",
+    "approx_distinct_gate",
+    "bloom_semi_filter",
+    "cms_heavy_hitters",
+    # TPC-H subqueries + stats
     "q30_min_cost_supplier",
     "q31_important_stock",
     "q32_suppliers_who_kept_waiting",
@@ -159,10 +106,84 @@ CHECK_PRIORITY: list[str] = [
     "stats_numeric",
     "histogram_equi_depth",
     "skewed_agg_salted",
+    # compat layer + UDF tier
     "mr_wordcount_compat",
     "mr_grouped_avg_compat",
     "mr_pickle_compat",
+    "udaf_grouped_sum",
+    "udf_scalar_disc_price",
+    "udtf_tokenize",
+    # text analysis
+    "text_fingerprint",
+    "text_lang_id",
+    "text_lm_coverage",
+    "text_quality_score",
+    "text_token_ids",
+    "text_token_stats",
+    "text_vocab",
+    "text_winnow_fingerprints",
+    # multimodal + pipelines + training assembly
+    "multimodal_decode",
+    "pipeline_clean_corpus",
+    "pipeline_prepare_training_data",
+    "corpus_mix_weighted",
+    "corpus_shuffle_shard",
+    "pack_sequences",
+    "sample_bottomk",
+    "sample_stratified_bottomk",
+    "split_train_test",
+    # --- new in r8 (position 50) -----------------------------------
+    "dedup_substring_hashed",  # xxhash64-keyed ExactSubstr scale twin
+    # --- staged for r9 rotation: r5-vintage rows --------------------
+    "streaming_decontaminate_live",
+    "streaming_enrich_live",
+    "streaming_hygiene_live",
+    "streaming_ingest_pipeline_live",
+    "streaming_session_live",
+    "streaming_sliding_live",
+    "streaming_stateful_totals_live",
+    "events_cohort_retention",
+    "events_hourly_seasonality",
+    "events_outlier_zscore",
+    "events_range_join_bucketed",
+    "events_session_stats",
+    "events_state_intervals",
+    "events_transition_matrix",
+    "events_trend_slope",
+    "ann_ivf_ndcg_gate",
+    "ann_quantized_gate",
+    "dedup_winnow",
+    "embedding_quantize",
+    "bpe_first_merge_gate",
+    "bpe_learn_merges",
+    "basket_part_pairs",
+    "fuzzy_match_parts",
+    "hybrid_search_rrf",
+    "text_bm25",
+    "text_bm25_batch",
+    "text_bm25_indexed",
+    "text_chunk",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "text_pmi_pairs",
+    "text_quality_classifier",
+    "text_repetition_filter",
+    "pipeline_chunked_corpus",
+    "pipeline_hygiene",
+    "corpus_health_report",
+    "curriculum_schedule",
+    "customer_rfm_segments",
+    "multimodal_frame_sample",
+    "part_monthly_demand_features",
+    "q38_disjunctive_predicate",
+    "q39_nation_volume",
+    "q40_window_distribution",
+    "q41_top_supplier",
+    "q42_product_profit",
+    "table_profile",
+    "table_skew_report",
 ]
+
 
 
 def _ordered(d: dict[str, Any]) -> dict[str, Any]:

@@ -389,8 +389,33 @@ def erase_by_key(
     no-op. The erasure set is deduplicated and broadcast (it is
     request-sized, not table-sized); the rewrite is one anti-join over
     one table scan.
+
+    Swap discipline: the rewrite lands at ``path + '.erase_tmp'``,
+    the live table is renamed aside to ``path + '.erase_bak'``, the
+    rewrite is renamed into place, and only then is the backup
+    deleted — the table directory is never absent, and a crash at any
+    point leaves either the original or the rewrite at a recoverable
+    location. The swap uses local filesystem renames, so ``path`` must
+    be a local path: remote URIs (s3://, hdfs://, ...) are rejected up
+    front — on those, use a transactional table format (Delta/Iceberg
+    DELETE) or Hadoop FileSystem rename APIs instead.
     """
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"erase_by_key swaps directories via local-filesystem "
+            f"renames and cannot operate on remote URI {path!r}; use a "
+            f"transactional table format (Delta/Iceberg DELETE) or "
+            f"Hadoop FileSystem APIs for remote tables"
+        )
+    local = path[len("file://") :] if path.startswith("file://") else path
+    local = local.rstrip("/") or "/"
+    if not os.path.isdir(local):
+        raise ValueError(f"erase_by_key target is not a directory: {path!r}")
 
     key_rows = (
         keys.select(F.col(key)).filter(F.col(key).isNotNull()).distinct()
@@ -398,15 +423,17 @@ def erase_by_key(
     current = spark.read.parquet(path)
     n_before = current.count()
     kept = current.join(F.broadcast(key_rows), key, "left_anti")
-    tmp = path.rstrip("/") + ".erase_tmp"
+    tmp = local.rstrip("/") + ".erase_tmp"
+    bak = local.rstrip("/") + ".erase_bak"
     writer = kept.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    if os.path.exists(bak):  # leftover from an earlier crashed swap
+        shutil.rmtree(bak)
+    os.rename(local, bak)  # original aside — table never absent...
+    os.rename(tmp, local)  # ...rewrite into place (atomic rename)
+    shutil.rmtree(bak)  # destructive step LAST, after the swap
     after = spark.read.parquet(path)
     n_after = after.count()
     survivors = after.join(F.broadcast(key_rows), key, "left_semi").count()

@@ -1842,3 +1842,63 @@ def test_jpeg_lossless_hand_computed_stream_conformance():
         ]
     )
     assert decode_pixels(j) == ("jpeg", 2, 2, 1, 100 + 102 + 107 + 113)
+
+
+def test_adpcm_truncated_final_block_partial_decode():
+    """A data chunk cut mid-block-header (< 4 bytes left) must return
+    the partial (out, total, peak) decoded so far — the documented
+    graceful-truncation contract (advisor r8) — never raise from an
+    unguarded header unpack."""
+    import struct
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _decode_ima_adpcm,
+    )
+
+    block = struct.pack("<hBB", 100, 0, 0) + bytes(4)  # 1+8 samples
+    full = _decode_ima_adpcm(block, 8, 100)
+    assert full[0] == 9  # header sample + 8 zero nibbles
+    # 2 trailing bytes: shorter than one header -> ignored, not a crash
+    assert _decode_ima_adpcm(block + b"\x01\x02", 8, 100) == full
+    assert _decode_ima_adpcm(b"\x01\x02", 8, 10) == (0, 0, 0)
+
+
+def test_flac_reserved_rate_and_size_codes_reject():
+    """Frame-header sample-rate code 15 (invalid) and sample-size code
+    3 (reserved) must REJECT — not silently fall back to STREAMINFO
+    defaults (advisor r8). Codes are patched into a valid stream with
+    both CRCs re-stamped so only the code check can fire."""
+    import struct
+
+    import pytest
+
+    from simplemapreduceframework_spark.operators.multimodal import (
+        _crc8_flac,
+        _crc16_flac,
+        decode_flac,
+        make_flac,
+    )
+
+    good = make_flac(16, 1000)
+    frame_start = len(good) - 13
+
+    def patch(byte_off: int, mutate) -> bytes:
+        hacked = bytearray(good)
+        hacked[frame_start + byte_off] = mutate(hacked[frame_start + byte_off])
+        hacked[frame_start + 7] = _crc8_flac(
+            bytes(hacked[frame_start : frame_start + 7])
+        )
+        struct.pack_into(
+            ">H",
+            hacked,
+            len(hacked) - 2,
+            _crc16_flac(bytes(hacked[frame_start:-2])),
+        )
+        return bytes(hacked)
+
+    # byte 2 = bs_code<<4 | sr_code: force sr_code 15
+    with pytest.raises(ValueError, match="sample-rate code 15"):
+        decode_flac(patch(2, lambda b: (b & 0xF0) | 0x0F))
+    # byte 3 = ch_code<<4 | ss_code<<1 | reserved: force ss_code 3
+    with pytest.raises(ValueError, match="sample-size code 3"):
+        decode_flac(patch(3, lambda b: (b & 0xF1) | (3 << 1)))

@@ -14,44 +14,61 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Queries introduced or gate-changed in round 7 — each MUST sit inside
-# the checked window until it has a (fresh) driver row: the three r6
-# hash-red rows re-projected to strings plus the three whose semantics
-# were pinned in the same commit, and the four new round-7 queries.
-_ROUND7_MUST_CHECK = [
-    "events_resample_ffill",
-    "incremental_mv_refresh",
-    "streaming_mv_refresh_live",
-    "events_outlier_mad",
-    "graph_pagerank_dangling",
-    "events_funnel",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_color",
-    "multimodal_decode_subsampled",
-    "multimodal_decode_progressive",
-    "multimodal_audio_adpcm",
-    "multimodal_audio_flac",
-    "multimodal_decode_lossless",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "privacy_t_closeness",
-    "basket_rules",
-    "doc_similarity_sparse",
-    "events_attribution",
-    "dedup_canonical",
-    "corpus_snapshot_diff",
-    "events_capped_contributions",
-    "experiment_readout",
-    "streaming_capped_contrib_live",
-    "entity_golden_records",
-    "text_normalize_unicode",
-    "dedup_substring",
-    "tokenizer_fertility",
-    "embedding_pca_gate",
-    "approx_percentiles_gate",
-    "sample_weighted_bottomk",
-    "streaming_normalize_live",
+# Round-8 check window (VERDICT r7 item 1): the 49 queries whose
+# latest driver CORRECTNESS row is r4-vintage — rotated to the head so
+# the record of record is refreshed post-refactors — plus the one new
+# r8 query (the xxhash64 ExactSubstr scale twin) at position 50.
+_ROUND8_MUST_CHECK = [
+    "events_range_join",
+    "events_session_10m",
+    "events_sliding_1h_30m",
+    "events_stream_join_live",
+    "streaming_dedup_live",
+    "streaming_tumbling_live",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_recall_gate",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_search_ivf_gate",
+    "approx_distinct",
+    "approx_distinct_gate",
+    "bloom_semi_filter",
+    "cms_heavy_hitters",
+    "q30_min_cost_supplier",
+    "q31_important_stock",
+    "q32_suppliers_who_kept_waiting",
+    "q33_global_sales_opportunity",
+    "q34_event_funnel",
+    "stats_numeric",
+    "histogram_equi_depth",
+    "skewed_agg_salted",
+    "mr_wordcount_compat",
+    "mr_grouped_avg_compat",
+    "mr_pickle_compat",
+    "udaf_grouped_sum",
+    "udf_scalar_disc_price",
+    "udtf_tokenize",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_lm_coverage",
+    "text_quality_score",
+    "text_token_ids",
+    "text_token_stats",
+    "text_vocab",
+    "text_winnow_fingerprints",
+    "multimodal_decode",
+    "pipeline_clean_corpus",
+    "pipeline_prepare_training_data",
+    "corpus_mix_weighted",
+    "corpus_shuffle_shard",
+    "pack_sequences",
+    "sample_bottomk",
+    "sample_stratified_bottomk",
+    "split_train_test",
+    "dedup_substring_hashed",
 ]
 
 
@@ -68,7 +85,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND7_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND8_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"

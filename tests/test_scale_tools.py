@@ -722,6 +722,23 @@ def test_operators_with_null_order_rows(spark, tmp_path):
             )
             df = df.unionByName(null_o)
         df.write.parquet(f"{nd}/{t}.parquet")
+    # WITNESS the NULL-edge contract (r7 verdict item 3): prove the
+    # fixture actually reaches graph_pagerank_dangling's edge builder —
+    # the orders X lineitem join must surface >= 1 NULL-custkey row
+    # that WOULD become a NULL edge source were the isNotNull filter
+    # ever dropped (on the oracle side that NULL s would poison the
+    # dangling-mass NOT IN to UNKNOWN for every node).
+    o_nd = load_table(spark, nd, "orders")
+    l_nd = load_table(spark, nd, "lineitem")
+    n_null_edge_src = (
+        o_nd.join(l_nd, l_nd.l_orderkey == o_nd.o_orderkey)
+        .filter("o_custkey IS NULL AND l_suppkey IS NOT NULL")
+        .count()
+    )
+    assert n_null_edge_src >= 1, (
+        "fixture regression: no NULL-custkey order joins lineitem, so "
+        "the pagerank NULL-edge contract is no longer exercised"
+    )
     con = duckdb_connection(nd)
     try:
         for name in [
@@ -1174,3 +1191,36 @@ def test_t_closeness_matches_python_tv_computation(spark, sf_dir):
     assert got["n_classes"] == len(per_class)
     assert got["achieved_t"] == pytest.approx(want_t, rel=1e-12)
     assert got["n_violating_classes"] == want_viol
+
+
+def test_tv_int64_guard(spark):
+    """The t-closeness overflow guard (r7 verdict item 5): past
+    ~1e9 joined rows the cross-multiplied TV numerator would wrap
+    int64 — the guard must RAISE with the pre-normalization recipe,
+    never let a silent wrap become a wrong answer. In range it must be
+    a +0 no-op on the numerator."""
+    from pyspark.sql import functions as F
+
+    from simplemapreduceframework_spark.operators.relational3 import (
+        tv_int64_guard,
+    )
+
+    def guarded(n_c: int, n_g: int):
+        df = spark.range(1).select(
+            F.lit(n_c).cast("long").alias("n_c"),
+            F.lit(n_g).cast("long").alias("n_g"),
+        )
+        return df.select(
+            (
+                F.col("n_c")
+                + F.coalesce(
+                    tv_int64_guard(F.col("n_c"), F.col("n_g")), F.lit(0)
+                )
+            ).alias("x")
+        )
+
+    # in range: guard is NULL -> +0, numerator untouched
+    assert guarded(10**9, 10**9).collect()[0]["x"] == 10**9
+    # synthetic overflow frame: 2 * (4e9)^2 > 2^63 -> loud failure
+    with pytest.raises(Exception, match="exceeds int64"):
+        guarded(4 * 10**9, 4 * 10**9).collect()

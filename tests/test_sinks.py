@@ -3,6 +3,8 @@ and the streaming foreachBatch sink."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from simplemapreduceframework_spark.plans import explain_str
@@ -329,6 +331,37 @@ def test_erase_by_key_proof_of_erasure(spark, tmp_path):
     assert 3 not in got and 7 not in got
     assert None in got  # the NULL-key row survives
     assert after.filter(F.col("name") == "user5").count() == 1
+
+
+def test_erase_by_key_swap_discipline(spark, tmp_path):
+    """The rewrite swap must (a) leave no .erase_tmp/.erase_bak debris
+    on success — the table is renamed aside, replaced, THEN the backup
+    deleted, so a crash at any point leaves a recoverable copy — (b)
+    reject remote URIs up front (the swap is local-filesystem renames;
+    advisor r7 medium), and (c) recover from a stale backup left by an
+    earlier crashed swap."""
+    import os
+
+    from simplemapreduceframework_spark.sources.maintenance import (
+        erase_by_key,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "uid long, name string"
+    ).write.parquet(path)
+    # stale backup from a hypothetical earlier crash between renames
+    os.makedirs(path + ".erase_bak")
+    req = spark.createDataFrame([(4,)], "uid long")
+    report = erase_by_key(spark, path, req, "uid")
+    assert report["n_erased"] == 1 and report["n_after"] == 9
+    assert not os.path.exists(path + ".erase_tmp")
+    assert not os.path.exists(path + ".erase_bak")
+
+    with pytest.raises(ValueError, match="remote URI"):
+        erase_by_key(spark, "s3://bucket/table", req, "uid")
+    with pytest.raises(ValueError, match="not a directory"):
+        erase_by_key(spark, str(tmp_path / "absent"), req, "uid")
 
 
 def test_erase_by_key_partitioned_table(spark, tmp_path):

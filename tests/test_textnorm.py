@@ -15,6 +15,7 @@ from simplemapreduceframework_spark.operators.textnorm import (
     _SUB_K,
     _SUB_STRIDE,
     dedup_substring,
+    dedup_substring_hashed,
     text_normalize_unicode,
     tokenizer_fertility,
 )
@@ -111,6 +112,39 @@ def test_substring_dedup_finds_planted_boilerplate(spark, tmp_path):
     # internal-repeat doc: windows repeat WITHIN the doc only — the
     # cross-doc distinct count stays 1, so nothing is flagged
     assert got[5][1] == 0
+
+
+def test_substring_hashed_twin_is_row_identical(spark, sf_dir):
+    """The xxhash64-keyed scale twin must be BIT-identical to the
+    raw-window form on the whole test corpus — every (doc, n_windows,
+    n_dup_windows, dup_ratio) row, not just aggregates — proving the
+    8-byte shuffle key loses nothing (no collision merges two windows
+    here; a collision would inflate some doc's n_dup_windows)."""
+    exact = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+        for r in dedup_substring(spark, sf_dir).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+        for r in dedup_substring_hashed(spark, sf_dir).collect()
+    }
+    assert exact == hashed
+
+
+def test_substring_hashed_shuffles_hash_not_window(spark, sf_dir):
+    """The raw 32-char window must die BEFORE the first exchange: only
+    the 8-byte hash crosses shuffles. Same three-exchange no-self-join
+    shape as the exact form."""
+    df = dedup_substring_hashed(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert n_exchanges(df) == 3, plan
+    assert "xxhash64" in plan, plan
+    # no Exchange partitions on the raw window column
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "win#" not in m.group(1), m.group(0)
 
 
 def test_substring_dedup_plan_has_no_self_join(spark, sf_dir):
