@@ -282,9 +282,22 @@ SHOWCASE = [
 ]
 
 
+APPENDIX_MARK = "## Appendix: measured 10x scaling"
+
+
 def main() -> None:
     spark = get_spark("plan-dump")
     registry.load_all()
+    # hand-written appendices (the scaling measurements) survive
+    # regeneration: everything from APPENDIX_MARK on is carried over
+    appendix = ""
+    try:
+        with open("PLANS.md") as f:
+            old = f.read()
+        if APPENDIX_MARK in old:
+            appendix = old[old.index(APPENDIX_MARK) :]
+    except FileNotFoundError:
+        pass
     out = [
         "# PLANS — physical-plan evidence for the scale claims",
         "",
@@ -302,6 +315,8 @@ def main() -> None:
         out.append(explain_str(df).strip())
         out.append("```")
         out.append("")
+    if appendix:
+        out.append(appendix)
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")

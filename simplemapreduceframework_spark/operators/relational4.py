@@ -230,6 +230,16 @@ def q47_reorder_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurses against that — one window, ~10 cheap frontier joins
     (DuckDB materializes CTEs once, so the single oracle text has no
     such concern). Streak statistics are pure integers — engine-exact.
+
+    Scale note (caught by the 10x scaling bench, round 8): Spark's
+    recursion safety valve ``spark.sql.cteRecursionRowLimit`` defaults
+    to 1e6 CUMULATIVE rows — but this traversal legitimately emits one
+    chain row per order in a streak, so any fact table past ~1M orders
+    trips it ([RECURSION_ROW_LIMIT_EXCEEDED], a hard error, not a
+    wrong answer). The engine raises the valve to 2e9 here; a cluster
+    deployment sizes it to >= |orders| (or -1) per job. The real bound
+    on the recursion is structural: every level shrinks the frontier,
+    and total output is exactly the number of orders in streaks.
     """
     from ..session_memo import session_memo
 
@@ -237,6 +247,7 @@ def q47_reorder_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("q47", sf_dir)
     if key in memo:
         return memo[key]
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
     register_views(spark, sf_dir)
     ord_df = spark.sql(_Q47_ORD_SQL).persist()
     ord_df.createOrReplaceTempView("q47_ord")
