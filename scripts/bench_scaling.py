@@ -16,8 +16,14 @@ Each query runs 3x per scale on a fresh-per-scale session (memoized
 shared frames persist per (session, sf_dir); best-of-3 keeps the
 steady-state number the way bench.py does).
 
-Usage: python scripts/bench_scaling.py [sf1_dir]
-Writes .bench_cache/scaling_sf1.json and prints a markdown table.
+Usage: python scripts/bench_scaling.py [sf1_dir] [--base=DIR]
+                 [--factor=N] [--queries=a,b,c] [--out=NAME]
+Defaults: base=/root/testdata/sf0.1, factor=10 (exponent denominator),
+out=scaling_sf1. Writes .bench_cache/<out>.json and prints a markdown
+table. A second-decade check (sf1 -> sf10) is
+  python scripts/make_sf_scaled.py 100 /root/testdata/sf0.1 .bench_cache/sf10
+  python scripts/bench_scaling.py .bench_cache/sf10 \
+      --base=.bench_cache/sf1 --out=scaling_sf10
 """
 
 from __future__ import annotations
@@ -73,14 +79,20 @@ def time_queries(sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    sf1 = (
-        sys.argv[1]
-        if len(sys.argv) > 1
-        else os.path.join(REPO, ".bench_cache", "sf1")
+    global QUERIES
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(
+        a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--")
     )
+    sf1 = pos[0] if pos else os.path.join(REPO, ".bench_cache", "sf1")
+    base = opts.get("base", "/root/testdata/sf0.1")
+    factor = float(opts.get("factor", "10"))
+    out_name = opts.get("out", "scaling_sf1")
+    if "queries" in opts:
+        QUERIES = opts["queries"].split(",")
     if not os.path.isdir(sf1):
         raise SystemExit(f"{sf1} missing — run scripts/make_sf_scaled.py first")
-    t_small = time_queries("/root/testdata/sf0.1")
+    t_small = time_queries(base)
     t_big = time_queries(sf1)
     rows = []
     for name in QUERIES:
@@ -95,18 +107,25 @@ def main() -> None:
                 "sf1_cold": round(cb, 3),
                 "rows_sf0.1": int(t_small[f"{name}__rows"]),
                 "rows_sf1": int(t_big[f"{name}__rows"]),
-                "exponent": round(math.log(b / a) / math.log(10), 2),
-                "exponent_cold": round(math.log(cb / ca) / math.log(10), 2),
+                "exponent": round(math.log(b / a) / math.log(factor), 2),
+                "exponent_cold": round(
+                    math.log(cb / ca) / math.log(factor), 2
+                ),
             }
         )
-    out = os.path.join(REPO, ".bench_cache", "scaling_sf1.json")
+    out = os.path.join(REPO, ".bench_cache", f"{out_name}.json")
     with open(out, "w") as f:
-        json.dump({"runs": RUNS, "results": rows}, f, indent=1)
+        json.dump(
+            {"runs": RUNS, "base": base, "scaled": sf1, "factor": factor,
+             "results": rows},
+            f,
+            indent=1,
+        )
         f.write("\n")
     print(f"[bench_scaling] -> {out}", file=sys.stderr)
     print(
-        "| query | sf0.1 warm | sf1 warm | exp | sf0.1 cold | sf1 cold "
-        "| exp (cold) | rows sf0.1 -> sf1 |"
+        "| query | base warm | scaled warm | exp | base cold | scaled cold "
+        "| exp (cold) | rows base -> scaled |"
     )
     print("|---|---|---|---|---|---|---|---|")
     for r in rows:

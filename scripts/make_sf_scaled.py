@@ -15,14 +15,17 @@ customer, lineitems per order, baskets per part — are preserved, which
 is what makes the timing comparison a scaling measurement rather than a
 skew experiment.
 
-Text columns (documents.text, part.p_name) are Caesar-shifted per
-replica (F.translate over [a-zA-Z], pure codegen): replicas become
-content-DISJOINT while every per-replica property (token lengths,
-window geometry, shingle structure, near-dup pair structure) is
-preserved — a 10x corpus then carries 10x the near-dup pairs, matching
-a real corpus with a constant duplicate rate, instead of the 100x
-cross-replica pair blowup that byte-identical replication would
-fabricate.
+Text columns (documents.text, part.p_name) are re-lettered per replica
+with a replica-unique deterministic permutation of the alphabet
+(F.translate over [a-zA-Z], pure codegen; replica 0 is the identity):
+replicas become content-DISJOINT while every per-replica property
+(token lengths, window geometry, shingle structure, near-dup pair
+structure) is preserved — an Nx corpus then carries Nx the near-dup
+pairs, matching a real corpus with a constant duplicate rate, instead
+of the quadratic cross-replica pair blowup that byte-identical
+replication would fabricate. (A plain Caesar shift only offers 26
+distinct maps, so factors above 26 would silently reintroduce
+identical replicas; permutations are checked pairwise-distinct.)
 
 Usage: python scripts/make_sf_scaled.py [factor] [src] [out]
 Defaults: 10 /root/testdata/sf0.1 .bench_cache/sf1
@@ -54,20 +57,30 @@ KEY_SPACES: dict[str, list[tuple[str, str]]] = {
 }
 SCALED = ["customer", "supplier", "part", "orders", "lineitem", "documents"]
 COPIED = ["region", "nation", "events", "embeddings"]
-CAESAR_COLS = {"documents": ["text"], "part": ["p_name"]}
+RELETTER_COLS = {"documents": ["text"], "part": ["p_name"]}
 
 _ALPHA = string.ascii_lowercase + string.ascii_uppercase
 
 
-def _caesar(col: str, shift: int):
-    if shift % 26 == 0:
+def _perm(i: int) -> str:
+    """Deterministic alphabet permutation for replica i (identity for
+    i = 0): Fisher-Yates driven by an LCG seeded from i."""
+    if i == 0:
+        return string.ascii_lowercase
+    letters = list(string.ascii_lowercase)
+    s = (i * 2654435761) % (2**32) or 1
+    for j in range(25, 0, -1):
+        s = (s * 1664525 + 1013904223) % (2**32)
+        k = s % (j + 1)
+        letters[j], letters[k] = letters[k], letters[j]
+    return "".join(letters)
+
+
+def _reletter(col: str, i: int):
+    p = _perm(i)
+    if p == string.ascii_lowercase:
         return F.col(col)
-    lo = string.ascii_lowercase
-    up = string.ascii_uppercase
-    rot = (
-        lo[shift % 26 :] + lo[: shift % 26] + up[shift % 26 :] + up[: shift % 26]
-    )
-    return F.translate(F.col(col), _ALPHA, rot)
+    return F.translate(F.col(col), _ALPHA, p + p.upper())
 
 
 def _replica(df: DataFrame, table: str, i: int, offsets: dict[str, int]) -> DataFrame:
@@ -81,8 +94,8 @@ def _replica(df: DataFrame, table: str, i: int, offsets: dict[str, int]) -> Data
     for c in df.columns:
         if c in shift_cols:
             cols.append((F.col(c) + F.lit(i * shift_cols[c])).alias(c))
-        elif c in CAESAR_COLS.get(table, []):
-            cols.append(_caesar(c, i).alias(c))
+        elif c in RELETTER_COLS.get(table, []):
+            cols.append(_reletter(c, i).alias(c))
         else:
             cols.append(F.col(c))
     return df.select(*cols)
@@ -96,6 +109,8 @@ def main() -> None:
         if len(sys.argv) > 3
         else os.path.join(REPO, ".bench_cache", "sf1")
     )
+    perms = [_perm(i) for i in range(factor)]
+    assert len(set(perms)) == factor, "replica permutations collide"
     os.makedirs(out, exist_ok=True)
     spark = get_spark("make-sf-scaled")
 

@@ -1069,6 +1069,16 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the array frame twice and scores with array_intersect —
     row-local, no re-shuffle of the index. Jaccard divides exact
     integers, so the double is engine-identical.
+
+    Broadcast discipline (caught by the 100x scaling bench, round 8):
+    every frame this operator joins — the doc-frequency table, the
+    exploded prefix list, the array frame — is CORPUS-sized, and the
+    cached-fragment static planner estimates them from the (tiny)
+    documents scan, so Catalyst happily picked BroadcastHashJoin for
+    all of them and the driver OOMed building a corpus-sized hash
+    relation at the 100x scale point. All four joins therefore pin
+    SHUFFLE_HASH / MERGE hints: a corpus-sized table must never be a
+    broadcast build side, no matter what the estimate says.
     """
     sh = _shingles(spark, sf_dir)  # persisted + memoized
     memo = session_memo(spark)
@@ -1078,7 +1088,7 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         docarr = (
-            sh.join(dfreq, "shingle")
+            sh.join(dfreq.hint("shuffle_hash"), "shingle")
             .groupBy("doc_id")
             .agg(
                 F.sort_array(
@@ -1103,7 +1113,10 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         pref.alias("a")
-        .join(pref.alias("b"), F.col("a.tok") == F.col("b.tok"))
+        .join(
+            pref.hint("shuffle_hash").alias("b"),
+            F.col("a.tok") == F.col("b.tok"),
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1129,8 +1142,8 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = i.cast("double") / (F.col("na") + F.col("nb") - i)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _SIMJOIN_T)
     )
