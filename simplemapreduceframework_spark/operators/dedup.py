@@ -1141,6 +1141,11 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     i = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = i.cast("double") / (F.col("na") + F.col("nb") - i)
+    # verify joins: MERGE, not shuffle_hash — the streamed side carries
+    # the full shingle arrays, and hash-building against it needs the
+    # whole build partition resident; SMJ's sort spills gracefully
+    # (measured at the 100x point: SHJ GC-thrashed the 8g local JVM,
+    # SMJ completed, scaling exponent 1.07 with memory headroom)
     return (
         cand.join(sa.hint("merge"), "doc_a")
         .join(sb.hint("merge"), "doc_b")
