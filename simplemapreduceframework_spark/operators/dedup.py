@@ -375,8 +375,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _VERIFY_CAP)
         .drop("rn")
     )
+    # the verify joins stream the CORPUS-sized capped-shingle table;
+    # hash-build on the candidate-pair side per partition — without the
+    # pin, the cached-fragment static planner under-estimates capped
+    # from the documents scan and broadcasts ~GBs at the 100x scale
+    # point (caught by scripts/audit_at_scale.py, round 8)
     ca = capped.alias("ca")
     cb = capped.alias("cb")
+    cand = cand.hint("shuffle_hash")
     side_a = cand.join(ca, F.col("ca.doc_id") == F.col("doc_a")).select(
         "doc_a",
         "doc_b",
@@ -523,7 +529,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
         mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
         mins = mins.select("u", F.least("mv", "u").alias("m"))
         large = (
-            sym.join(mins, "u")
+            sym.join(mins.hint("shuffle_hash"), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -534,7 +540,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
         down = large.filter(F.col("v") < F.col("u"))
         smins = down.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            down.join(smins, "u")
+            down.join(smins.hint("shuffle_hash"), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(smins.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
@@ -898,9 +904,12 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
+    # both join inputs scale with the corpus (pairs with bucket
+    # collisions, sizes with doc count) — never broadcast either; the
+    # unpinned plan OOMed the driver at the 100x audit point
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .filter(overlap >= _WINNOW_OVERLAP_MIN)
         .select(
             "doc_a",
