@@ -60,6 +60,31 @@ _HASH_VALUES_SQL = ", ".join(
 # however pathological the document.
 _VERIFY_CAP = 1024
 
+# Broadcast discipline threshold (round 8, caught by the 100x scale
+# audit): joins INSIDE persisted fragments execute the cached plan
+# with the static planner only — AQE never re-plans them — and the
+# static planner estimates corpus-derived frames from the (small)
+# documents scan, so past ~100k docs it broadcast-builds corpus-sized
+# hash relations and OOMs the driver. Above this corpus size every
+# such join pins SHUFFLE_HASH/MERGE; below it the broadcast plans
+# stand (they are 2-4x faster at validation scale, and a sub-100k-doc
+# corpus-side is comfortably within any executor's broadcast budget).
+# The same measured-threshold pattern as llmfilters' decontamination
+# fallback.
+_PIN_JOINS_DOC_LIMIT = 100_000
+
+
+def _pin_scale_joins(spark: SparkSession, sf_dir: str) -> bool:
+    """True when the corpus is large enough that corpus-derived join
+    inputs must never be broadcast (see _PIN_JOINS_DOC_LIMIT). The doc
+    count is one parquet-metadata job, memoized per session."""
+    memo = session_memo(spark)
+    key = ("corpus_rows", sf_dir)
+    if key not in memo:
+        memo[key] = load_table(spark, sf_dir, "documents").count()
+    return memo[key] > _PIN_JOINS_DOC_LIMIT
+
+
 # Inverted-index bucket cap: shingles shared by more than this many
 # docs are dropped from the exact-Jaccard pair generation. Stopword-like
 # n-grams ("of the and", boilerplate headers) carry no dedup signal but
@@ -375,14 +400,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _VERIFY_CAP)
         .drop("rn")
     )
-    # the verify joins stream the CORPUS-sized capped-shingle table;
-    # hash-build on the candidate-pair side per partition — without the
-    # pin, the cached-fragment static planner under-estimates capped
-    # from the documents scan and broadcasts ~GBs at the 100x scale
-    # point (caught by scripts/audit_at_scale.py, round 8)
+    # past _PIN_JOINS_DOC_LIMIT the verify joins stream the CORPUS-
+    # sized capped-shingle table and hash-build on the candidate-pair
+    # side — without the pin, the cached-fragment static planner
+    # under-estimates capped from the documents scan and broadcasts
+    # ~GBs at the 100x scale point (scripts/audit_at_scale.py, round 8)
     ca = capped.alias("ca")
     cb = capped.alias("cb")
-    cand = cand.hint("shuffle_hash")
+    if _pin_scale_joins(spark, sf_dir):
+        cand = cand.hint("shuffle_hash")
     side_a = cand.join(ca, F.col("ca.doc_id") == F.col("doc_a")).select(
         "doc_a",
         "doc_b",
@@ -905,11 +931,14 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
     # both join inputs scale with the corpus (pairs with bucket
-    # collisions, sizes with doc count) — never broadcast either; the
-    # unpinned plan OOMed the driver at the 100x audit point
+    # collisions, sizes with doc count): past _PIN_JOINS_DOC_LIMIT
+    # neither may broadcast — the unpinned plan OOMed the driver at
+    # the 100x audit point
+    if _pin_scale_joins(spark, sf_dir):
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     return (
-        pairs.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(overlap >= _WINNOW_OVERLAP_MIN)
         .select(
             "doc_a",
@@ -1090,14 +1119,17 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast build side, no matter what the estimate says.
     """
     sh = _shingles(spark, sf_dir)  # persisted + memoized
+    pin = _pin_scale_joins(spark, sf_dir)
     memo = session_memo(spark)
     dkey = ("simjoin_docarr", sf_dir)
     if dkey in memo:  # one persisted copy per session (no pile-up)
         docarr = memo[dkey]
     else:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        if pin:
+            dfreq = dfreq.hint("shuffle_hash")
         docarr = (
-            sh.join(dfreq.hint("shuffle_hash"), "shingle")
+            sh.join(dfreq, "shingle")
             .groupBy("doc_id")
             .agg(
                 F.sort_array(
@@ -1120,12 +1152,10 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
     )
+    pref_b = pref.hint("shuffle_hash") if pin else pref
     cand = (
         pref.alias("a")
-        .join(
-            pref.hint("shuffle_hash").alias("b"),
-            F.col("a.tok") == F.col("b.tok"),
-        )
+        .join(pref_b.alias("b"), F.col("a.tok") == F.col("b.tok"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1150,14 +1180,17 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     i = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = i.cast("double") / (F.col("na") + F.col("nb") - i)
-    # verify joins: MERGE, not shuffle_hash — the streamed side carries
-    # the full shingle arrays, and hash-building against it needs the
-    # whole build partition resident; SMJ's sort spills gracefully
-    # (measured at the 100x point: SHJ GC-thrashed the 8g local JVM,
-    # SMJ completed, scaling exponent 1.07 with memory headroom)
+    # verify joins past the pin threshold: MERGE, not shuffle_hash —
+    # the streamed side carries the full shingle arrays, and
+    # hash-building against it needs the whole build partition
+    # resident; SMJ's sort spills gracefully (measured at the 100x
+    # point: SHJ GC-thrashed the 8g local JVM, SMJ completed, scaling
+    # exponent 1.07 with memory headroom)
+    if pin:
+        sa, sb = sa.hint("merge"), sb.hint("merge")
     return (
-        cand.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _SIMJOIN_T)
     )
