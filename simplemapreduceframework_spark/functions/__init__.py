@@ -1,3 +1,8 @@
+from .scale import (  # noqa: F401
+    BROADCAST_ROW_LIMIT,
+    broadcast_dim,
+    table_rows,
+)
 from .columns import (  # noqa: F401
     cosine_sim,
     dec2,

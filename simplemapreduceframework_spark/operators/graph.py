@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..functions.scale import broadcast_dim, table_rows
 from ..session_memo import session_memo
 from ..sources import load_table
 
@@ -497,9 +498,10 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (F.col("n_ab").cast("double") * F.col("n")) / (
         F.col("n_a").cast("double") * F.col("n_b")
     )
+    n_part = table_rows(spark, sf_dir, "part")  # |ia| <= |part|
     return (
-        pairs.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pairs.join(broadcast_dim(ia, n_part), "part_a")
+        .join(broadcast_dim(ib, n_part), "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
@@ -634,9 +636,10 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (F.col("n_ab").cast("double") * F.col("n")) / (
         F.col("n_a").cast("double") * F.col("n_c")
     )
+    n_part = table_rows(spark, sf_dir, "part")  # |ia| <= |part|
     return (
-        rules.join(F.broadcast(ia), "antecedent")
-        .join(F.broadcast(ic), "consequent")
+        rules.join(broadcast_dim(ia, n_part), "antecedent")
+        .join(broadcast_dim(ic, n_part), "consequent")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "antecedent",
@@ -762,11 +765,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if okey in memo:
         oriented = memo[okey]
     else:
+        n_part = table_rows(spark, sf_dir, "part")  # |deg| <= |part|
         oriented = (
             edges.join(
-                F.broadcast(deg.alias("du")), F.col("du.p") == F.col("u")
+                broadcast_dim(deg.alias("du"), n_part),
+                F.col("du.p") == F.col("u"),
             )
-            .join(F.broadcast(deg.alias("dv")), F.col("dv.p") == F.col("v"))
+            .join(
+                broadcast_dim(deg.alias("dv"), n_part),
+                F.col("dv.p") == F.col("v"),
+            )
             .select(
                 F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
                 F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),

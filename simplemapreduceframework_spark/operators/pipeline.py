@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import tokens_regex
+from ..functions.scale import broadcast_dim, table_rows
 from ..registry import query
 from ..sources import load_table
 from .dedup import _MINHASH_PAIRS_CTES, dedup_minhash_lsh
@@ -113,7 +114,9 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup_tails = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
     near_deduped = exact_deduped.join(
-        F.broadcast(dup_tails),
+        broadcast_dim(
+            dup_tails, table_rows(spark, sf_dir, "documents")
+        ),  # |tails| <= |documents|
         exact_deduped["doc_id"] == dup_tails["doc_b"],
         "left_anti",
     )
@@ -229,7 +232,9 @@ def pipeline_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFram
     )
     dup_tails = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
     clean = exact_deduped.join(
-        F.broadcast(dup_tails),
+        broadcast_dim(
+            dup_tails, table_rows(spark, sf_dir, "documents")
+        ),  # |tails| <= |documents|
         exact_deduped["doc_id"] == dup_tails["doc_b"],
         "left_anti",
     )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dec2, money, one_minus_rate, one_plus_rate, rate
+from ..functions.scale import broadcast_dim, table_rows
 from ..registry import query
 from ..sources import load_table
 
@@ -154,7 +155,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
-        F.broadcast(cust)
+        broadcast_dim(cust, table_rows(spark, sf_dir, "customer"))
         .join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
     )
@@ -243,10 +244,13 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
     )
     joined = (
-        orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(
+            broadcast_dim(dims, table_rows(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            broadcast_dim(supp, table_rows(spark, sf_dir, "supplier")),
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -615,7 +619,7 @@ def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        F.broadcast(cust)
+        broadcast_dim(cust, table_rows(spark, sf_dir, "customer"))
         .join(orders, cust.c_custkey == orders.o_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import dec2, hex32
+from ..functions.scale import broadcast_dim, table_rows
 from ..registry import query
 from ..sources import load_table
 
@@ -270,7 +271,10 @@ def q27_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
     dp = money("l_extendedprice") * one_minus_rate("l_discount")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(
+            broadcast_dim(part, table_rows(spark, sf_dir, "part")),
+            li.l_partkey == part.p_partkey,
+        )
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

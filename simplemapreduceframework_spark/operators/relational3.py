@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..functions.scale import broadcast_dim, table_rows
 from ..sources import load_table, register_views
 
 # Q2 shape: for each large part, the supplier(s) selling it at the
@@ -1089,7 +1090,8 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isNotNull()
     )
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        broadcast_dim(cust, table_rows(spark, sf_dir, "customer")),
+        orders.o_custkey == cust.c_custkey,
     ).select(
         "c_nationkey",
         "c_mktsegment",
@@ -1212,7 +1214,8 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / _KANON_BUCKET).alias("bal_bucket"),
     ]
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        broadcast_dim(cust, table_rows(spark, sf_dir, "customer")),
+        orders.o_custkey == cust.c_custkey,
     ).select(*qi, F.col("o_orderpriority").alias("p"))
     per = joined.groupBy(
         "c_nationkey", "c_mktsegment", "bal_bucket", "p"

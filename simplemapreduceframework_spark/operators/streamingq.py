@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..functions.scale import broadcast_dim, table_rows
 from ..sources import load_table
 
 
@@ -494,7 +495,8 @@ def streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     dim = _customer_nation_dim(spark, sf_dir)
     enriched = events.join(
-        F.broadcast(dim), events.user_id == dim.c_custkey
+        broadcast_dim(dim, table_rows(spark, sf_dir, "customer")),
+        events.user_id == dim.c_custkey,
     ).select(
         "event_id",
         "event_type",
@@ -673,7 +675,10 @@ def streaming_ingest_pipeline_live(
     deduped = dedup_stream(events)
     dim = _customer_nation_dim(spark, sf_dir)
     out = (
-        deduped.join(F.broadcast(dim), deduped.user_id == dim.c_custkey)
+        deduped.join(
+            broadcast_dim(dim, table_rows(spark, sf_dir, "customer")),
+            deduped.user_id == dim.c_custkey,
+        )
         .filter(F.col("value") > 100.0)
         .select(
             "event_id",

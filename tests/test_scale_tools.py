@@ -1224,3 +1224,39 @@ def test_tv_int64_guard(spark):
     # synthetic overflow frame: 2 * (4e9)^2 > 2^63 -> loud failure
     with pytest.raises(Exception, match="exceeds int64"):
         guarded(4 * 10**9, 4 * 10**9).collect()
+
+
+def test_broadcast_dim_guard(spark, sf_dir):
+    """broadcast_dim forces the broadcast inside the row budget (the
+    dim IS the right build side, and static estimates under cached
+    fragments can miss it) and strips the force beyond it (a TPC-H
+    'dimension' like customer scales with SF — an unconditional hint
+    is a latent 100 TB driver OOM). table_rows memoizes one metadata
+    count per (session, dir, table)."""
+    from simplemapreduceframework_spark.functions.scale import (
+        broadcast_dim,
+        table_rows,
+    )
+    from simplemapreduceframework_spark.plans import has_broadcast_hash_join
+    from simplemapreduceframework_spark.session_memo import session_memo
+
+    n_cust = table_rows(spark, sf_dir, "customer")
+    assert n_cust > 0
+    assert ("table_rows", sf_dir, "customer") in session_memo(spark)
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so ONLY the hint can produce a BHJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        inside = orders.join(
+            broadcast_dim(cust, n_cust), orders.o_custkey == cust.c_custkey
+        )
+        assert has_broadcast_hash_join(inside)
+        beyond = orders.join(
+            broadcast_dim(cust, 10**9), orders.o_custkey == cust.c_custkey
+        )
+        assert not has_broadcast_hash_join(beyond)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
