@@ -1057,3 +1057,41 @@ def test_simjoin_superset_of_capped_ngram_pairs(spark, sf_dir):
     assert set(capped) <= set(exact)
     for k, j in capped.items():
         assert exact[k] >= j - 1e-12
+
+
+def test_pinned_scale_joins_drop_broadcasts_and_stay_exact(spark, tmp_path):
+    """Witness the 100x broadcast discipline at test scale: pre-seed
+    the corpus-row memo past _PIN_JOINS_DOC_LIMIT so the pinned plans
+    build, then assert (a) no BroadcastHashJoin survives anywhere in
+    simjoin_prefix_filter's plan — the shape that OOMed the driver at
+    sf10 — and (b) the pinned plan's rows are identical to the
+    broadcast plan's. Uses a COPY of the testdata dir so the memoized
+    unpinned frames for the real sf_dir are untouched."""
+    import os
+    import shutil
+
+    from simplemapreduceframework_spark.operators.dedup import (
+        _PIN_JOINS_DOC_LIMIT,
+        simjoin_prefix_filter,
+    )
+    from simplemapreduceframework_spark.plans import explain_str
+    from simplemapreduceframework_spark.session_memo import session_memo
+
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_pinned")
+    os.makedirs(nd)
+    for t in os.listdir(src):
+        s = os.path.join(src, t)
+        d = os.path.join(nd, t)
+        shutil.copytree(s, d) if os.path.isdir(s) else shutil.copyfile(s, d)
+
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in simjoin_prefix_filter(spark, src).collect()
+    }
+    session_memo(spark)[("corpus_rows", nd)] = _PIN_JOINS_DOC_LIMIT + 1
+    pinned = simjoin_prefix_filter(spark, nd)
+    plan = explain_str(pinned)
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pinned.collect()}
+    assert got == want
