@@ -18,9 +18,13 @@ steady-state number the way bench.py does).
 
 Usage: python scripts/bench_scaling.py [sf1_dir] [--base=DIR]
                  [--factor=N] [--queries=a,b,c] [--out=NAME]
+                 [--driver-memory=SIZE]
 Defaults: base=/root/testdata/sf0.1, factor=10 (exponent denominator),
-out=scaling_sf1. Writes .bench_cache/<out>.json and prints a markdown
-table. A second-decade check (sf1 -> sf10) is
+out=scaling_sf1, driver-memory=$SPARK_GRAFT_DRIVER_MEM or 8g (the
+stock JVM every scale claim assumes unless the output JSON's
+"driver_memory" field says otherwise — the bigmem control profile is
+--driver-memory=24g --out=scaling_sf10_bigmem). Writes
+.bench_cache/<out>.json and prints a markdown table. A second-decade check (sf1 -> sf10) is
   python scripts/make_sf_scaled.py 100 /root/testdata/sf0.1 .bench_cache/sf10
   python scripts/bench_scaling.py .bench_cache/sf10 \
       --base=.bench_cache/sf1 --out=scaling_sf10
@@ -61,7 +65,7 @@ def time_queries(sf_dir: str) -> dict[str, float]:
     registry.load_all()
     spark = get_spark(f"scaling-{os.path.basename(sf_dir)}")
     best: dict[str, float] = {}
-    for _ in range(RUNS):
+    for run in range(RUNS):
         for name in QUERIES:
             t0 = time.monotonic()
             df = registry.QUERIES[name](spark, sf_dir)
@@ -69,11 +73,16 @@ def time_queries(sf_dir: str) -> dict[str, float]:
             dt = time.monotonic() - t0
             # first run = cold: includes building every memoized/
             # persisted shared frame — the number that scales with the
-            # full work; warm best measures the recomputed portion only
+            # full work; warm best measures the recomputed portion
+            # only, so it is min over runs 2..RUNS and EXCLUDES the
+            # cold first run (ADVICE r8: the cold time previously
+            # seeded the warm min too)
             best.setdefault(f"{name}__cold", dt)
-            if name not in best or dt < best[name]:
+            if run > 0 and (name not in best or dt < best[name]):
                 best[name] = dt
             best.setdefault(f"{name}__rows", float(n))
+    for name in QUERIES:  # RUNS=1 degenerate case: warm = cold
+        best.setdefault(name, best[f"{name}__cold"])
     spark.stop()
     return best
 
@@ -88,6 +97,10 @@ def main() -> None:
     base = opts.get("base", "/root/testdata/sf0.1")
     factor = float(opts.get("factor", "10"))
     out_name = opts.get("out", "scaling_sf1")
+    if "driver-memory" in opts:
+        # get_spark reads this env at builder time; set before any session
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = opts["driver-memory"]
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     if "queries" in opts:
         QUERIES = opts["queries"].split(",")
     if not os.path.isdir(sf1):
@@ -117,7 +130,7 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(
             {"runs": RUNS, "base": base, "scaled": sf1, "factor": factor,
-             "results": rows},
+             "driver_memory": driver_mem, "results": rows},
             f,
             indent=1,
         )

@@ -155,6 +155,12 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
+        # bound = FULL customer count though cust is segment-filtered
+        # (~1/5): deliberately conservative — drops the forced hint a
+        # few SF early, never late, and below the budget the plan is
+        # identical; past it the scan's accurate stats still let
+        # Catalyst auto-broadcast while the filtered side fits (r8
+        # ADVICE disposition)
         broadcast_dim(cust, table_rows(spark, sf_dir, "customer"))
         .join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)

@@ -236,18 +236,34 @@ def q47_reorder_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 1e6 CUMULATIVE rows — but this traversal legitimately emits one
     chain row per order in a streak, so any fact table past ~1M orders
     trips it ([RECURSION_ROW_LIMIT_EXCEEDED], a hard error, not a
-    wrong answer). The engine raises the valve to 2e9 here; a cluster
-    deployment sizes it to >= |orders| (or -1) per job. The real bound
-    on the recursion is structural: every level shrinks the frontier,
-    and total output is exactly the number of orders in streaks.
+    wrong answer). The engine sizes the valve EXPLICITLY from the
+    input: cumulative chain rows are bounded by |orders| (each chain
+    row is a distinct order), so the valve is set to 4x|orders| with a
+    floor of the 1e6 default. The conf is SESSION-WIDE and only ever
+    RAISED, never lowered — later q47 runs against smaller inputs keep
+    the largest valve seen, and an operator that wants the stock
+    safety valve back must reset it explicitly. The real bound on the
+    recursion is structural: every level shrinks the frontier, and
+    total output is exactly the number of orders in streaks.
     """
+    from ..functions.scale import table_rows
     from ..session_memo import session_memo
 
     memo = session_memo(spark)
     key = ("q47", sf_dir)
     if key in memo:
         return memo[key]
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
+    n_orders = table_rows(spark, sf_dir, "orders")
+    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if current != -1:  # -1 = already unlimited; leave it
+        valve = max(current, 1_000_000, 4 * n_orders)
+        # the conf is a 32-bit int; past INT_MAX cumulative rows the
+        # only expressible valve is -1 (unlimited — safe here because
+        # the recursion is structurally bounded by |orders|)
+        spark.conf.set(
+            "spark.sql.cteRecursionRowLimit",
+            str(valve) if valve <= 2_147_483_647 else "-1",
+        )
     register_views(spark, sf_dir)
     ord_df = spark.sql(_Q47_ORD_SQL).persist()
     ord_df.createOrReplaceTempView("q47_ord")

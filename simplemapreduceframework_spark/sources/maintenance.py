@@ -393,9 +393,12 @@ def erase_by_key(
     Swap discipline: the rewrite lands at ``path + '.erase_tmp'``,
     the live table is renamed aside to ``path + '.erase_bak'``, the
     rewrite is renamed into place, and only then is the backup
-    deleted — the table directory is never absent, and a crash at any
-    point leaves either the original or the rewrite at a recoverable
-    location. The swap uses local filesystem renames, so ``path`` must
+    deleted — the swap is always RECOVERABLE: a crash at any point
+    leaves either the original or the rewrite at a known location
+    (between the two renames the live path itself is briefly absent,
+    but the original survives at ``.erase_bak`` and the next
+    ``erase_by_key`` call auto-restores it before proceeding). The
+    swap uses local filesystem renames, so ``path`` must
     be a local path: remote URIs (s3://, hdfs://, ...) are rejected up
     front — on those, use a transactional table format (Delta/Iceberg
     DELETE) or Hadoop FileSystem rename APIs instead.
@@ -414,6 +417,10 @@ def erase_by_key(
         )
     local = path[len("file://") :] if path.startswith("file://") else path
     local = local.rstrip("/") or "/"
+    if not os.path.isdir(local) and os.path.isdir(local + ".erase_bak"):
+        # crash landed between the two swap renames: the live path is
+        # absent but the original survives aside — restore it first
+        os.rename(local + ".erase_bak", local)
     if not os.path.isdir(local):
         raise ValueError(f"erase_by_key target is not a directory: {path!r}")
 

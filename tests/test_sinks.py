@@ -363,6 +363,17 @@ def test_erase_by_key_swap_discipline(spark, tmp_path):
     with pytest.raises(ValueError, match="not a directory"):
         erase_by_key(spark, str(tmp_path / "absent"), req, "uid")
 
+    # (d) crash IN the swap window — live path absent, original aside
+    # at .erase_bak — auto-restores before proceeding (advisor r8)
+    os.rename(path, path + ".erase_bak")
+    report = erase_by_key(
+        spark, path, spark.createDataFrame([(5,)], "uid long"), "uid"
+    )
+    assert report["n_before"] == 9  # the restored original, post-first-erase
+    assert report["n_erased"] == 1 and report["n_after"] == 8
+    assert os.path.isdir(path)
+    assert not os.path.exists(path + ".erase_bak")
+
 
 def test_erase_by_key_partitioned_table(spark, tmp_path):
     """Erasure preserves the partition layout (partition_by passthrough)
