@@ -499,9 +499,11 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("double") * F.col("n_b")
     )
     n_part = table_rows(spark, sf_dir, "part")  # |ia| <= |part|
+    # ia/ib derive under the persisted _baskets fragment -> static
+    # planner only; above budget pin the hash build (see broadcast_dim)
     return (
-        pairs.join(broadcast_dim(ia, n_part), "part_a")
-        .join(broadcast_dim(ib, n_part), "part_b")
+        pairs.join(broadcast_dim(ia, n_part, fallback="shuffle_hash"), "part_a")
+        .join(broadcast_dim(ib, n_part, fallback="shuffle_hash"), "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
@@ -637,9 +639,11 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("double") * F.col("n_c")
     )
     n_part = table_rows(spark, sf_dir, "part")  # |ia| <= |part|
+    # ia/ic derive under the persisted _baskets fragment -> static
+    # planner only; above budget pin the hash build (see broadcast_dim)
     return (
-        rules.join(broadcast_dim(ia, n_part), "antecedent")
-        .join(broadcast_dim(ic, n_part), "consequent")
+        rules.join(broadcast_dim(ia, n_part, fallback="shuffle_hash"), "antecedent")
+        .join(broadcast_dim(ic, n_part, fallback="shuffle_hash"), "consequent")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "antecedent",
@@ -766,13 +770,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         oriented = memo[okey]
     else:
         n_part = table_rows(spark, sf_dir, "part")  # |deg| <= |part|
+        # deg derives under the persisted edges fragment -> static
+        # planner only; above budget pin the hash build
         oriented = (
             edges.join(
-                broadcast_dim(deg.alias("du"), n_part),
+                broadcast_dim(deg.alias("du"), n_part, fallback="shuffle_hash"),
                 F.col("du.p") == F.col("u"),
             )
             .join(
-                broadcast_dim(deg.alias("dv"), n_part),
+                broadcast_dim(deg.alias("dv"), n_part, fallback="shuffle_hash"),
                 F.col("dv.p") == F.col("v"),
             )
             .select(

@@ -114,9 +114,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup_tails = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
     near_deduped = exact_deduped.join(
+        # |tails| <= |documents|; tails derive under the persisted
+        # shingle/minhash fragments -> pin the hash build above budget
         broadcast_dim(
-            dup_tails, table_rows(spark, sf_dir, "documents")
-        ),  # |tails| <= |documents|
+            dup_tails,
+            table_rows(spark, sf_dir, "documents"),
+            fallback="shuffle_hash",
+        ),
         exact_deduped["doc_id"] == dup_tails["doc_b"],
         "left_anti",
     )
@@ -232,9 +236,13 @@ def pipeline_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFram
     )
     dup_tails = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
     clean = exact_deduped.join(
+        # |tails| <= |documents|; tails derive under the persisted
+        # shingle/minhash fragments -> pin the hash build above budget
         broadcast_dim(
-            dup_tails, table_rows(spark, sf_dir, "documents")
-        ),  # |tails| <= |documents|
+            dup_tails,
+            table_rows(spark, sf_dir, "documents"),
+            fallback="shuffle_hash",
+        ),
         exact_deduped["doc_id"] == dup_tails["doc_b"],
         "left_anti",
     )

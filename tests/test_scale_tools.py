@@ -1260,3 +1260,62 @@ def test_broadcast_dim_guard(spark, sf_dir):
         assert not has_broadcast_hash_join(beyond)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_dim_shuffle_hash_fallback(spark, sf_dir):
+    """Above the row budget, a derived-frame site must NOT hand the
+    join back to Catalyst: inside persisted fragments the static
+    planner under-estimates and AQE never re-plans (the 100x audit's
+    rule), so fallback='shuffle_hash' pins a distributed hash build.
+    Witnessed here by spoofing the count past the budget (the same
+    technique as the broadcast witness above)."""
+    from simplemapreduceframework_spark.functions.scale import broadcast_dim
+    from simplemapreduceframework_spark.plans import has_broadcast_hash_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pinned = orders.join(
+            broadcast_dim(cust, 10**9, fallback="shuffle_hash"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        text = explain_str(pinned)
+        assert "ShuffledHashJoin" in text
+        assert not has_broadcast_hash_join(pinned)
+        # and the pin also works for the anti-join shape pipeline uses
+        anti = orders.join(
+            broadcast_dim(cust.select("c_custkey"), 10**9, fallback="shuffle_hash"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        assert "ShuffledHashJoin" in explain_str(anti)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q47_recursion_valve_sized_to_input(spark, sf_dir):
+    """q47 must size spark.sql.cteRecursionRowLimit explicitly from
+    the input (cumulative chain rows are bounded by |orders|): the
+    round-8 scale audit caught the default 1e6 valve erroring past
+    ~1M orders, and nothing but this test would fail if a refactor
+    silently dropped the sizing."""
+    from simplemapreduceframework_spark.functions.scale import table_rows
+    from simplemapreduceframework_spark.operators.relational4 import (
+        q47_reorder_streaks,
+    )
+    from simplemapreduceframework_spark.session_memo import session_memo
+
+    q47_reorder_streaks(spark, sf_dir)
+    n_orders = table_rows(spark, sf_dir, "orders")
+    valve = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+    assert valve >= max(1_000_000, 4 * n_orders)
+
+    # session-wide monotonicity: a later q47 run never LOWERS a valve
+    # another (larger) job already raised (conf is int32 — use a large
+    # in-range value; past INT_MAX the operator sets -1 = unlimited)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
+    session_memo(spark).pop(("q47", sf_dir), None)
+    q47_reorder_streaks(spark, sf_dir)
+    assert int(spark.conf.get("spark.sql.cteRecursionRowLimit")) == 2_000_000_000
