@@ -69,72 +69,19 @@ def load_all() -> None:
 
 # Driver-check ordering. The verify driver checks queries in dict order
 # with a per-round cap (50 per round), so the head is whatever most
-# needs a fresh CORRECTNESS row. Round 8 is the archival-refresh round
-# (VERDICT r7 item 1): the head is EXACTLY the 49 queries whose latest
-# driver row is r4-vintage (predating the session_memo unification, the
-# DecimalType ban, and the NULL-fixture contracts), fragile families
-# first, plus the one new r8 query at position 50. The 47 r5-vintage
-# queries are staged immediately after and rotate in round 9.
+# needs a fresh CORRECTNESS row. Round 9 continues the archival
+# rotation (VERDICT r8 items 1 and 5): the head is EXACTLY the 47
+# queries whose latest driver row is r5-vintage (predating the
+# decimal-ban enforcement gate, session-memo unification, and the r8
+# join-pin refactors), fragile families first, plus bpe_encode_gate
+# (the r6-vintage evidence row for the rows-only BPE queries) and
+# simjoin_prefix_filter (its index switched to int64 shingle keys this
+# round — the row must re-green on current code). The 44 remaining
+# r6-vintage queries are staged immediately after and rotate in
+# round 10, completing the archive refresh.
 CHECK_PRIORITY: list[str] = [
-    # --- r8 head: r4-vintage rows, fragile families first ---------
-    # timestamp/streaming
-    "events_range_join",
-    "events_session_10m",
-    "events_sliding_1h_30m",
-    "events_stream_join_live",
-    "streaming_dedup_live",
-    "streaming_tumbling_live",
-    # dedup / ANN / sketch arithmetic
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_recall_gate",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "ann_search_ivf_gate",
-    "approx_distinct",
-    "approx_distinct_gate",
-    "bloom_semi_filter",
-    "cms_heavy_hitters",
-    # TPC-H subqueries + stats
-    "q30_min_cost_supplier",
-    "q31_important_stock",
-    "q32_suppliers_who_kept_waiting",
-    "q33_global_sales_opportunity",
-    "q34_event_funnel",
-    "stats_numeric",
-    "histogram_equi_depth",
-    "skewed_agg_salted",
-    # compat layer + UDF tier
-    "mr_wordcount_compat",
-    "mr_grouped_avg_compat",
-    "mr_pickle_compat",
-    "udaf_grouped_sum",
-    "udf_scalar_disc_price",
-    "udtf_tokenize",
-    # text analysis
-    "text_fingerprint",
-    "text_lang_id",
-    "text_lm_coverage",
-    "text_quality_score",
-    "text_token_ids",
-    "text_token_stats",
-    "text_vocab",
-    "text_winnow_fingerprints",
-    # multimodal + pipelines + training assembly
-    "multimodal_decode",
-    "pipeline_clean_corpus",
-    "pipeline_prepare_training_data",
-    "corpus_mix_weighted",
-    "corpus_shuffle_shard",
-    "pack_sequences",
-    "sample_bottomk",
-    "sample_stratified_bottomk",
-    "split_train_test",
-    # --- new in r8 (position 50) -----------------------------------
-    "dedup_substring_hashed",  # xxhash64-keyed ExactSubstr scale twin
-    # --- staged for r9 rotation: r5-vintage rows --------------------
+    # --- r9 head: r5-vintage rows, fragile families first ----------
+    # streaming twins
     "streaming_decontaminate_live",
     "streaming_enrich_live",
     "streaming_hygiene_live",
@@ -142,6 +89,7 @@ CHECK_PRIORITY: list[str] = [
     "streaming_session_live",
     "streaming_sliding_live",
     "streaming_stateful_totals_live",
+    # events / time series
     "events_cohort_retention",
     "events_hourly_seasonality",
     "events_outlier_zscore",
@@ -150,18 +98,21 @@ CHECK_PRIORITY: list[str] = [
     "events_state_intervals",
     "events_transition_matrix",
     "events_trend_slope",
+    # ANN / dedup / BPE gates
     "ann_ivf_ndcg_gate",
     "ann_quantized_gate",
     "dedup_winnow",
     "embedding_quantize",
     "bpe_first_merge_gate",
     "bpe_learn_merges",
+    # retrieval + linkage
     "basket_part_pairs",
     "fuzzy_match_parts",
     "hybrid_search_rrf",
     "text_bm25",
     "text_bm25_batch",
     "text_bm25_indexed",
+    # text hygiene
     "text_chunk",
     "text_decontaminate",
     "text_pii_scrub",
@@ -170,6 +121,7 @@ CHECK_PRIORITY: list[str] = [
     "text_repetition_filter",
     "pipeline_chunked_corpus",
     "pipeline_hygiene",
+    # analytics / profiling
     "corpus_health_report",
     "curriculum_schedule",
     "customer_rfm_segments",
@@ -182,6 +134,55 @@ CHECK_PRIORITY: list[str] = [
     "q42_product_profit",
     "table_profile",
     "table_skew_report",
+    # --- r6-vintage BPE evidence row (VERDICT r8 item 5) -----------
+    "bpe_encode_gate",
+    # --- re-green after the r9 int64 shingle-key refactor ----------
+    "simjoin_prefix_filter",
+    # --- staged for r10 rotation: remaining r6-vintage rows --------
+    "ann_ivf_indexed_gate",
+    "asof_join_events",
+    "bpe_encode",
+    "dedup_incremental",
+    "events_tumbling_1h",
+    "graph_pagerank",
+    "grouped_avg",
+    "multimodal_audio_real",
+    "multimodal_decode_real",
+    "multimodal_meta",
+    "q1_pricing_summary",
+    "q2_filter_project",
+    "q3_top_revenue_orders",
+    "q4_order_priority_semijoin",
+    "q5_region_revenue",
+    "q6_selective_agg",
+    "q7_anti_join",
+    "q8_window_topn_per_group",
+    "q9_running_total",
+    "q10_rollup",
+    "q11_cube",
+    "q12_setops",
+    "q13_distinct_agg",
+    "q14_scalar_gauntlet",
+    "q15_conditional_agg",
+    "q16_having",
+    "q17_multisort_limit",
+    "q18_outer_join",
+    "q19_cross_join",
+    "q20_window_suite",
+    "q21_json_extract",
+    "q22_null_ordering",
+    "q23_pivot",
+    "q24_multiset_ops",
+    "q25_array_agg",
+    "q43_market_share",
+    "q44_order_count_distribution",
+    "q45_small_quantity_revenue",
+    "q46_bulk_widget_suppliers",
+    "q47_reorder_streaks",
+    "table_expectations",
+    "wordcount",
+    "wordset",
+    "wordset_regex",
 ]
 
 

@@ -14,61 +14,63 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Round-8 check window (VERDICT r7 item 1): the 49 queries whose
-# latest driver CORRECTNESS row is r4-vintage — rotated to the head so
-# the record of record is refreshed post-refactors — plus the one new
-# r8 query (the xxhash64 ExactSubstr scale twin) at position 50.
-_ROUND8_MUST_CHECK = [
-    "events_range_join",
-    "events_session_10m",
-    "events_sliding_1h_30m",
-    "events_stream_join_live",
-    "streaming_dedup_live",
-    "streaming_tumbling_live",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_recall_gate",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "ann_search_ivf_gate",
-    "approx_distinct",
-    "approx_distinct_gate",
-    "bloom_semi_filter",
-    "cms_heavy_hitters",
-    "q30_min_cost_supplier",
-    "q31_important_stock",
-    "q32_suppliers_who_kept_waiting",
-    "q33_global_sales_opportunity",
-    "q34_event_funnel",
-    "stats_numeric",
-    "histogram_equi_depth",
-    "skewed_agg_salted",
-    "mr_wordcount_compat",
-    "mr_grouped_avg_compat",
-    "mr_pickle_compat",
-    "udaf_grouped_sum",
-    "udf_scalar_disc_price",
-    "udtf_tokenize",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_lm_coverage",
-    "text_quality_score",
-    "text_token_ids",
-    "text_token_stats",
-    "text_vocab",
-    "text_winnow_fingerprints",
-    "multimodal_decode",
-    "pipeline_clean_corpus",
-    "pipeline_prepare_training_data",
-    "corpus_mix_weighted",
-    "corpus_shuffle_shard",
-    "pack_sequences",
-    "sample_bottomk",
-    "sample_stratified_bottomk",
-    "split_train_test",
-    "dedup_substring_hashed",
+# Round-9 check window (VERDICT r8 items 1 and 5): the 47 queries
+# whose latest driver CORRECTNESS row is r5-vintage (predating the
+# decimal-ban gate, session-memo unification, and the r8 join-pin
+# refactors), plus bpe_encode_gate (the r6-vintage BPE evidence row)
+# and simjoin_prefix_filter (re-green after the r9 int64 shingle-key
+# refactor). 49 of the 50-row budget; the 44 remaining r6-vintage
+# rows rotate in round 10.
+_ROUND9_MUST_CHECK = [
+    "streaming_decontaminate_live",
+    "streaming_enrich_live",
+    "streaming_hygiene_live",
+    "streaming_ingest_pipeline_live",
+    "streaming_session_live",
+    "streaming_sliding_live",
+    "streaming_stateful_totals_live",
+    "events_cohort_retention",
+    "events_hourly_seasonality",
+    "events_outlier_zscore",
+    "events_range_join_bucketed",
+    "events_session_stats",
+    "events_state_intervals",
+    "events_transition_matrix",
+    "events_trend_slope",
+    "ann_ivf_ndcg_gate",
+    "ann_quantized_gate",
+    "dedup_winnow",
+    "embedding_quantize",
+    "bpe_first_merge_gate",
+    "bpe_learn_merges",
+    "basket_part_pairs",
+    "fuzzy_match_parts",
+    "hybrid_search_rrf",
+    "text_bm25",
+    "text_bm25_batch",
+    "text_bm25_indexed",
+    "text_chunk",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "text_pmi_pairs",
+    "text_quality_classifier",
+    "text_repetition_filter",
+    "pipeline_chunked_corpus",
+    "pipeline_hygiene",
+    "corpus_health_report",
+    "curriculum_schedule",
+    "customer_rfm_segments",
+    "multimodal_frame_sample",
+    "part_monthly_demand_features",
+    "q38_disjunctive_predicate",
+    "q39_nation_volume",
+    "q40_window_distribution",
+    "q41_top_supplier",
+    "q42_product_profit",
+    "table_profile",
+    "table_skew_report",
+    "bpe_encode_gate",
+    "simjoin_prefix_filter",
 ]
 
 
@@ -85,7 +87,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND8_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND9_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"
