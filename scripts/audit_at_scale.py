@@ -91,6 +91,17 @@ def main() -> None:
 
             spark.catalog.clearCache()
             session_memo(spark).clear()
+            # clearCache only drops SQL-cached relations: localCheckpoint
+            # / RDD blocks from iterative queries (pagerank, curriculum)
+            # survive it and accumulate in the one local JVM until a
+            # later query's aggregation starves (caught by the round-9
+            # forced-fallback marathon: graph_pagerank died
+            # AGGREGATE_OUT_OF_MEMORY at query 192-minus-handful but
+            # passes solo). Unpersist leftover RDDs and nudge the
+            # ContextCleaner so broadcast blocks actually free.
+            for rdd in list(sc._jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
+            sc._jvm.System.gc()
         results[name] = out
         print(
             f"[{idx + 1}/{len(names)}] {name}: {out['status']}"

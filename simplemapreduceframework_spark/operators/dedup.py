@@ -227,10 +227,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shingle index is cached: it feeds the bucket pass and the size
     table (on a cluster the same index would be a persisted / bucketed
-    table shared across dedup runs).
+    table shared across dedup runs). The doc-size joins pin
+    shuffle_hash past the corpus threshold (round 9: the forced-
+    fallback sf10 audit caught Catalyst broadcast-building the
+    corpus-sized ``sizes`` frame — derived under the persisted shingle
+    fragment, so its static estimate reads tiny — and dying on driver
+    memory; the same class as the winnow size join fixed in r8).
     """
     sh = _shingles(spark, sf_dir)  # persisted + memoized in _shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if _pin_scale_joins(spark, sf_dir):
+        sizes = sizes.hint("shuffle_hash")
     buckets = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ds"))
