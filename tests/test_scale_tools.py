@@ -1319,3 +1319,24 @@ def test_q47_recursion_valve_sized_to_input(spark, sf_dir):
     session_memo(spark).pop(("q47", sf_dir), None)
     q47_reorder_streaks(spark, sf_dir)
     assert int(spark.conf.get("spark.sql.cteRecursionRowLimit")) == 2_000_000_000
+
+
+def test_broadcast_row_limit_env_override():
+    """SMRF_BROADCAST_ROW_LIMIT is the scale audit's lever for driving
+    every guarded site onto its above-budget branch; it is read at
+    module import, so only a fresh interpreter can witness it."""
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.check_output(
+        [
+            sys.executable,
+            "-c",
+            "from simplemapreduceframework_spark.functions import scale; "
+            "print(scale.BROADCAST_ROW_LIMIT)",
+        ],
+        env={**os.environ, "SMRF_BROADCAST_ROW_LIMIT": "12345"},
+        cwd="/root/repo",
+    )
+    assert out.strip().splitlines()[-1] == b"12345"
