@@ -74,11 +74,12 @@ def load_all() -> None:
 # queries whose latest driver row is r5-vintage (predating the
 # decimal-ban enforcement gate, session-memo unification, and the r8
 # join-pin refactors), fragile families first, plus bpe_encode_gate
-# (the r6-vintage evidence row for the rows-only BPE queries) and
-# simjoin_prefix_filter (its index switched to int64 shingle keys this
-# round — the row must re-green on current code). The 44 remaining
-# r6-vintage queries are staged immediately after and rotate in
-# round 10, completing the archive refresh.
+# (the r6-vintage evidence row for the rows-only BPE queries) and the
+# two queries whose source changed this round (simjoin_prefix_filter's
+# index switched to int64 shingle keys; dedup_ngram_jaccard's size
+# joins pin past the corpus threshold) — exactly the 50-row window.
+# The 44 remaining r6-vintage queries are staged immediately after and
+# rotate in round 10, completing the archive refresh.
 CHECK_PRIORITY: list[str] = [
     # --- r9 head: r5-vintage rows, fragile families first ----------
     # streaming twins
@@ -136,8 +137,10 @@ CHECK_PRIORITY: list[str] = [
     "table_skew_report",
     # --- r6-vintage BPE evidence row (VERDICT r8 item 5) -----------
     "bpe_encode_gate",
-    # --- re-green after the r9 int64 shingle-key refactor ----------
+    # --- re-green after r9 source changes (int64 shingle keys; the
+    # ngram size-join pin) — fills the 50-row window exactly ---------
     "simjoin_prefix_filter",
+    "dedup_ngram_jaccard",
     # --- staged for r10 rotation: remaining r6-vintage rows --------
     "ann_ivf_indexed_gate",
     "asof_join_events",

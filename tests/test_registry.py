@@ -71,6 +71,7 @@ _ROUND9_MUST_CHECK = [
     "table_skew_report",
     "bpe_encode_gate",
     "simjoin_prefix_filter",
+    "dedup_ngram_jaccard",
 ]
 
 
