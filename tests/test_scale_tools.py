@@ -1340,3 +1340,45 @@ def test_broadcast_row_limit_env_override():
         cwd="/root/repo",
     )
     assert out.strip().splitlines()[-1] == b"12345"
+
+
+def test_broadcast_dim_fallback_sites_stay_exact(spark, tmp_path):
+    """Witness the above-budget SHUFFLE_HASH fallback at the REAL
+    derived-frame guard sites (not a synthetic join): pre-seed the
+    table_rows memo past the broadcast budget for a COPY of the
+    testdata dir, so basket_part_pairs' support-table joins and
+    pipeline_clean_corpus's near-dup anti-join take the pinned branch,
+    then assert the pinned plans produce rows identical to the
+    forced-broadcast plans and actually contain the hash-build pin."""
+    import os
+    import shutil
+
+    from simplemapreduceframework_spark.session_memo import session_memo
+
+    src = "/root/testdata/sf0.001"
+    nd = str(tmp_path / "sf_guard")
+    os.makedirs(nd)
+    for t in os.listdir(src):
+        s = os.path.join(src, t)
+        d = os.path.join(nd, t)
+        shutil.copytree(s, d) if os.path.isdir(s) else shutil.copyfile(s, d)
+
+    want_pairs = sorted(
+        map(tuple, Q["basket_part_pairs"](spark, src).collect())
+    )
+    want_clean = sorted(
+        map(tuple, Q["pipeline_clean_corpus"](spark, src).collect())
+    )
+
+    memo = session_memo(spark)
+    memo[("table_rows", nd, "part")] = 10**9
+    memo[("table_rows", nd, "documents")] = 10**9
+    pinned_pairs = Q["basket_part_pairs"](spark, nd)
+    assert "ShuffledHashJoin" in explain_str(pinned_pairs)
+    got_pairs = sorted(map(tuple, pinned_pairs.collect()))
+    assert got_pairs == want_pairs
+
+    pinned_clean = Q["pipeline_clean_corpus"](spark, nd)
+    assert "ShuffledHashJoin" in explain_str(pinned_clean)
+    got_clean = sorted(map(tuple, pinned_clean.collect()))
+    assert got_clean == want_clean
