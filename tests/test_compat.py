@@ -369,3 +369,42 @@ def test_local_client_remove_job(spark, tmp_path):
     assert c.remove_job() is False  # nothing left to remove
     assert sorted(c.execute()) == first  # recompute repopulates
     assert list(cache.glob("*.pkl"))
+
+
+def test_local_client_from_outside_repo_cwd(tmp_path):
+    """Reference-style usage runs from an arbitrary directory: the
+    user's functions.py is dynamically imported, so its mapper/
+    combiner/reducer must pickle BY VALUE to executors — a module
+    pickled by reference would fail to resolve in a worker whose
+    sys.path/cwd never saw the user's directory. Runs a whole job in a
+    subprocess with cwd=/ (outside the repo AND outside the job dir),
+    the scenario the verify runbook previously checked by hand."""
+    import os
+    import subprocess
+    import sys
+
+    (tmp_path / "functions.py").write_text(FUNCTIONS_SRC)
+    (tmp_path / "data.txt").write_text(DATA)
+    script = tmp_path / "run_job.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {str('/root/repo')!r})\n"
+        "from simplemapreduceframework_spark import get_spark\n"
+        "from simplemapreduceframework_spark.compat import LocalClient\n"
+        "spark = get_spark('compat-outside-cwd', cpus=2)\n"
+        f"client = LocalClient(spark, {str(tmp_path / 'data.txt')!r}, "
+        f"{str(tmp_path / 'functions.py')!r})\n"
+        "print(sorted(client.execute()))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, str(script)],
+        cwd="/",
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (
+        "[('hello', 3), ('spark', 3), ('world', 1)]" in out.stdout
+    ), out.stdout
