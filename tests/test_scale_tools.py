@@ -1314,11 +1314,22 @@ def test_q47_recursion_valve_sized_to_input(spark, sf_dir):
 
     # session-wide monotonicity: a later q47 run never LOWERS a valve
     # another (larger) job already raised (conf is int32 — use a large
-    # in-range value; past INT_MAX the operator sets -1 = unlimited)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
-    session_memo(spark).pop(("q47", sf_dir), None)
-    q47_reorder_streaks(spark, sf_dir)
-    assert int(spark.conf.get("spark.sql.cteRecursionRowLimit")) == 2_000_000_000
+    # in-range value; past INT_MAX the operator sets -1 = unlimited).
+    # Restore the pre-test valve afterwards (mirroring the
+    # autoBroadcastJoinThreshold pattern above) so the raised value
+    # doesn't leak into every later test on the shared session.
+    prev_valve = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    try:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
+        session_memo(spark).pop(("q47", sf_dir), None)
+        q47_reorder_streaks(spark, sf_dir)
+        assert (
+            int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+            == 2_000_000_000
+        )
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev_valve)
+        session_memo(spark).pop(("q47", sf_dir), None)
 
 
 def test_broadcast_row_limit_env_override():
