@@ -151,6 +151,11 @@ HEADLINE = [
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_t_closeness",
+    # round 10 additions — the retrieval/dedup quality gates (VERDICT
+    # r9 item 5). Same cross-round policy: compare shared prefixes or
+    # per-query values via BENCH_MANIFEST.json.
+    "retrieval_eval_bm25",
+    "dedup_minhash_pr_gate",
 ]
 
 

@@ -179,11 +179,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+# Exact n-gram-Jaccard pair generation as a reusable CTE chain
+# (consumes the `shingles` CTE): shared by the dedup_ngram_jaccard
+# oracle and the dedup_minhash_pr_gate oracle — the same shared-CTE
+# discipline as _MINHASH_PAIRS_CTES below, so no second definition of
+# the exact baseline can drift.
+_EXACT_PAIRS_CTES = f"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 kept AS (
     SELECT shingle FROM shingles
     GROUP BY shingle
@@ -195,7 +196,14 @@ inter AS (
       ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
     JOIN kept k ON k.shingle = sa.shingle
     GROUP BY sa.doc_id, sb.doc_id
-)
+)"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+{_EXACT_PAIRS_CTES}
 SELECT doc_a, doc_b,
        CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
 FROM inter
@@ -458,6 +466,101 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     memo[memo_key] = pairs
     return pairs
+
+
+# Quality floors for the MinHash-LSH pair set vs the exact-Jaccard
+# baseline. Measured precision/recall is 1.0/1.0 at sf0.001, sf0.01,
+# and sf0.1 (the synthetic near-dup pairs sit at jaccard 0.8-1.0, where
+# the 4x4 band scheme's collision probability is 0.88-1.0), so the
+# floors have wide margin; a real quality regression — a broken hash
+# family, a band-key typo, a verify-stage estimator bug — drops one of
+# them far below. The can-fail test corrupts the pair set both ways.
+_PR_PRECISION_FLOOR = 0.95
+_PR_RECALL_FLOOR = 0.90
+
+
+def _pr_gate_row(lsh: DataFrame, exact: DataFrame) -> DataFrame:
+    """One-row precision/recall evaluation of a candidate near-dup
+    pair set against the exact baseline pair set.
+
+    Both inputs are (doc_a, doc_b) frames. Every statistic is an
+    integer pair count (order-independent, engine-exact); the ratios
+    divide those exact integers, so both engines produce bit-identical
+    doubles, and the gate booleans compare them against the floors.
+    Pair sets are near-dup-sized (<< corpus), so the count aggregates
+    and the 1-row crossJoins are constant-cost at any corpus scale."""
+    e = exact.select(
+        F.col("doc_a").alias("ea"), F.col("doc_b").alias("eb")
+    )
+    hits = lsh.join(
+        e, (F.col("doc_a") == F.col("ea")) & (F.col("doc_b") == F.col("eb"))
+    )
+    prec = F.col("n_hit").cast("double") / F.greatest(F.col("n_lsh"), F.lit(1))
+    rec = F.col("n_hit").cast("double") / F.greatest(F.col("n_exact"), F.lit(1))
+    return (
+        lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_lsh").cast("bigint").alias("n_lsh_pairs"),
+            F.col("n_exact").cast("bigint").alias("n_exact_pairs"),
+            F.col("n_hit").cast("bigint").alias("n_hit_pairs"),
+            prec.alias("lsh_precision"),
+            rec.alias("lsh_recall"),
+            (prec >= _PR_PRECISION_FLOOR).alias("precision_ok"),
+            (rec >= _PR_RECALL_FLOOR).alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "dedup_minhash_pr_gate",
+    oracle=f"""
+WITH {_MINHASH_PAIRS_CTES},
+{_EXACT_PAIRS_CTES},
+exact_pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+),
+counts AS (
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_lsh,
+           (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+           (SELECT COUNT(*) FROM pairs l JOIN exact_pairs e
+              ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b) AS n_hit
+)
+SELECT CAST(n_lsh AS BIGINT) AS n_lsh_pairs,
+       CAST(n_exact AS BIGINT) AS n_exact_pairs,
+       CAST(n_hit AS BIGINT) AS n_hit_pairs,
+       CAST(n_hit AS DOUBLE) / GREATEST(n_lsh, 1) AS lsh_precision,
+       CAST(n_hit AS DOUBLE) / GREATEST(n_exact, 1) AS lsh_recall,
+       CAST(n_hit AS DOUBLE) / GREATEST(n_lsh, 1)
+           >= {_PR_PRECISION_FLOOR} AS precision_ok,
+       CAST(n_hit AS DOUBLE) / GREATEST(n_exact, 1)
+           >= {_PR_RECALL_FLOOR} AS recall_ok
+FROM counts
+""",
+)
+def dedup_minhash_pr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the 100 TB dedup path: precision AND recall of
+    the MinHash+LSH verified pair set, measured against the exact
+    n-gram-Jaccard baseline pair set (VERDICT r9 item 5 — the last
+    'quality measured, not asserted' gap in the dedup tier).
+
+    Unlike the constant-true ANN recall gates, BOTH engines compute
+    the full statistic from their own pair sets (the oracle composes
+    the shared _MINHASH_PAIRS_CTES and _EXACT_PAIRS_CTES chains), so
+    the driver's hash checks the exact pair counts and ratios — a
+    candidate-generation miss (recall) and a verify-stage false accept
+    (precision) each break a different column. Both consumed frames
+    are memoized/persisted by their own queries, so the gate adds two
+    count jobs and one pair-set join, nothing corpus-sized.
+    """
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _pr_gate_row(lsh, exact)
 
 
 @query(

@@ -1095,3 +1095,34 @@ def test_pinned_scale_joins_drop_broadcasts_and_stay_exact(spark, tmp_path):
     assert "BroadcastHashJoin" not in plan, plan[:2000]
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pinned.collect()}
     assert got == want
+
+
+def test_minhash_pr_gate_green_and_can_fail(spark, sf_dir):
+    """dedup_minhash_pr_gate must be a REAL gate: exact precision and
+    recall 1.0 on the healthy pipeline (pair sets identical at every
+    validation scale), and the right boolean flips when the LSH pair
+    set is corrupted in each direction — dropped pairs break recall,
+    injected false positives break precision."""
+    from simplemapreduceframework_spark.operators import dedup as dd
+
+    [row] = Q["dedup_minhash_pr_gate"](spark, sf_dir).collect()
+    assert row["precision_ok"] is True and row["recall_ok"] is True
+    assert row["lsh_precision"] == 1.0 and row["lsh_recall"] == 1.0
+    assert row["n_hit_pairs"] == row["n_exact_pairs"] > 0
+
+    lsh = Q["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    exact = Q["dedup_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+
+    # candidate-generation miss: half the true pairs never found
+    half = lsh.limit(row["n_lsh_pairs"] // 2)
+    [broken] = dd._pr_gate_row(half, exact).collect()
+    assert broken["recall_ok"] is False
+    assert broken["precision_ok"] is True  # surviving pairs still true
+
+    # verify-stage false accepts: as many bogus pairs as true ones
+    bogus = lsh.select(
+        "doc_a", (F.col("doc_b") + F.lit(10**9)).alias("doc_b")
+    )
+    [broken] = dd._pr_gate_row(lsh.unionAll(bogus), exact).collect()
+    assert broken["precision_ok"] is False
+    assert broken["recall_ok"] is True  # every true pair still present

@@ -172,6 +172,12 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
         # broadcast in the prefix-filter verify step)
         "hybrid_search_rrf",
         "simjoin_prefix_filter",
+        # the PR gate consumes BOTH persisted dedup frames (the LSH
+        # pair list and the shingle index under the exact baseline)
+        "dedup_minhash_pr_gate",
+        # CacheManager substitutes text_bm25_batch's persisted pivot
+        # (same _bm25_pivoted expression tree) when the batch ran first
+        "retrieval_eval_bm25",
     }
     grew = {}
     for name, fp0 in baseline.items():

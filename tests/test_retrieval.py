@@ -100,3 +100,52 @@ def test_indexed_bm25_prunes_postings_partitions(spark, sf_dir):
     assert any(
         "PushedFilters" in l and "In(word" in l for l in scan_lines
     ), plan
+
+
+def test_retrieval_eval_green_and_responds_to_ranking(spark, sf_dir):
+    """retrieval_eval_bm25's metrics must be computed from the real
+    ranking: on the healthy top-k every fixed query finds an all-terms
+    document at rank 1 (MRR 1.0 — the corpus is term-dense), and
+    feeding the SAME metric plumbing a corrupted ranking (the
+    bottom-k instead of the top-k) strictly drops the summed
+    precision@k — proof the labels and ranks are live, not constants."""
+    from simplemapreduceframework_spark.operators import retrieval as rt
+
+    rows = {r["query_id"]: r for r in Q["retrieval_eval_bm25"](spark, sf_dir).collect()}
+    assert set(rows) == set(rt._BATCH_QUERIES)
+    for r in rows.values():
+        assert r["first_rel_rank"] == 1 and r["rr_at_k"] == 1.0
+        assert 0.0 < r["recall_at_k"] <= 1.0
+        assert r["hits_at_k"] <= r["n_ranked"] <= rt._EVAL_K
+        assert r["n_rel"] >= r["hits_at_k"]
+
+    scored = rt._bm25_pivoted(spark, sf_dir, rt._BATCH_TERMS)
+    arms = []
+    for qid, terms in sorted(rt._BATCH_QUERIES.items()):
+        score = sum(
+            (F.col(f"c_{t}") for t in terms[1:]), F.col(f"c_{terms[0]}")
+        )
+        is_rel = F.lit(True)
+        for t in terms:
+            is_rel = is_rel & (F.col(f"c_{t}") > 0.0)
+        arms.append(
+            scored.filter(score > 0.0)
+            .select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                F.round(score, 4).alias("bm25"),
+                F.when(is_rel, 1).otherwise(0).alias("is_rel"),
+            )
+            .orderBy(F.col("bm25").asc(), F.col("doc_id").asc())  # WORST-k
+            .limit(rt._EVAL_K)
+        )
+    worst = arms[0]
+    for a in arms[1:]:
+        worst = worst.unionAll(a)
+    rels = spark.createDataFrame(
+        [(qid, rows[qid]["n_rel"]) for qid in rows], "query_id string, n_rel long"
+    )
+    bad = {r["query_id"]: r for r in rt._eval_metric_rows(worst, rels).collect()}
+    assert sum(r["precision_at_k"] for r in bad.values()) < sum(
+        r["precision_at_k"] for r in rows.values()
+    )
