@@ -69,79 +69,16 @@ def load_all() -> None:
 
 # Driver-check ordering. The verify driver checks queries in dict order
 # with a per-round cap (50 per round), so the head is whatever most
-# needs a fresh CORRECTNESS row. Round 9 continues the archival
-# rotation (VERDICT r8 items 1 and 5): the head is EXACTLY the 47
-# queries whose latest driver row is r5-vintage (predating the
-# decimal-ban enforcement gate, session-memo unification, and the r8
-# join-pin refactors), fragile families first, plus bpe_encode_gate
-# (the r6-vintage evidence row for the rows-only BPE queries) and the
-# two queries whose source changed this round (simjoin_prefix_filter's
-# index switched to int64 shingle keys; dedup_ngram_jaccard's size
-# joins pin past the corpus threshold) — exactly the 50-row window.
-# The 44 remaining r6-vintage queries are staged immediately after and
-# rotate in round 10, completing the archive refresh.
+# needs a fresh CORRECTNESS row. Round 10 COMPLETES the archival
+# rotation (VERDICT r9 item 1): the head is exactly the 44 remaining
+# r6-vintage rows (staged verbatim as last round's CHECK_PRIORITY
+# [50:94]; r6 predates the decimal-ban enforcement gate, the join-pin
+# refactors, and the int64 index work) plus the 2 queries registered
+# this round (retrieval/dedup quality gates, VERDICT r9 item 5) — 46
+# of the 50-row window. After this round every query's latest
+# CORRECTNESS row is r7+ and the rotation debt is fully paid.
 CHECK_PRIORITY: list[str] = [
-    # --- r9 head: r5-vintage rows, fragile families first ----------
-    # streaming twins
-    "streaming_decontaminate_live",
-    "streaming_enrich_live",
-    "streaming_hygiene_live",
-    "streaming_ingest_pipeline_live",
-    "streaming_session_live",
-    "streaming_sliding_live",
-    "streaming_stateful_totals_live",
-    # events / time series
-    "events_cohort_retention",
-    "events_hourly_seasonality",
-    "events_outlier_zscore",
-    "events_range_join_bucketed",
-    "events_session_stats",
-    "events_state_intervals",
-    "events_transition_matrix",
-    "events_trend_slope",
-    # ANN / dedup / BPE gates
-    "ann_ivf_ndcg_gate",
-    "ann_quantized_gate",
-    "dedup_winnow",
-    "embedding_quantize",
-    "bpe_first_merge_gate",
-    "bpe_learn_merges",
-    # retrieval + linkage
-    "basket_part_pairs",
-    "fuzzy_match_parts",
-    "hybrid_search_rrf",
-    "text_bm25",
-    "text_bm25_batch",
-    "text_bm25_indexed",
-    # text hygiene
-    "text_chunk",
-    "text_decontaminate",
-    "text_pii_scrub",
-    "text_pmi_pairs",
-    "text_quality_classifier",
-    "text_repetition_filter",
-    "pipeline_chunked_corpus",
-    "pipeline_hygiene",
-    # analytics / profiling
-    "corpus_health_report",
-    "curriculum_schedule",
-    "customer_rfm_segments",
-    "multimodal_frame_sample",
-    "part_monthly_demand_features",
-    "q38_disjunctive_predicate",
-    "q39_nation_volume",
-    "q40_window_distribution",
-    "q41_top_supplier",
-    "q42_product_profit",
-    "table_profile",
-    "table_skew_report",
-    # --- r6-vintage BPE evidence row (VERDICT r8 item 5) -----------
-    "bpe_encode_gate",
-    # --- re-green after r9 source changes (int64 shingle keys; the
-    # ngram size-join pin) — fills the 50-row window exactly ---------
-    "simjoin_prefix_filter",
-    "dedup_ngram_jaccard",
-    # --- staged for r10 rotation: remaining r6-vintage rows --------
+    # --- r10 head: the final r6-vintage batch -----------------------
     "ann_ivf_indexed_gate",
     "asof_join_events",
     "bpe_encode",
@@ -186,6 +123,10 @@ CHECK_PRIORITY: list[str] = [
     "wordcount",
     "wordset",
     "wordset_regex",
+    # --- new this round (VERDICT r9 item 5): quality gates closing
+    # the 'measured, not asserted' gaps in the retrieval/dedup tiers --
+    "retrieval_eval_bm25",
+    "dedup_minhash_pr_gate",
 ]
 
 

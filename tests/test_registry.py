@@ -14,64 +14,60 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Round-9 check window (VERDICT r8 items 1 and 5): the 47 queries
-# whose latest driver CORRECTNESS row is r5-vintage (predating the
-# decimal-ban gate, session-memo unification, and the r8 join-pin
-# refactors), plus bpe_encode_gate (the r6-vintage BPE evidence row)
-# and simjoin_prefix_filter (re-green after the r9 int64 shingle-key
-# refactor). 49 of the 50-row budget; the 44 remaining r6-vintage
-# rows rotate in round 10.
-_ROUND9_MUST_CHECK = [
-    "streaming_decontaminate_live",
-    "streaming_enrich_live",
-    "streaming_hygiene_live",
-    "streaming_ingest_pipeline_live",
-    "streaming_session_live",
-    "streaming_sliding_live",
-    "streaming_stateful_totals_live",
-    "events_cohort_retention",
-    "events_hourly_seasonality",
-    "events_outlier_zscore",
-    "events_range_join_bucketed",
-    "events_session_stats",
-    "events_state_intervals",
-    "events_transition_matrix",
-    "events_trend_slope",
-    "ann_ivf_ndcg_gate",
-    "ann_quantized_gate",
-    "dedup_winnow",
-    "embedding_quantize",
-    "bpe_first_merge_gate",
-    "bpe_learn_merges",
-    "basket_part_pairs",
-    "fuzzy_match_parts",
-    "hybrid_search_rrf",
-    "text_bm25",
-    "text_bm25_batch",
-    "text_bm25_indexed",
-    "text_chunk",
-    "text_decontaminate",
-    "text_pii_scrub",
-    "text_pmi_pairs",
-    "text_quality_classifier",
-    "text_repetition_filter",
-    "pipeline_chunked_corpus",
-    "pipeline_hygiene",
-    "corpus_health_report",
-    "curriculum_schedule",
-    "customer_rfm_segments",
-    "multimodal_frame_sample",
-    "part_monthly_demand_features",
-    "q38_disjunctive_predicate",
-    "q39_nation_volume",
-    "q40_window_distribution",
-    "q41_top_supplier",
-    "q42_product_profit",
-    "table_profile",
-    "table_skew_report",
-    "bpe_encode_gate",
-    "simjoin_prefix_filter",
-    "dedup_ngram_jaccard",
+# Round-10 check window (VERDICT r9 items 1 and 5): the 44 remaining
+# r6-vintage rows (r6 predates the decimal-ban gate, the join-pin
+# refactors, and the int64 index work) — the FINAL batch of the
+# archive rotation, staged verbatim as round 9's CHECK_PRIORITY
+# [50:94] — plus the 2 quality gates registered this round. 46 of the
+# 50-row budget; after this round every query's latest CORRECTNESS row
+# is r7+.
+_ROUND10_MUST_CHECK = [
+    "ann_ivf_indexed_gate",
+    "asof_join_events",
+    "bpe_encode",
+    "dedup_incremental",
+    "events_tumbling_1h",
+    "graph_pagerank",
+    "grouped_avg",
+    "multimodal_audio_real",
+    "multimodal_decode_real",
+    "multimodal_meta",
+    "q1_pricing_summary",
+    "q2_filter_project",
+    "q3_top_revenue_orders",
+    "q4_order_priority_semijoin",
+    "q5_region_revenue",
+    "q6_selective_agg",
+    "q7_anti_join",
+    "q8_window_topn_per_group",
+    "q9_running_total",
+    "q10_rollup",
+    "q11_cube",
+    "q12_setops",
+    "q13_distinct_agg",
+    "q14_scalar_gauntlet",
+    "q15_conditional_agg",
+    "q16_having",
+    "q17_multisort_limit",
+    "q18_outer_join",
+    "q19_cross_join",
+    "q20_window_suite",
+    "q21_json_extract",
+    "q22_null_ordering",
+    "q23_pivot",
+    "q24_multiset_ops",
+    "q25_array_agg",
+    "q43_market_share",
+    "q44_order_count_distribution",
+    "q45_small_quantity_revenue",
+    "q46_bulk_widget_suppliers",
+    "q47_reorder_streaks",
+    "table_expectations",
+    "wordcount",
+    "wordset",
+    "wordset_regex",
+    "retrieval_eval_bm25",
+    "dedup_minhash_pr_gate",
 ]
 
 
@@ -88,7 +84,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND9_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND10_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"
