@@ -241,7 +241,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized ``sizes`` frame — derived under the persisted shingle
     fragment, so its static estimate reads tiny — and dying on driver
     memory; the same class as the winnow size join fixed in r8).
+
+    The verified pair list itself is persisted + memoized (round 10,
+    when dedup_minhash_pr_gate became its second consumer) — the same
+    shared near-dup pair-table rationale as the minhash path: the
+    output is near-dup-sized (tiny), so the persist costs nothing and
+    every consumer skips the quadratic-ish inter-pair explode.
     """
+    memo = session_memo(spark)
+    memo_key = ("ngram_jaccard_pairs", sf_dir)
+    if memo_key in memo:
+        return memo[memo_key]
     sh = _shingles(spark, sf_dir)  # persisted + memoized in _shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if _pin_scale_joins(spark, sf_dir):
@@ -265,12 +275,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter").cast("double") / (
         F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
     )
-    return (
+    out = (
         inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
         .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
+        .persist()
     )
+    memo[memo_key] = out
+    return out
 
 
 # Full MinHash->LSH->verify pipeline as a reusable CTE chain (shared by
