@@ -256,8 +256,11 @@ def main() -> None:
             + (f" — {out.get('error', '')}" if out["status"] == "ERROR" else ""),
             flush=True,
         )
+    # --only / --skip runs get their own record: a targeted audit must
+    # never clobber the canonical whole-registry raw record
+    suffix = "_partial" if (skip or only) else ""
     dst = os.path.join(
-        REPO, ".bench_cache", f"audit_{os.path.basename(sf_dir)}.json"
+        REPO, ".bench_cache", f"audit_{os.path.basename(sf_dir)}{suffix}.json"
     )
     record = {"sf_dir": sf_dir, "budget": budget, "results": results}
     with open(dst, "w") as f:
