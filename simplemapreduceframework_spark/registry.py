@@ -74,8 +74,9 @@ def load_all() -> None:
 # r6-vintage rows (staged verbatim as last round's CHECK_PRIORITY
 # [50:94]; r6 predates the decimal-ban enforcement gate, the join-pin
 # refactors, and the int64 index work) plus the 2 queries registered
-# this round (retrieval/dedup quality gates, VERDICT r9 item 5) — 46
-# of the 50-row window. After this round every query's latest
+# this round (retrieval/dedup quality gates, VERDICT r9 item 5) and
+# dedup_ngram_jaccard (source changed: pair list memoized) — 47 of
+# the 50-row window. After this round every query's latest
 # CORRECTNESS row is r7+ and the rotation debt is fully paid.
 CHECK_PRIORITY: list[str] = [
     # --- r10 head: the final r6-vintage batch -----------------------
@@ -127,6 +128,9 @@ CHECK_PRIORITY: list[str] = [
     # the 'measured, not asserted' gaps in the retrieval/dedup tiers --
     "retrieval_eval_bm25",
     "dedup_minhash_pr_gate",
+    # --- re-green after r10 source change: the exact-Jaccard pair
+    # list is now persisted + memoized (second consumer arrived) -----
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -18,7 +18,8 @@ _DRIVER_BUDGET = 50
 # r6-vintage rows (r6 predates the decimal-ban gate, the join-pin
 # refactors, and the int64 index work) — the FINAL batch of the
 # archive rotation, staged verbatim as round 9's CHECK_PRIORITY
-# [50:94] — plus the 2 quality gates registered this round. 46 of the
+# [50:94] — plus the 2 quality gates registered this round and
+# dedup_ngram_jaccard (source changed: pair list memoized). 47 of the
 # 50-row budget; after this round every query's latest CORRECTNESS row
 # is r7+.
 _ROUND10_MUST_CHECK = [
@@ -68,6 +69,8 @@ _ROUND10_MUST_CHECK = [
     "wordset_regex",
     "retrieval_eval_bm25",
     "dedup_minhash_pr_gate",
+    # re-green after the r10 memoization of the exact pair list
+    "dedup_ngram_jaccard",
 ]
 
 
