@@ -50,16 +50,19 @@ SUMMARY = os.path.join(REPO, "AUDIT_SF10.json")
 
 def _summary_entry(record: dict, date: str, isolate: bool) -> dict:
     """Compact committed form of one raw audit record: config + counts
-    + per-query seconds (ok) / status (not ok)."""
+    + per-query seconds (ok) / status (not ok). Run config is read from
+    the record itself (written at run time since round 11); `date` /
+    `isolate` arguments are fallbacks for legacy records that predate
+    the embedded fields."""
     results = record["results"]
     ok = {n: r["sec"] for n, r in results.items() if r["status"] == "ok"}
     bad = {n: r["status"] for n, r in results.items() if r["status"] != "ok"}
     return {
-        "date": date,
+        "date": record.get("date", date),
         "sf_dir": record["sf_dir"],
         "budget_sec": record["budget"],
-        "isolate": isolate,
-        "broadcast_row_limit": os.environ.get("SMRF_BROADCAST_ROW_LIMIT"),
+        "isolate": record.get("isolate", isolate),
+        "broadcast_row_limit": record.get("broadcast_row_limit"),
         "n_queries": len(results),
         "n_ok": len(ok),
         "n_error": sum(1 for s in bad.values() if s == "ERROR"),
@@ -113,40 +116,57 @@ def _scaling_summary(path: str, decade: str) -> dict:
     }
 
 
+# Legacy raw records predate the embedded run-config fields; map their
+# filenames to (label, broadcast_row_limit). The r9 default-budget raw
+# record was overwritten in place by the r10 default run, so the
+# committed `default_r9` entry is preserve-only: the rebuild keeps it
+# if present but cannot regenerate it (documented in PLANS.md).
+_LEGACY_AUDITS = [
+    ("default_r8", "audit_sf10_r8.json", None),
+    ("forced_fallback_r9", "audit_sf10_forced_fallback_r9.json", "10000"),
+    ("default", "audit_sf10_default_r10.json", None),
+    ("forced_fallback", "audit_sf10_forced_fallback_r10.json", "10000"),
+]
+
+
 def summarize_existing() -> None:
-    """Rebuild AUDIT_SF10.json from the raw .bench_cache records (the
-    r8-preserved audit, the canonical r9 default-budget audit, and the
-    r9 forced-fallback audit, plus both scaling decades, the bigmem
-    control, and the r9 simjoin decade)."""
+    """Rebuild AUDIT_SF10.json from the raw .bench_cache records: the
+    legacy named records above, plus any labeled records written by
+    round-11+ runs (which embed label/date/config), plus both scaling
+    decades, the bigmem control, and the simjoin decades. Entries whose
+    raw record is gone (default_r9) are left as committed."""
     import datetime
+    import glob
 
     cache = os.path.join(REPO, ".bench_cache")
-    audits = [
-        ("default_r8", "audit_sf10_r8.json"),
-        ("default", "audit_sf10.json"),
-        ("forced_fallback", "audit_sf10_forced_fallback_r9.json"),
-    ]
-    for label, fname in audits:
+    seen_paths = set()
+    for label, fname, limit in _LEGACY_AUDITS:
         p = os.path.join(cache, fname)
         if not os.path.exists(p):
             print(f"skip {label}: {p} missing")
             continue
+        seen_paths.add(os.path.realpath(p))
         with open(p) as f:
             record = json.load(f)
+        if "label" in record:
+            # re-run under a legacy filename: trust the embedded config
+            update_committed_summary(record, record["label"], "", True)
+            continue
+        record["broadcast_row_limit"] = limit
         date = datetime.datetime.fromtimestamp(
             os.path.getmtime(p)
         ).strftime("%Y-%m-%d")
-        # the forced run's env var isn't set NOW; record it literally
-        entry_env = "10000" if label == "forced_fallback" else None
-        prev = os.environ.pop("SMRF_BROADCAST_ROW_LIMIT", None)
-        if entry_env:
-            os.environ["SMRF_BROADCAST_ROW_LIMIT"] = entry_env
-        try:
-            update_committed_summary(record, label, date, isolate=True)
-        finally:
-            os.environ.pop("SMRF_BROADCAST_ROW_LIMIT", None)
-            if prev is not None:
-                os.environ["SMRF_BROADCAST_ROW_LIMIT"] = prev
+        update_committed_summary(record, label, date, isolate=True)
+    # round-11+ runs preserve a labeled copy with the config embedded
+    for p in sorted(glob.glob(os.path.join(cache, "audit_sf10*.json"))):
+        if os.path.realpath(p) in seen_paths:
+            continue
+        with open(p) as f:
+            record = json.load(f)
+        if "label" not in record:
+            continue  # canonical-latest duplicate or pre-r11 record
+        seen_paths.add(os.path.realpath(p))
+        update_committed_summary(record, record["label"], "", True)
     scalings = [
         ("sf0.1_to_sf1", "scaling_sf1.json", "sf0.1 -> sf1"),
         ("sf1_to_sf10", "scaling_sf10.json", "sf1 -> sf10"),
@@ -162,8 +182,13 @@ def summarize_existing() -> None:
             "sf1 -> sf10",
         ),
     ]
-    with open(SUMMARY) as f:
-        doc = json.load(f)
+    if os.path.exists(SUMMARY):
+        with open(SUMMARY) as f:
+            doc = json.load(f)
+    else:
+        # no raw audit record existed either — start from the same
+        # skeleton update_committed_summary builds
+        doc = {"audits": {}, "scaling_decades": {}}
     for label, fname, decade in scalings:
         p = os.path.join(cache, fname)
         if not os.path.exists(p):
@@ -258,31 +283,47 @@ def main() -> None:
         )
     # --only / --skip runs get their own record: a targeted audit must
     # never clobber the canonical whole-registry raw record
-    suffix = "_partial" if (skip or only) else ""
+    import datetime
+
+    full = not skip and not only
+    suffix = "_partial" if not full else ""
     dst = os.path.join(
         REPO, ".bench_cache", f"audit_{os.path.basename(sf_dir)}{suffix}.json"
     )
-    record = {"sf_dir": sf_dir, "budget": budget, "results": results}
+    label = opts.get(
+        "label",
+        "forced_fallback"
+        if os.environ.get("SMRF_BROADCAST_ROW_LIMIT")
+        else "default",
+    )
+    # The run config is embedded in the raw record so the rebuild path
+    # (--summarize-existing) never has to guess or fake it (ADVICE r10)
+    record = {
+        "sf_dir": sf_dir,
+        "budget": budget,
+        "date": datetime.date.today().isoformat(),
+        "isolate": "--isolate" in sys.argv,
+        "broadcast_row_limit": os.environ.get("SMRF_BROADCAST_ROW_LIMIT"),
+        "results": results,
+    }
+    if full:
+        record["label"] = label
     with open(dst, "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")
     # full-registry sf10 runs refresh the committed summary so the
-    # PLANS.md scale claims stay auditable from a fresh clone
-    if os.path.basename(sf_dir) == "sf10" and not skip and not only:
-        import datetime
-
-        label = opts.get(
-            "label",
-            "forced_fallback"
-            if os.environ.get("SMRF_BROADCAST_ROW_LIMIT")
-            else "default",
+    # PLANS.md scale claims stay auditable from a fresh clone, and get
+    # a preserved labeled copy so a later run under a different label
+    # cannot clobber this one's raw evidence
+    if os.path.basename(sf_dir) == "sf10" and full:
+        keep = os.path.join(
+            REPO, ".bench_cache", f"audit_sf10_{label}.json"
         )
-        update_committed_summary(
-            record,
-            label,
-            datetime.date.today().isoformat(),
-            isolate="--isolate" in sys.argv,
-        )
+        if os.path.realpath(keep) != os.path.realpath(dst):
+            with open(keep, "w") as f:
+                json.dump(record, f, indent=1)
+                f.write("\n")
+        update_committed_summary(record, label, record["date"], record["isolate"])
     n_err = sum(1 for r in results.values() if r["status"] == "ERROR")
     n_to = sum(1 for r in results.values() if r["status"] == "TIMEOUT")
     print(f"AUDIT: {len(results)} queries, {n_err} errors, {n_to} timeouts -> {dst}")

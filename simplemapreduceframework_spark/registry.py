@@ -69,68 +69,69 @@ def load_all() -> None:
 
 # Driver-check ordering. The verify driver checks queries in dict order
 # with a per-round cap (50 per round), so the head is whatever most
-# needs a fresh CORRECTNESS row. Round 10 COMPLETES the archival
-# rotation (VERDICT r9 item 1): the head is exactly the 44 remaining
-# r6-vintage rows (staged verbatim as last round's CHECK_PRIORITY
-# [50:94]; r6 predates the decimal-ban enforcement gate, the join-pin
-# refactors, and the int64 index work) plus the 2 queries registered
-# this round (retrieval/dedup quality gates, VERDICT r9 item 5) and
-# dedup_ngram_jaccard (source changed: pair list memoized) — 47 of
-# the 50-row window. After this round every query's latest
-# CORRECTNESS row is r7+ and the rotation debt is fully paid.
+# needs a fresh CORRECTNESS row. The round-9 archive rotation debt was
+# settled in round 10 (every latest row is r7+); round 11 CONTINUES
+# the steady-state rotation so no row's evidence goes stale: the head
+# is exactly the 48 queries whose latest CORRECTNESS row is r7-vintage
+# (r7 predates the r8 join-pin refactors, the r9 int64 index work, and
+# the r10 memoizations), plus re-greens for the 2 queries whose source
+# changed this round (the BM25 pivot is now persisted + memoized and
+# SHARED between text_bm25_batch and retrieval_eval_bm25, ADVICE r10).
+# 50 of the 50-row window; zero new queries this round.
 CHECK_PRIORITY: list[str] = [
-    # --- r10 head: the final r6-vintage batch -----------------------
-    "ann_ivf_indexed_gate",
-    "asof_join_events",
-    "bpe_encode",
-    "dedup_incremental",
-    "events_tumbling_1h",
-    "graph_pagerank",
-    "grouped_avg",
-    "multimodal_audio_real",
-    "multimodal_decode_real",
-    "multimodal_meta",
-    "q1_pricing_summary",
-    "q2_filter_project",
-    "q3_top_revenue_orders",
-    "q4_order_priority_semijoin",
-    "q5_region_revenue",
-    "q6_selective_agg",
-    "q7_anti_join",
-    "q8_window_topn_per_group",
-    "q9_running_total",
-    "q10_rollup",
-    "q11_cube",
-    "q12_setops",
-    "q13_distinct_agg",
-    "q14_scalar_gauntlet",
-    "q15_conditional_agg",
-    "q16_having",
-    "q17_multisort_limit",
-    "q18_outer_join",
-    "q19_cross_join",
-    "q20_window_suite",
-    "q21_json_extract",
-    "q22_null_ordering",
-    "q23_pivot",
-    "q24_multiset_ops",
-    "q25_array_agg",
-    "q43_market_share",
-    "q44_order_count_distribution",
-    "q45_small_quantity_revenue",
-    "q46_bulk_widget_suppliers",
-    "q47_reorder_streaks",
-    "table_expectations",
-    "wordcount",
-    "wordset",
-    "wordset_regex",
-    # --- new this round (VERDICT r9 item 5): quality gates closing
-    # the 'measured, not asserted' gaps in the retrieval/dedup tiers --
+    # --- r11 head: the 48 r7-vintage rows ---------------------------
+    "ann_cosine_topk",
+    "approx_percentiles_gate",
+    "basket_rules",
+    "corpus_snapshot_diff",
+    "dedup_canonical",
+    "dedup_exact",
+    "dedup_substring",
+    "doc_similarity_sparse",
+    "embedding_pca_gate",
+    "entity_golden_records",
+    "events_attribution",
+    "events_capped_contributions",
+    "events_dedup",
+    "events_funnel",
+    "events_outlier_mad",
+    "events_resample_ffill",
+    "exact_percentiles",
+    "experiment_readout",
+    "graph_pagerank_dangling",
+    "graph_triangles",
+    "incremental_mv_refresh",
+    "multimodal_audio_adpcm",
+    "multimodal_audio_flac",
+    "multimodal_decode_color",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_lossless",
+    "multimodal_decode_progressive",
+    "multimodal_decode_subsampled",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "q26_sql_api",
+    "q27_promo_revenue",
+    "q28_hierarchical_rollup",
+    "q29_large_orders",
+    "q35_grouping_sets",
+    "q36_lateral_topn",
+    "q37_range_frame_window",
+    "sample_weighted_bottomk",
+    "split_leakage_safe",
+    "stats_exact_moments",
+    "streaming_capped_contrib_live",
+    "streaming_mv_refresh_live",
+    "streaming_normalize_live",
+    "text_normalize_unicode",
+    "tokenizer_fertility",
+    "train_negative_sampling",
+    # --- re-green after the r11 source change: the batch-tier BM25
+    # pivot is persisted + memoized once and shared by both ----------
+    "text_bm25_batch",
     "retrieval_eval_bm25",
-    "dedup_minhash_pr_gate",
-    # --- re-green after r10 source change: the exact-Jaccard pair
-    # list is now persisted + memoized (second consumer arrived) -----
-    "dedup_ngram_jaccard",
 ]
 
 

@@ -175,8 +175,9 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
         # the PR gate consumes BOTH persisted dedup frames (the LSH
         # pair list and the shingle index under the exact baseline)
         "dedup_minhash_pr_gate",
-        # CacheManager substitutes text_bm25_batch's persisted pivot
-        # (same _bm25_pivoted expression tree) when the batch ran first
+        # consumes the shared persisted pivot (_bm25_pivot_shared, also
+        # serving text_bm25_batch): InMemoryTableScans embed the
+        # original corpus scans pre-materialization
         "retrieval_eval_bm25",
     }
     grew = {}
