@@ -149,3 +149,30 @@ def test_retrieval_eval_green_and_responds_to_ranking(spark, sf_dir):
     assert sum(r["precision_at_k"] for r in bad.values()) < sum(
         r["precision_at_k"] for r in rows.values()
     )
+
+
+def test_batch_and_eval_share_one_persisted_pivot(spark, sf_dir):
+    """The batch tier's corpus pass must be paid ONCE per session:
+    text_bm25_batch and retrieval_eval_bm25 both consume the memoized
+    persisted pivot from _bm25_pivot_shared (ADVICE r10 — the eval
+    query's unpersisted plan embedded ~4 copies of the
+    tokenize+postings subtree). Identity, storage level, and release
+    are all checked so a regression to per-query pivots fails loudly."""
+    from simplemapreduceframework_spark.operators import retrieval as rt
+    from simplemapreduceframework_spark.session_memo import session_memo
+
+    rt.release_batch_cache(spark)
+    memo = session_memo(spark)
+    assert ("bm25_pivot", sf_dir) not in memo
+
+    Q["text_bm25_batch"](spark, sf_dir).count()
+    pivot = memo[("bm25_pivot", sf_dir)][0]
+    assert pivot.storageLevel.useMemory  # actually persisted
+
+    Q["retrieval_eval_bm25"](spark, sf_dir).count()
+    assert memo[("bm25_pivot", sf_dir)][0] is pivot  # same frame, no rebuild
+
+    rt.release_batch_cache(spark)
+    assert ("bm25_pivot", sf_dir) not in memo
+    assert ("bm25_batch", sf_dir) not in memo
+    assert not pivot.storageLevel.useMemory  # release really unpersists
