@@ -464,30 +464,18 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer; support and lift are single-expression doubles over
     identical operands — engine-exact, no transcendentals.
 
-    The basket frame (one sorted part array per order; ordered pairs
-    generate ROW-LOCALLY from it, quadratic only in bounded basket
-    width — no self-join shuffle at any scale) is the shared persisted
-    intermediate `_baskets`; basket_rules reuses it.
+    The basket frame (one sorted part array per order) is the shared
+    persisted intermediate `_baskets`, and the pair counts themselves
+    are the session-shared persisted `_pair_counts` frame (ordered
+    pairs generate ROW-LOCALLY, quadratic only in bounded basket width
+    — no self-join shuffle at any scale); basket_rules and
+    graph_triangles reuse both.
     """
     baskets = _baskets(spark, sf_dir)
     n_orders = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    isup = baskets.select(
-        F.explode("parts").alias("l_partkey")
-    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) ->"
-                    " transform(slice(parts, i + 2, size(parts)),"
-                    "           y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.part_a", "p.part_b")
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
+    isup = _item_supports(spark, sf_dir)
+    pairs = _pair_counts(spark, sf_dir).filter(
+        F.col("n_ab") >= _BASKET_MIN_PAIR
     )
     ia = isup.select(
         F.col("l_partkey").alias("part_a"), F.col("n_i").alias("n_a")
@@ -544,6 +532,66 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return baskets
 
 
+def _item_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part basket support (l_partkey, n_i) — one explode+groupBy
+    over the persisted basket frame, persisted + memoized per session.
+    The frame is part-dimension-sized (cache cost trivial at any SF),
+    and persisting it spares each basket query its own explode pass
+    over the basket arrays; both queries join it back as their
+    broadcast support dimension."""
+    memo = session_memo(spark)
+    key = ("item_supports", sf_dir)
+    if key in memo:
+        return memo[key][0]
+    isup = (
+        _baskets(spark, sf_dir)
+        .select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+        .persist()
+    )
+    memo[key] = (isup, lambda: isup.unpersist())
+    return isup
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase pair counts (part_a < part_b, n_ab) — the ONE
+    row-local pair-generation pass over the persisted basket frame,
+    persisted at the LOWEST threshold any consumer applies (min of the
+    basket/rule/triangle cutoffs) and memoized per session. The pair
+    pass is the dominant cost of every co-purchase analysis (quadratic
+    in basket width, one exchange on the composite key); on a cluster
+    this is the materialized intermediate the whole basket tier —
+    part pairs, rules, the triangle graph's edge list — shares instead
+    of regenerating per query. Persisting above n_ab >= min-threshold
+    drops the singleton-pair bulk, so the cached frame stays
+    pair-dimension-sized at any SF."""
+    memo = session_memo(spark)
+    key = ("pair_counts", sf_dir)
+    if key in memo:
+        return memo[key][0]
+    floor = min(_BASKET_MIN_PAIR, _RULE_MIN_PAIR, _TRI_MIN_COBUY)
+    pairs = (
+        _baskets(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    "           y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= floor)
+        .persist()
+    )
+    memo[key] = (pairs, lambda: pairs.unpersist())
+    return pairs
+
+
 _RULE_MIN_PAIR = 3
 _RULE_TOPK = 30
 
@@ -594,28 +642,14 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local UNION, supports broadcast back, final ranking a
     TakeOrdered top-k. Confidence and lift are single-expression
     doubles over identical integer operands — engine-exact. Starts
-    from the shared persisted `_baskets` frame (one corpus pass serves
-    both basket queries).
+    from the shared persisted `_baskets` and `_pair_counts` frames
+    (one basket pass and one pair pass serve the whole basket tier).
     """
     baskets = _baskets(spark, sf_dir)
     n_orders = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    isup = baskets.select(
-        F.explode("parts").alias("l_partkey")
-    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) ->"
-                    " transform(slice(parts, i + 2, size(parts)),"
-                    "           y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.part_a", "p.part_b")
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= _RULE_MIN_PAIR)
+    isup = _item_supports(spark, sf_dir)
+    pairs = _pair_counts(spark, sf_dir).filter(
+        F.col("n_ab") >= _RULE_MIN_PAIR
     )
     rules = pairs.select(
         F.col("part_a").alias("antecedent"),
@@ -716,9 +750,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation in the co-purchase graph: for
     every part in at least one triangle, how many triangles it closes.
 
-    Shape at scale: edges generate ROW-LOCALLY from the shared
-    persisted basket frame (no self-join on the fact table — quadratic
-    only in bounded basket width); the degree table is
+    Shape at scale: the edge list is a filter+project over the
+    session-shared persisted pair-counts frame (whose pairs generate
+    ROW-LOCALLY from the basket frame — no self-join on the fact
+    table, quadratic only in bounded basket width); the degree table is
     vertex-dimension-sized and broadcasts under the edge frame; the
     wedge self-join runs on the DEGREE-ORIENTED edge list, so each
     wedge enumerates from its lowest-degree vertex (out-degree bounded
@@ -730,30 +765,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lexicographic (degree, part) — strict total order because part
     keys are distinct), so the triangle sets agree exactly.
     """
-    baskets = _baskets(spark, sf_dir)
+    # the edge list is a cheap filter+project over the session-shared
+    # persisted pair-counts frame (no separate persist needed)
+    edges = (
+        _pair_counts(spark, sf_dir)
+        .filter(F.col("n_ab") >= _TRI_MIN_COBUY)
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+    )
     memo = session_memo(spark)
-    ekey = ("tri_edges", sf_dir)
-    if ekey in memo:  # one persisted copy per session (no pile-up)
-        edges = memo[ekey]
-    else:
-        edges = (
-            baskets.select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(parts, (x, i) ->"
-                        " transform(slice(parts, i + 2, size(parts)),"
-                        "           y -> struct(x AS u, y AS v))))"
-                    )
-                ).alias("e")
-            )
-            .select("e.u", "e.v")
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("n_ab"))
-            .filter(F.col("n_ab") >= _TRI_MIN_COBUY)
-            .drop("n_ab")
-            .persist()
-        )
-        memo[ekey] = edges
     deg = (
         edges.select(F.col("u").alias("p"))
         .unionAll(edges.select(F.col("v").alias("p")))

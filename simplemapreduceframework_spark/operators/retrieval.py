@@ -118,7 +118,9 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-term contributions pivot into fixed columns so the score
     sum has a deterministic addition order on both engines (double
     addition is not associative); see module docstring for the round-4
-    ln() policy.
+    ln() policy. Since r11 the pivot is the session-shared persisted
+    frame (_bm25_pivot_shared) — the serving-tier shape where one
+    corpus pass amortizes across every fixed query in the family.
     """
     return (
         _bm25_scored(spark, sf_dir)
@@ -130,8 +132,25 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for every document containing a query term —
     the Spark twin of the `bm` CTE, shared by text_bm25 and
-    hybrid_search_rrf."""
-    return _score_sum(_bm25_pivoted(spark, sf_dir, _BM25_TERMS), _BM25_TERMS)
+    hybrid_search_rrf.
+
+    Serves from the session's ONE persisted pivot (_bm25_pivot_shared,
+    over _BATCH_TERMS ⊇ _BM25_TERMS): per-term contributions are
+    bit-identical whichever term list built the pivot (idf depends
+    only on that term's df and the corpus n), and the wider pivot's
+    extra rows — docs matching only a non-query batch term — carry
+    exact 0.0 in every query-term column (the coalesce literal), while
+    any doc containing a query term contributes strictly positive c
+    (idf = ln(1 + (n-df+.5)/(df+.5)) > 0, tf >= 1). Filtering on the
+    query-term sum > 0 therefore restores the oracle's row set
+    exactly, and the corpus tokenize pass is paid once per session
+    across the whole BM25 family instead of once per query."""
+    assert set(_BM25_TERMS) <= set(_BATCH_TERMS)
+    pivot = _bm25_pivot_shared(spark, sf_dir)
+    present = sum(
+        (F.col(f"c_{t}") for t in _BM25_TERMS[1:]), F.col(f"c_{_BM25_TERMS[0]}")
+    )
+    return _score_sum(pivot.filter(present > 0.0), _BM25_TERMS)
 
 
 def _score_sum(pivoted: DataFrame, terms: list[str]) -> DataFrame:
@@ -282,8 +301,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-trivial — and the RRF sum 1/(60+r) adds its two terms in
     a fixed order, so every double matches the oracle bit-for-bit.
     At 100 TB each leg scales as its own operator (text_bm25's
-    partial-agg pipeline; ann's bucketed index) while the fusion stays
-    constant-size.
+    partial-agg pipeline over the session-shared persisted pivot;
+    ann's bucketed index) while the fusion stays constant-size.
     """
     from pyspark.sql.window import Window
 

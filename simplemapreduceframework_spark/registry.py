@@ -72,14 +72,20 @@ def load_all() -> None:
 # needs a fresh CORRECTNESS row. The round-9 archive rotation debt was
 # settled in round 10 (every latest row is r7+); round 11 CONTINUES
 # the steady-state rotation so no row's evidence goes stale: the head
-# is exactly the 48 queries whose latest CORRECTNESS row is r7-vintage
+# is 45 of the 48 queries whose latest CORRECTNESS row is r7-vintage
 # (r7 predates the r8 join-pin refactors, the r9 int64 index work, and
-# the r10 memoizations), plus re-greens for the 2 queries whose source
-# changed this round (the BM25 pivot is now persisted + memoized and
-# SHARED between text_bm25_batch and retrieval_eval_bm25, ADVICE r10).
-# 50 of the 50-row window; zero new queries this round.
+# the r10 memoizations), plus re-greens for the 5 queries whose source
+# changed this round (the persisted BM25 pivot is now shared by the
+# WHOLE family — text_bm25 and hybrid_search_rrf joined
+# text_bm25_batch/retrieval_eval_bm25 on it — and the co-purchase pair
+# counts are persisted once and shared by basket_part_pairs /
+# basket_rules / graph_triangles). Source-changed re-greens outrank
+# vintage, so 3 frozen-codec r7 rows (multimodal_decode_lossless /
+# _progressive / _subsampled — untouched code, re-verified by the
+# local decode suite every round) slip to the round-12 head. 50 of the
+# 50-row window; zero new queries this round.
 CHECK_PRIORITY: list[str] = [
-    # --- r11 head: the 48 r7-vintage rows ---------------------------
+    # --- r11 head: 45 of the 48 r7-vintage rows ---------------------
     "ann_cosine_topk",
     "approx_percentiles_gate",
     "basket_rules",
@@ -106,9 +112,6 @@ CHECK_PRIORITY: list[str] = [
     "multimodal_decode_color",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
-    "multimodal_decode_lossless",
-    "multimodal_decode_progressive",
-    "multimodal_decode_subsampled",
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_t_closeness",
@@ -128,10 +131,16 @@ CHECK_PRIORITY: list[str] = [
     "text_normalize_unicode",
     "tokenizer_fertility",
     "train_negative_sampling",
-    # --- re-green after the r11 source change: the batch-tier BM25
-    # pivot is persisted + memoized once and shared by both ----------
+    # --- re-green after the r11 source changes: the persisted BM25
+    # pivot is shared by the whole family, and the co-purchase pair
+    # counts are persisted once for the whole basket tier (the three
+    # queries below join basket_rules / graph_triangles, already in
+    # the vintage head above) ----------------------------------------
     "text_bm25_batch",
     "retrieval_eval_bm25",
+    "text_bm25",
+    "hybrid_search_rrf",
+    "basket_part_pairs",
 ]
 
 

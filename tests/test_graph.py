@@ -237,3 +237,36 @@ def test_triangles_match_python_model(spark, sf_dir):
     }
     assert got == dict(want)
     assert sum(got.values()) % 3 == 0
+
+
+def test_basket_tier_shares_one_persisted_pair_frame(spark, sf_dir):
+    """The co-purchase pair pass (the dominant cost of every basket
+    analysis) must be paid ONCE per session: basket_part_pairs,
+    basket_rules, and graph_triangles all consume the memoized
+    persisted frame from _pair_counts, persisted at the LOWEST
+    consumer threshold so each query's stricter filter is a cheap
+    in-memory scan. Identity and storage level are checked so a
+    regression to per-query pair generation fails loudly."""
+    from simplemapreduceframework_spark.operators import graph as g
+    from simplemapreduceframework_spark.session_memo import session_memo
+
+    memo = session_memo(spark)
+    key = ("pair_counts", sf_dir)
+    if key in memo:  # isolate from earlier tests' cache
+        memo.pop(key)[1]()
+
+    Q["basket_part_pairs"](spark, sf_dir).count()
+    pairs = memo[key][0]
+    assert pairs.storageLevel.useMemory  # actually persisted
+
+    Q["basket_rules"](spark, sf_dir).count()
+    assert memo[key][0] is pairs  # same frame, no rebuild
+    Q["graph_triangles"](spark, sf_dir).count()
+    assert memo[key][0] is pairs
+
+    # the persist floor is the minimum threshold any consumer applies
+    floor = min(g._BASKET_MIN_PAIR, g._RULE_MIN_PAIR, g._TRI_MIN_COBUY)
+    assert pairs.filter(f"n_ab < {floor}").count() == 0
+
+    memo.pop(key)[1]()
+    assert not pairs.storageLevel.useMemory  # release really unpersists

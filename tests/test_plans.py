@@ -161,11 +161,13 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
         "table_expectations",
         # q47 persists its successor list behind a temp view
         "q47_reorder_streaks",
-        # the shared persisted _baskets frame: InMemoryTableScans embed
-        # the original lineitem scan in every consumer pre-
-        # materialization
+        # the shared persisted _baskets and _pair_counts frames:
+        # InMemoryTableScans embed the original lineitem scan in every
+        # consumer pre-materialization (triangles additionally
+        # self-joins the persisted oriented-edge frame three ways)
         "basket_part_pairs",
         "basket_rules",
+        "graph_triangles",
         # with_norm(embeddings) persists under the IVF tests; its
         # InMemoryTableScan then embeds the original scans in the
         # dense leg (and its row stats flip the fused join to a
@@ -175,10 +177,12 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
         # the PR gate consumes BOTH persisted dedup frames (the LSH
         # pair list and the shingle index under the exact baseline)
         "dedup_minhash_pr_gate",
-        # consumes the shared persisted pivot (_bm25_pivot_shared, also
-        # serving text_bm25_batch): InMemoryTableScans embed the
-        # original corpus scans pre-materialization
+        # consume the shared persisted pivot (_bm25_pivot_shared, the
+        # one corpus pass behind the whole BM25 family since r11):
+        # InMemoryTableScans embed the original corpus scans
+        # pre-materialization
         "retrieval_eval_bm25",
+        "text_bm25",
     }
     grew = {}
     for name, fp0 in baseline.items():

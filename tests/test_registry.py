@@ -15,12 +15,13 @@ registry.load_all()
 _DRIVER_BUDGET = 50
 
 # Round-11 check window: the steady-state rotation continues after the
-# round-10 settlement — the 48 queries whose latest CORRECTNESS row is
-# r7-vintage (r7 predates the r8 join-pin refactors, the r9 int64
-# index work, and the r10 memoizations), plus re-greens for the 2
-# queries whose source changed this round (the BM25 pivot is now
-# persisted + memoized and shared, ADVICE r10). 50 of the 50-row
-# budget; zero new queries this round.
+# round-10 settlement — 45 of the 48 queries whose latest CORRECTNESS
+# row is r7-vintage, plus re-greens for the 5 queries whose source
+# changed this round (shared persisted BM25 pivot for the whole
+# family; shared persisted co-purchase pair counts for the basket
+# tier). The 3 displaced frozen-codec rows (multimodal_decode_lossless
+# / _progressive / _subsampled) head the round-12 window. 50 of the
+# 50-row budget; zero new queries this round.
 _ROUND11_MUST_CHECK = [
     "ann_cosine_topk",
     "approx_percentiles_gate",
@@ -48,9 +49,6 @@ _ROUND11_MUST_CHECK = [
     "multimodal_decode_color",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
-    "multimodal_decode_lossless",
-    "multimodal_decode_progressive",
-    "multimodal_decode_subsampled",
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_t_closeness",
@@ -70,9 +68,12 @@ _ROUND11_MUST_CHECK = [
     "text_normalize_unicode",
     "tokenizer_fertility",
     "train_negative_sampling",
-    # re-green after the r11 shared-pivot change
+    # re-green after the r11 shared-pivot / shared-pair-counts changes
     "text_bm25_batch",
     "retrieval_eval_bm25",
+    "text_bm25",
+    "hybrid_search_rrf",
+    "basket_part_pairs",
 ]
 
 

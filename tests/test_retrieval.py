@@ -172,6 +172,12 @@ def test_batch_and_eval_share_one_persisted_pivot(spark, sf_dir):
     Q["retrieval_eval_bm25"](spark, sf_dir).count()
     assert memo[("bm25_pivot", sf_dir)][0] is pivot  # same frame, no rebuild
 
+    # r11: the single-query and hybrid legs joined the family — both
+    # must serve from the SAME pivot, not rebuild their own
+    Q["text_bm25"](spark, sf_dir).count()
+    Q["hybrid_search_rrf"](spark, sf_dir).count()
+    assert memo[("bm25_pivot", sf_dir)][0] is pivot
+
     rt.release_batch_cache(spark)
     assert ("bm25_pivot", sf_dir) not in memo
     assert ("bm25_batch", sf_dir) not in memo
