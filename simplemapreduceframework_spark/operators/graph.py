@@ -786,7 +786,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     okey = ("tri_oriented", sf_dir)
     if okey in memo:
-        oriented = memo[okey]
+        oriented = memo[okey][0]
     else:
         n_part = table_rows(spark, sf_dir, "part")  # |deg| <= |part|
         # deg derives under the persisted edges fragment -> static
@@ -807,7 +807,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        memo[okey] = oriented
+        # (frame, release) tuple — the one memo shape every persisted
+        # entry uses, so a generic release pass can drain them all
+        memo[okey] = (oriented, lambda: oriented.unpersist())
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     wedge_ord = F.struct(
         F.col("e1.dt").alias("d"), F.col("e1.t").alias("p")
