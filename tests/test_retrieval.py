@@ -182,3 +182,44 @@ def test_batch_and_eval_share_one_persisted_pivot(spark, sf_dir):
     assert ("bm25_pivot", sf_dir) not in memo
     assert ("bm25_batch", sf_dir) not in memo
     assert not pivot.storageLevel.useMemory  # release really unpersists
+
+
+def test_shared_pivot_restores_query_row_set_exactly(spark, tmp_path):
+    """The r11 exactness contract behind serving text_bm25 from the
+    WIDER batch pivot: a doc matching only non-query batch terms sits
+    in the shared pivot but must NOT enter the query's scored rows,
+    and every surviving score must be bit-identical to the narrow
+    4-term pivot built directly (same expression tree, same inputs).
+    Can-fail: dropping _bm25_scored's sum>0 filter admits doc 2."""
+    from simplemapreduceframework_spark.operators import retrieval as rt
+
+    rows = [
+        (1, "vector merge algorithms run fast", "src0"),   # query terms
+        (2, "hash join table plans", "src0"),              # batch-only terms
+        (3, "nothing relevant in this one", "src0"),       # no batch terms
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    path = str(tmp_path / "pivotset")
+    docs.write.parquet(f"{path}/documents.parquet")
+
+    try:
+        pivot_ids = {
+            r["doc_id"] for r in rt._bm25_pivot_shared(spark, path).collect()
+        }
+        assert pivot_ids == {1, 2}  # the wider pivot holds both
+
+        scored = {
+            r["doc_id"]: r["bm25"]
+            for r in rt._bm25_scored(spark, path).collect()
+        }
+        assert set(scored) == {1}  # batch-only doc filtered back out
+
+        narrow = {
+            r["doc_id"]: r["bm25"]
+            for r in rt._score_sum(
+                rt._bm25_pivoted(spark, path, rt._BM25_TERMS), rt._BM25_TERMS
+            ).collect()
+        }
+        assert scored == narrow  # bit-identical, not just same rows
+    finally:
+        rt.release_batch_cache(spark)
