@@ -441,12 +441,23 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines sort the group and linearly interpolate at the same rank,
     and quantities are integral, so the interpolated doubles match
     bit-for-bit. The exact twin of approx_distinct's
-    percentile_approx (the 100 TB sketch path)."""
+    percentile_approx (the 100 TB sketch path).
+
+    All three quantiles come from ONE array-argument percentile — a
+    single value buffer per group instead of three independent ones.
+    Verified value-identical to the three-call form, and A/B
+    bench-neutral at sf0.1 (the scan+shuffle dominates locally); the
+    point is the aggregation-buffer memory at scale — one buffered
+    copy of each group's values instead of three."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", F.lit(0.5)).alias("qty_median"),
-        F.percentile("l_quantity", F.lit(0.9)).alias("qty_p90"),
-        F.percentile("l_quantity", F.lit(0.99)).alias("qty_p99"),
+    p = F.percentile(
+        "l_quantity", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return li.groupBy("l_returnflag").agg(p.alias("p")).select(
+        "l_returnflag",
+        F.col("p")[0].alias("qty_median"),
+        F.col("p")[1].alias("qty_p90"),
+        F.col("p")[2].alias("qty_p99"),
     )
 
 
