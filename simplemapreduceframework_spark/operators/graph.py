@@ -807,8 +807,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        # (frame, release) tuple — the one memo shape every persisted
-        # entry uses, so a generic release pass can drain them all
+        # (frame, release) tuple — the shape the basket/retrieval/graph
+        # tiers share; other persisted memo entries (dedup 'shingles',
+        # similarity 'ivf_scored', traindata 'neg_rank') predate it and
+        # store the frame directly, so there is no generic drain yet
         memo[okey] = (oriented, lambda: oriented.unpersist())
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     wedge_ord = F.struct(

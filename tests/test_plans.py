@@ -140,53 +140,15 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import plan_fingerprint
+    from bench import CACHE_DEPENDENT, plan_fingerprint
 
     with open(os.path.join(os.path.dirname(__file__), "PLAN_BASELINE.json")) as f:
         baseline = json.load(f)
-    cache_dependent = {
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        # the IVF tests persist with_norm(embeddings); CacheManager then
-        # substitutes that shared fragment into these plans as an
-        # InMemoryTableScan (which embeds the original scan, doubling
-        # the count) depending on which tests ran first
-        "ann_cosine_topk",
-        "ann_lsh_bucketed",
-        # funnel stage frames persist + memoize: InMemoryTableScans
-        # embed the original scans pre-materialization
-        "events_funnel",
-        # the expectations report persists its shared lineitem
-        # aggregate (same embedding artifact)
-        "table_expectations",
-        # q47 persists its successor list behind a temp view
-        "q47_reorder_streaks",
-        # the shared persisted _baskets and _pair_counts frames:
-        # InMemoryTableScans embed the original lineitem scan in every
-        # consumer pre-materialization (triangles additionally
-        # self-joins the persisted oriented-edge frame three ways)
-        "basket_part_pairs",
-        "basket_rules",
-        "graph_triangles",
-        # with_norm(embeddings) persists under the IVF tests; its
-        # InMemoryTableScan then embeds the original scans in the
-        # dense leg (and its row stats flip the fused join to a
-        # broadcast in the prefix-filter verify step)
-        "hybrid_search_rrf",
-        "simjoin_prefix_filter",
-        # the PR gate consumes BOTH persisted dedup frames (the LSH
-        # pair list and the shingle index under the exact baseline)
-        "dedup_minhash_pr_gate",
-        # consume the shared persisted pivot (_bm25_pivot_shared, the
-        # one corpus pass behind the whole BM25 family since r11):
-        # InMemoryTableScans embed the original corpus scans
-        # pre-materialization
-        "retrieval_eval_bm25",
-        "text_bm25",
-    }
+    # the baseline generator omits cache-dependent queries, but skip
+    # them here too so a hand-edited baseline can't sneak one back in
     grew = {}
     for name, fp0 in baseline.items():
-        if name in cache_dependent:
+        if name in CACHE_DEPENDENT:
             continue
         fp = plan_fingerprint(Q[name](spark, sf_dir))
         for k in ("shuffles", "broadcasts", "scans"):

@@ -14,66 +14,66 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Round-11 check window: the steady-state rotation continues after the
-# round-10 settlement — 45 of the 48 queries whose latest CORRECTNESS
-# row is r7-vintage, plus re-greens for the 5 queries whose source
-# changed this round (shared persisted BM25 pivot for the whole
-# family; shared persisted co-purchase pair counts for the basket
-# tier). The 3 displaced frozen-codec rows (multimodal_decode_lossless
-# / _progressive / _subsampled) head the round-12 window. 50 of the
-# 50-row budget; zero new queries this round.
-_ROUND11_MUST_CHECK = [
-    "ann_cosine_topk",
-    "approx_percentiles_gate",
-    "basket_rules",
-    "corpus_snapshot_diff",
-    "dedup_canonical",
-    "dedup_exact",
-    "dedup_substring",
-    "doc_similarity_sparse",
-    "embedding_pca_gate",
-    "entity_golden_records",
-    "events_attribution",
-    "events_capped_contributions",
-    "events_dedup",
-    "events_funnel",
-    "events_outlier_mad",
-    "events_resample_ffill",
-    "exact_percentiles",
-    "experiment_readout",
-    "graph_pagerank_dangling",
-    "graph_triangles",
-    "incremental_mv_refresh",
-    "multimodal_audio_adpcm",
-    "multimodal_audio_flac",
-    "multimodal_decode_color",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "privacy_t_closeness",
-    "q26_sql_api",
-    "q27_promo_revenue",
-    "q28_hierarchical_rollup",
-    "q29_large_orders",
-    "q35_grouping_sets",
-    "q36_lateral_topn",
-    "q37_range_frame_window",
-    "sample_weighted_bottomk",
-    "split_leakage_safe",
-    "stats_exact_moments",
-    "streaming_capped_contrib_live",
-    "streaming_mv_refresh_live",
-    "streaming_normalize_live",
-    "text_normalize_unicode",
-    "tokenizer_fertility",
-    "train_negative_sampling",
-    # re-green after the r11 shared-pivot / shared-pair-counts changes
-    "text_bm25_batch",
-    "retrieval_eval_bm25",
-    "text_bm25",
-    "hybrid_search_rrf",
-    "basket_part_pairs",
+# Round-12 check window: pure vintage rotation, zero source-changed
+# re-greens (the only non-test diffs this round are comment rewording
+# and regenerated plan-baseline data — no query's executed plan
+# changes). Head = the 3 frozen-codec r7 rows displaced by the r11
+# re-greens, then 47 of the 50 r8-vintage rows with the gate rows and
+# the compat mr_* capability-declaration trio first. The 3-row tail
+# deferred to r13: ann_ivf_topk / approx_distinct (rows-only; their
+# hash-gated twins re-green this round) and multimodal_decode (frozen
+# code, siblings fresh). 50 of the 50-row budget; zero new queries.
+_ROUND12_MUST_CHECK = [
+    "multimodal_decode_lossless",
+    "multimodal_decode_progressive",
+    "multimodal_decode_subsampled",
+    "ann_ivf_recall_gate",
+    "ann_search_ivf_gate",
+    "approx_distinct_gate",
+    "mr_grouped_avg_compat",
+    "mr_pickle_compat",
+    "mr_wordcount_compat",
+    "ann_lsh_bucketed",
+    "bloom_semi_filter",
+    "cms_heavy_hitters",
+    "corpus_mix_weighted",
+    "corpus_shuffle_shard",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_substring_hashed",
+    "events_range_join",
+    "events_session_10m",
+    "events_sliding_1h_30m",
+    "events_stream_join_live",
+    "histogram_equi_depth",
+    "pack_sequences",
+    "pipeline_clean_corpus",
+    "pipeline_prepare_training_data",
+    "q30_min_cost_supplier",
+    "q31_important_stock",
+    "q32_suppliers_who_kept_waiting",
+    "q33_global_sales_opportunity",
+    "q34_event_funnel",
+    "sample_bottomk",
+    "sample_stratified_bottomk",
+    "skewed_agg_salted",
+    "split_train_test",
+    "stats_numeric",
+    "streaming_dedup_live",
+    "streaming_tumbling_live",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_lm_coverage",
+    "text_quality_score",
+    "text_token_ids",
+    "text_token_stats",
+    "text_vocab",
+    "text_winnow_fingerprints",
+    "udaf_grouped_sum",
+    "udf_scalar_disc_price",
+    "udtf_tokenize",
 ]
 
 
@@ -90,7 +90,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND11_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND12_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"
