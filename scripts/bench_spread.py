@@ -22,7 +22,13 @@ from simplemapreduceframework_spark import get_spark, registry
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.1"
+    # Default to the bench layout when it exists: the raw sf0.1 dir has
+    # too few row groups to feed 32 cores on the binary decode tier, so
+    # spreads there come out ~5x the in-set numbers (a layout artifact
+    # that mis-dispositions movers — see PLANS.md round-12 entry).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_layout = os.path.join(repo, ".bench_cache", "sf0.1")
+    sf_dir = bench_layout if os.path.isdir(bench_layout) else "/root/testdata/sf0.1"
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
