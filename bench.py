@@ -234,6 +234,15 @@ CACHE_DEPENDENT = {
     # pre-materialization
     "retrieval_eval_bm25",
     "text_bm25",
+    # consume the shared persisted hygiene verdict frame
+    # (_hygiene_verdicts_shared, the one corpus verdict pass behind
+    # the hygiene family since r13): same InMemoryTableScan
+    # pre/post-materialization plan split
+    "text_repetition_filter",
+    "text_decontaminate",
+    "pipeline_hygiene",
+    "pipeline_chunked_corpus",
+    "corpus_health_report",
 }
 
 

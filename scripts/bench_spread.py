@@ -22,18 +22,25 @@ from simplemapreduceframework_spark import get_spark, registry
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    # Default to the bench layout when it exists: the raw sf0.1 dir has
-    # too few row groups to feed 32 cores on the binary decode tier, so
-    # spreads there come out ~5x the in-set numbers (a layout artifact
-    # that mis-dispositions movers — see PLANS.md round-12 entry).
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bench_layout = os.path.join(repo, ".bench_cache", "sf0.1")
-    sf_dir = bench_layout if os.path.isdir(bench_layout) else "/root/testdata/sf0.1"
+    explicit = None
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
-            sf_dir = a.split("=", 1)[1]
+            explicit = a.split("=", 1)[1]
     registry.load_all()
     spark = get_spark("bench-spread")
+    if explicit is not None:
+        sf_dir = explicit
+    else:
+        # Default to the bench layout: the raw sf0.1 dir has too few
+        # row groups to feed 32 cores on the binary decode tier, so
+        # spreads there come out ~5x the in-set numbers (a layout
+        # artifact that mis-dispositions movers — see PLANS.md
+        # round-12 entry). ensure_bench_layout validates the
+        # _LAYOUT_DONE fixture-mtime stamp and rebuilds a stale or
+        # partial cached layout rather than silently measuring it.
+        from bench import ensure_bench_layout
+
+        sf_dir = ensure_bench_layout(spark, "/root/testdata/sf0.1")
     for name in args:
         fn = registry.QUERIES[name]
         times = []

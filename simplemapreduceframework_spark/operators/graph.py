@@ -808,9 +808,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         # (frame, release) tuple — the shape the basket/retrieval/graph
-        # tiers share; other persisted memo entries (dedup 'shingles',
-        # similarity 'ivf_scored', traindata 'neg_rank') predate it and
-        # store the frame directly, so there is no generic drain yet
+        # tiers share; other persisted memo entries predate it and use
+        # their own shapes (dedup 'shingles' and similarity
+        # 'ivf_scored' store the bare frame; traindata 'neg_rank'
+        # stores a (frame, count) tuple), so there is no generic drain
         memo[okey] = (oriented, lambda: oriented.unpersist())
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     wedge_ord = F.struct(

@@ -2,9 +2,14 @@
 opaque binary columns with typed metadata, processed by Arrow-batched
 mapInPandas decoders.
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed (deterministic fake features, or NotImplementedError for real
-codecs) — but the Spark-side plumbing is real and tested: binary
+The container has no image/audio libraries, so the decoders are real
+pure-Python implementations shipped in this file: GIF (`_lzw_decode`),
+PNG (zlib inflate + `_unfilter_png`), JPEG baseline —
+4:4:4 / 4:2:0 / progressive / lossless (Huffman + dequant + real 8x8
+IDCT in `_decode_jpeg_pixels`), BMP, WAV/ADPCM, and full FLAC. Only
+arithmetic/hierarchical/differential JPEG and MP3/AAC remain behind
+documented NotImplementedError gates (the PIL/ffmpeg integration
+boundary). The Spark-side plumbing is equally real and tested: binary
 payload column, metadata struct, mapInPandas batch shape, and the
 partitioning story (payloads never shuffle; feature extraction is
 row-local so it scales linearly).

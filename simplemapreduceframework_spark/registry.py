@@ -75,75 +75,75 @@ def load_all() -> None:
 # previous BENCH commit and enumerate EVERY query whose executed code
 # path changed — that enumerated set outranks vintage rotation in this
 # head; comment-only / test-only / docs diffs do not displace rows.
-# Round 12 is a pure vintage rotation with ZERO source-changed
-# re-greens: the only non-test diffs this round are comment rewording
-# (this file, graph.py) and regenerated plan-baseline test data, none
-# of which change any query's executed plan. The head is therefore the
-# 3 frozen-codec r7 rows displaced by the r11 re-greens
-# (multimodal_decode_lossless / _progressive / _subsampled — untouched
-# code, re-verified by the local decode suite every round) plus 47 of
-# the 50 r8-vintage rows (r8 predates the r9 int64 index work and the
-# r10/r11 shared-frame memoizations), gate rows and the compat mr_*
-# capability-declaration trio first. The 3-row tail deferred to r13:
-# ann_ivf_topk and approx_distinct (rows-only by design; their
-# hash-gated twins ann_ivf_recall_gate / ann_search_ivf_gate /
-# approx_distinct_gate all get fresh rows THIS round) and
-# multimodal_decode (frozen code; its 3 codec siblings re-green this
-# round and its 5 other siblings are r11-fresh). 50 of the 50-row
-# window; zero new queries this round.
+# Round 13 is the last vintage-rotation round (staged at r12 close,
+# ROADMAP.md "Round 13 staging"): the 3-row r12 tail first
+# (ann_ivf_topk / approx_distinct — rows-only by design, hash-gated
+# twins re-greened r12 — and multimodal_decode, frozen code whose 8
+# codec siblings are all r11/r12-fresh), then ALL 42 r9-vintage rows
+# (the hygiene family leads: it is the round's one staged perf item,
+# and its consumers are in-window by vintage alone). That fills 45 of
+# the 50-row window. The 5 slack slots are provisional r10-vintage
+# padding (headline/expensive rows that benefit from a fresh record);
+# per the re-green rule above, any query whose executed code path
+# changes this round displaces padding first. After this round no
+# latest row is older than r10 — vintage retires as a debt category.
 CHECK_PRIORITY: list[str] = [
-    # --- r12 head: the 3 displaced frozen-codec r7 rows -------------
-    "multimodal_decode_lossless",
-    "multimodal_decode_progressive",
-    "multimodal_decode_subsampled",
-    # --- 47 of the 50 r8-vintage rows: gates + compat trio first ----
-    "ann_ivf_recall_gate",
-    "ann_search_ivf_gate",
-    "approx_distinct_gate",
-    "mr_grouped_avg_compat",
-    "mr_pickle_compat",
-    "mr_wordcount_compat",
-    "ann_lsh_bucketed",
-    "bloom_semi_filter",
-    "cms_heavy_hitters",
-    "corpus_mix_weighted",
-    "corpus_shuffle_shard",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_substring_hashed",
-    "events_range_join",
-    "events_session_10m",
-    "events_sliding_1h_30m",
-    "events_stream_join_live",
-    "histogram_equi_depth",
-    "pack_sequences",
-    "pipeline_clean_corpus",
-    "pipeline_prepare_training_data",
-    "q30_min_cost_supplier",
-    "q31_important_stock",
-    "q32_suppliers_who_kept_waiting",
-    "q33_global_sales_opportunity",
-    "q34_event_funnel",
-    "sample_bottomk",
-    "sample_stratified_bottomk",
-    "skewed_agg_salted",
-    "split_train_test",
-    "stats_numeric",
-    "streaming_dedup_live",
-    "streaming_tumbling_live",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_lm_coverage",
-    "text_quality_score",
-    "text_token_ids",
-    "text_token_stats",
-    "text_vocab",
-    "text_winnow_fingerprints",
-    "udaf_grouped_sum",
-    "udf_scalar_disc_price",
-    "udtf_tokenize",
+    # --- r13 head: the 3-row r12 deferred tail -----------------------
+    "ann_ivf_topk",
+    "approx_distinct",
+    "multimodal_decode",
+    # --- 42 r9-vintage rows: hygiene family (staged perf item) first -
+    "pipeline_hygiene",
+    "text_repetition_filter",
+    "pipeline_chunked_corpus",
+    "text_decontaminate",
+    "streaming_hygiene_live",
+    # --- remaining streaming lives -----------------------------------
+    "streaming_decontaminate_live",
+    "streaming_enrich_live",
+    "streaming_ingest_pipeline_live",
+    "streaming_session_live",
+    "streaming_sliding_live",
+    "streaming_stateful_totals_live",
+    # --- rest of the r9 set ------------------------------------------
+    "ann_ivf_ndcg_gate",
+    "ann_quantized_gate",
+    "corpus_health_report",
+    "curriculum_schedule",
+    "customer_rfm_segments",
+    "dedup_winnow",
+    "embedding_quantize",
+    "events_cohort_retention",
+    "events_hourly_seasonality",
+    "events_outlier_zscore",
+    "events_range_join_bucketed",
+    "events_session_stats",
+    "events_state_intervals",
+    "events_transition_matrix",
+    "events_trend_slope",
+    "fuzzy_match_parts",
+    "multimodal_frame_sample",
+    "part_monthly_demand_features",
+    "q38_disjunctive_predicate",
+    "q39_nation_volume",
+    "q40_window_distribution",
+    "q41_top_supplier",
+    "q42_product_profit",
+    "simjoin_prefix_filter",
+    "table_profile",
+    "table_skew_report",
+    "text_bm25_indexed",
+    "text_chunk",
+    "text_pii_scrub",
+    "text_pmi_pairs",
+    "text_quality_classifier",
+    # --- 5 provisional r10 padding rows (displaced by any
+    # --- source-changed re-greens enumerated at round close) ---------
+    "q1_pricing_summary",
+    "q47_reorder_streaks",
+    "graph_pagerank",
+    "dedup_incremental",
+    "asof_join_events",
 ]
 
 

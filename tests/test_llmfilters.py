@@ -69,6 +69,12 @@ def test_repetition_filter_rejects_degenerate_doc(spark, tmp_path, sf_dir):
     assert len(rows) == 1
     r = rows[0]
     assert r["n_distinct"] == 1 and not r["keep"]
+    # drop the tmp dir's memoized verdict frame — the corpus vanishes
+    from simplemapreduceframework_spark.operators.llmfilters import (
+        release_hygiene_cache,
+    )
+
+    release_hygiene_cache(spark)
     shutil.rmtree(src, ignore_errors=True)
 
 
@@ -90,7 +96,13 @@ def test_decontaminate_flag_consistent_with_count(spark, sf_dir):
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
-    df = Q["text_decontaminate"](spark, sf_dir)
+    # target the formulation that owns the inverted-index join
+    # directly: the registered query serves from the shared hygiene
+    # frame, whose physical plan collapses to an InMemoryTableScan
+    # once another family member has materialized it
+    from simplemapreduceframework_spark.operators.llmfilters import _decon_hits
+
+    df = _decon_hits(spark, sf_dir)
     assert has_broadcast_hash_join(df), explain_str(df)
 
 
@@ -284,3 +296,73 @@ def test_corpus_health_report_on_empty_corpus(spark, tmp_path):
         assert row["n_contaminated"] == 0
     finally:
         con.close()
+
+
+def test_hygiene_family_shares_one_persisted_frame(spark, sf_dir):
+    """The corpus verdict pass must be paid ONCE per session: all five
+    hygiene-family queries consume the memoized persisted frame from
+    _hygiene_verdicts_shared (r13 — measured: the three headline
+    consumers drop from a 2.1 s best-sum to 0.65 s once warm).
+    Identity, storage level, and release are all checked so a
+    regression to per-query verdict passes fails loudly."""
+    from simplemapreduceframework_spark.operators import llmfilters as lf
+    from simplemapreduceframework_spark.session_memo import session_memo
+
+    lf.release_hygiene_cache(spark)
+    memo = session_memo(spark)
+    assert ("hygiene_verdicts", sf_dir) not in memo
+
+    Q["text_repetition_filter"](spark, sf_dir).count()
+    frame = memo[("hygiene_verdicts", sf_dir)][0]
+    assert frame.storageLevel.useMemory  # actually persisted
+
+    for q in (
+        "text_decontaminate",
+        "pipeline_hygiene",
+        "pipeline_chunked_corpus",
+        "corpus_health_report",
+    ):
+        Q[q](spark, sf_dir).count()
+        assert memo[("hygiene_verdicts", sf_dir)][0] is frame  # no rebuild
+
+    lf.release_hygiene_cache(spark)
+    assert ("hygiene_verdicts", sf_dir) not in memo
+    assert not frame.storageLevel.useMemory  # release really unpersists
+
+
+def test_hygiene_shared_frame_restores_row_sets_exactly(spark, sf_dir):
+    """The exactness contract behind serving the standalone queries
+    from the one-row-per-document shared frame: the n_tok IS NOT NULL
+    filter restores _rep_metrics' row set (docs with >= 1 token), and
+    ~is_bench + coalesce restores the decontaminate oracle's
+    documents-LEFT JOIN-hits shape, including zero-hit docs."""
+    from simplemapreduceframework_spark.operators import llmfilters as lf
+
+    rep_direct = {
+        tuple(r) for r in lf._rep_metrics(spark, sf_dir).collect()
+    }
+    rep_shared = {
+        tuple(r) for r in Q["text_repetition_filter"](spark, sf_dir).collect()
+    }
+    assert rep_direct == rep_shared
+
+    hits = {
+        r["doc_id"]: r["n_shared"]
+        for r in lf._decon_hits(spark, sf_dir).collect()
+    }
+    dec = Q["text_decontaminate"](spark, sf_dir).collect()
+    # every training doc appears exactly once, with the hit count
+    # coalesced to 0 where the inverted-index join found nothing
+    from simplemapreduceframework_spark.sources import load_table
+
+    train_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % lf._DECON_MOD != 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r["doc_id"] for r in dec} == train_ids
+    for r in dec:
+        assert r["n_shared"] == hits.get(r["doc_id"], 0)
+        assert r["contaminated"] == (r["n_shared"] > 0)

@@ -14,66 +14,66 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Round-12 check window: pure vintage rotation, zero source-changed
-# re-greens (the only non-test diffs this round are comment rewording
-# and regenerated plan-baseline data — no query's executed plan
-# changes). Head = the 3 frozen-codec r7 rows displaced by the r11
-# re-greens, then 47 of the 50 r8-vintage rows with the gate rows and
-# the compat mr_* capability-declaration trio first. The 3-row tail
-# deferred to r13: ann_ivf_topk / approx_distinct (rows-only; their
-# hash-gated twins re-green this round) and multimodal_decode (frozen
-# code, siblings fresh). 50 of the 50-row budget; zero new queries.
-_ROUND12_MUST_CHECK = [
-    "multimodal_decode_lossless",
-    "multimodal_decode_progressive",
-    "multimodal_decode_subsampled",
-    "ann_ivf_recall_gate",
-    "ann_search_ivf_gate",
-    "approx_distinct_gate",
-    "mr_grouped_avg_compat",
-    "mr_pickle_compat",
-    "mr_wordcount_compat",
-    "ann_lsh_bucketed",
-    "bloom_semi_filter",
-    "cms_heavy_hitters",
-    "corpus_mix_weighted",
-    "corpus_shuffle_shard",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_substring_hashed",
-    "events_range_join",
-    "events_session_10m",
-    "events_sliding_1h_30m",
-    "events_stream_join_live",
-    "histogram_equi_depth",
-    "pack_sequences",
-    "pipeline_clean_corpus",
-    "pipeline_prepare_training_data",
-    "q30_min_cost_supplier",
-    "q31_important_stock",
-    "q32_suppliers_who_kept_waiting",
-    "q33_global_sales_opportunity",
-    "q34_event_funnel",
-    "sample_bottomk",
-    "sample_stratified_bottomk",
-    "skewed_agg_salted",
-    "split_train_test",
-    "stats_numeric",
-    "streaming_dedup_live",
-    "streaming_tumbling_live",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_lm_coverage",
-    "text_quality_score",
-    "text_token_ids",
-    "text_token_stats",
-    "text_vocab",
-    "text_winnow_fingerprints",
-    "udaf_grouped_sum",
-    "udf_scalar_disc_price",
-    "udtf_tokenize",
+# Round-13 check window (the last vintage-rotation round, staged at
+# r12 close in ROADMAP.md "Round 13 staging"): the 3-row r12 deferred
+# tail first (ann_ivf_topk / approx_distinct — rows-only by design,
+# hash-gated twins r12-fresh — and multimodal_decode, frozen code with
+# r11/r12-fresh siblings), then all 42 r9-vintage rows (hygiene family
+# leading: it is the round's staged perf item and in-window by vintage
+# alone). The 5 slack slots are provisional r10 padding, displaced
+# first by any source-changed re-greens enumerated at round close.
+# After this round no latest row is older than r10.
+_ROUND13_MUST_CHECK = [
+    "ann_ivf_topk",
+    "approx_distinct",
+    "multimodal_decode",
+    "pipeline_hygiene",
+    "text_repetition_filter",
+    "pipeline_chunked_corpus",
+    "text_decontaminate",
+    "streaming_hygiene_live",
+    "streaming_decontaminate_live",
+    "streaming_enrich_live",
+    "streaming_ingest_pipeline_live",
+    "streaming_session_live",
+    "streaming_sliding_live",
+    "streaming_stateful_totals_live",
+    "ann_ivf_ndcg_gate",
+    "ann_quantized_gate",
+    "corpus_health_report",
+    "curriculum_schedule",
+    "customer_rfm_segments",
+    "dedup_winnow",
+    "embedding_quantize",
+    "events_cohort_retention",
+    "events_hourly_seasonality",
+    "events_outlier_zscore",
+    "events_range_join_bucketed",
+    "events_session_stats",
+    "events_state_intervals",
+    "events_transition_matrix",
+    "events_trend_slope",
+    "fuzzy_match_parts",
+    "multimodal_frame_sample",
+    "part_monthly_demand_features",
+    "q38_disjunctive_predicate",
+    "q39_nation_volume",
+    "q40_window_distribution",
+    "q41_top_supplier",
+    "q42_product_profit",
+    "simjoin_prefix_filter",
+    "table_profile",
+    "table_skew_report",
+    "text_bm25_indexed",
+    "text_chunk",
+    "text_pii_scrub",
+    "text_pmi_pairs",
+    "text_quality_classifier",
+    "q1_pricing_summary",
+    "q47_reorder_streaks",
+    "graph_pagerank",
+    "dedup_incremental",
+    "asof_join_events",
 ]
 
 
@@ -90,7 +90,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND12_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND13_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"
