@@ -181,6 +181,15 @@ def summarize_existing() -> None:
             "scaling_sf10_simjoin_r9_bigmem.json",
             "sf1 -> sf10",
         ),
+        # r13 re-measure of the simjoin second decade (VERDICT r12
+        # item 4): stock-JVM warm exponent for identical code swings
+        # 0.74-0.87 across rounds; the bigmem control's 0.58 shows
+        # the gap is sf10 memory pressure, not candidate growth.
+        (
+            "sf1_to_sf10_simjoin_r13",
+            "scaling_sf10_simjoin_r13.json",
+            "sf1 -> sf10",
+        ),
     ]
     if os.path.exists(SUMMARY):
         with open(SUMMARY) as f:

@@ -82,11 +82,15 @@ def load_all() -> None:
 # codec siblings are all r11/r12-fresh), then ALL 42 r9-vintage rows
 # (the hygiene family leads: it is the round's one staged perf item,
 # and its consumers are in-window by vintage alone). That fills 45 of
-# the 50-row window. The 5 slack slots are provisional r10-vintage
-# padding (headline/expensive rows that benefit from a fresh record);
-# per the re-green rule above, any query whose executed code path
-# changes this round displaces padding first. After this round no
-# latest row is older than r10 — vintage retires as a debt category.
+# the 50-row window. Round-13 re-green enumeration (from the diff):
+# the ONE behavior change is the shared hygiene verdict frame in
+# llmfilters.py, whose five consumers (pipeline_hygiene,
+# text_repetition_filter, pipeline_chunked_corpus, text_decontaminate,
+# corpus_health_report) are ALL already in the window by vintage —
+# zero displacement, so the 5 slack slots stay r10-vintage padding
+# (headline/expensive rows that benefit from a fresh record). After
+# this round no latest row is older than r10 — vintage retires as a
+# debt category.
 CHECK_PRIORITY: list[str] = [
     # --- r13 head: the 3-row r12 deferred tail -----------------------
     "ann_ivf_topk",

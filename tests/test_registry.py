@@ -20,9 +20,11 @@ _DRIVER_BUDGET = 50
 # hash-gated twins r12-fresh — and multimodal_decode, frozen code with
 # r11/r12-fresh siblings), then all 42 r9-vintage rows (hygiene family
 # leading: it is the round's staged perf item and in-window by vintage
-# alone). The 5 slack slots are provisional r10 padding, displaced
-# first by any source-changed re-greens enumerated at round close.
-# After this round no latest row is older than r10.
+# alone). Round-13 re-green enumeration: the one behavior change is
+# the shared hygiene verdict frame, whose five consumers are all
+# in-window by vintage — zero displacement, so the 5 slack slots stay
+# r10-vintage padding. After this round no latest row is older
+# than r10.
 _ROUND13_MUST_CHECK = [
     "ann_ivf_topk",
     "approx_distinct",
