@@ -282,6 +282,13 @@ def main() -> None:
             # actually freed so the isolation is deterministic.
             for rdd in list(sc._jsc.getPersistentRDDs().values()):
                 rdd.unpersist(True)
+            # Python-side GC first: sc.broadcast handles (gram sets,
+            # centroid matrices) are released to the ContextCleaner
+            # only after the py4j reference drops, so collect() here
+            # makes the System.gc() below actually free their blocks.
+            import gc
+
+            gc.collect()
             sc._jvm.System.gc()
         results[name] = out
         print(

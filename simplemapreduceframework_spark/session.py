@@ -57,6 +57,22 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Java 17's G1 can throw a SPURIOUS OutOfMemoryError when an
+        # allocation keeps losing the race against JNI critical
+        # sections (GCLocker starvation, JDK-8192647 lineage): the
+        # default GCLockerRetryAllocationCount=2 gives up after two
+        # retries even for a 5-WORD allocation. Long sessions mixing
+        # Arrow/Parquet native access with a busy heap hit it under
+        # load — the r13 sf10 audit died twice around query ~73 with
+        # "Retried waiting for GCLocker too often allocating 5 words"
+        # immediately before the OOM, on a heap that two r12 audits
+        # had proven sufficient. Raising the retry count is the
+        # documented mitigation (JDK 22 removed the GCLocker
+        # needs-gc path entirely); result- and plan-neutral.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
