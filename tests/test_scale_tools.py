@@ -1393,3 +1393,20 @@ def test_broadcast_dim_fallback_sites_stay_exact(spark, tmp_path):
     assert "ShuffledHashJoin" in explain_str(pinned_clean)
     got_clean = sorted(map(tuple, pinned_clean.collect()))
     assert got_clean == want_clean
+
+
+def test_gclocker_retry_flag_reaches_the_jvm(spark):
+    """Canary for the r13 GCLocker-starvation mitigation: Java 17 G1
+    can throw a spurious OutOfMemoryError when an allocation loses the
+    race against JNI critical sections more than
+    GCLockerRetryAllocationCount (default 2) times — the r13 sf10
+    audits died twice on a proven-sufficient heap, denied a FIVE-WORD
+    allocation, before session.py raised the count to 64. If the flag
+    silently drops out of the session config, long Arrow-heavy
+    sessions regress to random OOMs, so pin it here."""
+    jvm = spark.sparkContext._jvm
+    args = list(
+        jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+        .getInputArguments()
+    )
+    assert any("GCLockerRetryAllocationCount=64" in a for a in args), args
