@@ -190,6 +190,16 @@ def summarize_existing() -> None:
             "scaling_sf10_simjoin_r13.json",
             "sf1 -> sf10",
         ),
+        # r13: decade witness for the NEW shared hygiene verdict
+        # frame (_hygiene_verdicts_shared). exponent_cold covers the
+        # one-per-session frame build (the corpus verdict pass);
+        # exponent (warm) covers consumers reading the persisted
+        # frame — both should stay ~linear.
+        (
+            "sf1_to_sf10_hygiene_r13",
+            "scaling_sf10_hygiene_r13.json",
+            "sf1 -> sf10",
+        ),
     ]
     if os.path.exists(SUMMARY):
         with open(SUMMARY) as f:
