@@ -245,6 +245,52 @@ CACHE_DEPENDENT = {
     "corpus_health_report",
 }
 
+# The five consumers of the shared hygiene verdict frame
+# (_hygiene_verdicts_shared, operators/llmfilters.py) — CACHE_DEPENDENT
+# members, so the whole-set no-growth canary skips them; the
+# family-specific canary below covers them instead.
+HYGIENE_FAMILY = (
+    "text_repetition_filter",
+    "text_decontaminate",
+    "pipeline_hygiene",
+    "pipeline_chunked_corpus",
+    "corpus_health_report",
+)
+
+
+def hygiene_plan_fingerprints(spark, sf_dir: str) -> dict[str, dict[str, int]]:
+    """Plan-regression canary for the shared-hygiene-frame family
+    (r13 ADVICE): joining CACHE_DEPENDENT removed the five consumers
+    from the whole-set no-growth canary, which would let a future plan
+    regression in pipeline_hygiene / text_decontaminate / etc. go
+    undetected. Fingerprint them under a CONTROLLED memo state
+    instead: release the hygiene memo, build the shared frame fresh
+    (its own pre-materialization fingerprint IS the frame's plan —
+    the explode+groupBy token pass plus the n-gram inverted-index
+    join), materialize it, then fingerprint each consumer post-cache.
+    Materializing first matters: corpus_health_report references the
+    frame several times, and an UNmaterialized InMemoryRelation
+    stringifies its whole child plan at every reference (33 shuffles
+    counted where 8 execute). This protocol is deterministic where the
+    ad-hoc test/bench orderings CACHE_DEPENDENT guards against are
+    not; scripts/gen_plan_baseline.py records it in
+    tests/PLAN_BASELINE_HYGIENE.json and tests/test_plans.py pins
+    no-growth."""
+    from simplemapreduceframework_spark import registry
+    from simplemapreduceframework_spark.operators.llmfilters import (
+        _hygiene_verdicts_shared,
+        release_hygiene_cache,
+    )
+
+    registry.load_all()
+    release_hygiene_cache(spark)
+    frame = _hygiene_verdicts_shared(spark, sf_dir)
+    out = {"_hygiene_verdicts_shared": plan_fingerprint(frame)}
+    frame.count()
+    for name in HYGIENE_FAMILY:
+        out[name] = plan_fingerprint(registry.QUERIES[name](spark, sf_dir))
+    return out
+
 
 def ensure_bench_layout(spark, sf_dir: str) -> str:
     """Ingest-time layout optimization (one-off, cached, not timed).

@@ -18,7 +18,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import CACHE_DEPENDENT, HEADLINE, plan_fingerprint
+from bench import (
+    CACHE_DEPENDENT,
+    HEADLINE,
+    hygiene_plan_fingerprints,
+    plan_fingerprint,
+)
 from simplemapreduceframework_spark import get_spark, registry
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -27,6 +32,7 @@ OUT = os.path.join(
     "tests",
     "PLAN_BASELINE.json",
 )
+OUT_HYGIENE = os.path.join(os.path.dirname(OUT), "PLAN_BASELINE_HYGIENE.json")
 
 
 def main() -> None:
@@ -45,6 +51,15 @@ def main() -> None:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"wrote {len(out)} fingerprints to {OUT}")
+    # the hygiene family is CACHE_DEPENDENT (excluded above), but its
+    # controlled-memo-state protocol is deterministic — record the
+    # shared frame's own plan plus each consumer's post-cache plan so
+    # the family keeps a regression canary (r13 ADVICE)
+    hyg = hygiene_plan_fingerprints(spark, SF_DIR)
+    with open(OUT_HYGIENE, "w") as f:
+        json.dump(hyg, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {len(hyg)} fingerprints to {OUT_HYGIENE}")
 
 
 if __name__ == "__main__":

@@ -75,79 +75,76 @@ def load_all() -> None:
 # previous BENCH commit and enumerate EVERY query whose executed code
 # path changed — that enumerated set outranks vintage rotation in this
 # head; comment-only / test-only / docs diffs do not displace rows.
-# Round 13 is the last vintage-rotation round (staged at r12 close,
-# ROADMAP.md "Round 13 staging"): the 3-row r12 tail first
-# (ann_ivf_topk / approx_distinct — rows-only by design, hash-gated
-# twins re-greened r12 — and multimodal_decode, frozen code whose 8
-# codec siblings are all r11/r12-fresh), then ALL 42 r9-vintage rows
-# (the hygiene family leads: it is the round's one staged perf item,
-# and its consumers are in-window by vintage alone). That fills 45 of
-# the 50-row window. Round-13 re-green enumeration (from the diff):
-# the ONE behavior change is the shared hygiene verdict frame in
-# llmfilters.py, whose five consumers (pipeline_hygiene,
-# text_repetition_filter, pipeline_chunked_corpus, text_decontaminate,
-# corpus_health_report) are ALL already in the window by vintage —
-# zero displacement, so the 5 slack slots stay r10-vintage padding
-# (headline/expensive rows that benefit from a fresh record). After
-# this round no latest row is older than r10 — vintage retires as a
-# debt category.
+# Round 14 is the first pure-maintenance round (vintage debt retired
+# at r13 close: no latest row is older than r10). Per ROADMAP.md
+# "Round 14 window staging", with no query-source changes the cheapest
+# way to keep every record fresh is rotating the 44 remaining
+# r10-vintage rows through; the 6 slack slots pad with the oldest
+# (r11-vintage) expensive/headline rows. Round-14 re-green
+# enumeration (from the diff): the round's source changes are
+# session.py (driver JVM options plumbing — result- and plan-neutral
+# infra, byte-identical plan-baseline regen, same disposition as the
+# r13 GCLocker landing) and bench/test/script plan-canary additions
+# (no engine query path touched) — zero query displacement, so the
+# staged rotation stands in full.
 CHECK_PRIORITY: list[str] = [
-    # --- r13 head: the 3-row r12 deferred tail -----------------------
-    "ann_ivf_topk",
-    "approx_distinct",
-    "multimodal_decode",
-    # --- 42 r9-vintage rows: hygiene family (staged perf item) first -
-    "pipeline_hygiene",
-    "text_repetition_filter",
-    "pipeline_chunked_corpus",
-    "text_decontaminate",
-    "streaming_hygiene_live",
-    # --- remaining streaming lives -----------------------------------
-    "streaming_decontaminate_live",
-    "streaming_enrich_live",
-    "streaming_ingest_pipeline_live",
-    "streaming_session_live",
-    "streaming_sliding_live",
-    "streaming_stateful_totals_live",
-    # --- rest of the r9 set ------------------------------------------
-    "ann_ivf_ndcg_gate",
-    "ann_quantized_gate",
-    "corpus_health_report",
-    "curriculum_schedule",
-    "customer_rfm_segments",
-    "dedup_winnow",
-    "embedding_quantize",
-    "events_cohort_retention",
-    "events_hourly_seasonality",
-    "events_outlier_zscore",
-    "events_range_join_bucketed",
-    "events_session_stats",
-    "events_state_intervals",
-    "events_transition_matrix",
-    "events_trend_slope",
-    "fuzzy_match_parts",
-    "multimodal_frame_sample",
-    "part_monthly_demand_features",
-    "q38_disjunctive_predicate",
-    "q39_nation_volume",
-    "q40_window_distribution",
-    "q41_top_supplier",
-    "q42_product_profit",
-    "simjoin_prefix_filter",
-    "table_profile",
-    "table_skew_report",
-    "text_bm25_indexed",
-    "text_chunk",
-    "text_pii_scrub",
-    "text_pmi_pairs",
-    "text_quality_classifier",
-    # --- 5 provisional r10 padding rows (displaced by any
-    # --- source-changed re-greens enumerated at round close) ---------
-    "q1_pricing_summary",
-    "q47_reorder_streaks",
-    "graph_pagerank",
-    "dedup_incremental",
-    "asof_join_events",
+    # --- 44 r10-vintage rows: reference workloads first --------------
+    "wordcount",
+    "wordset",
+    "wordset_regex",
+    "grouped_avg",
+    # --- relational / TPC-H-style rows -------------------------------
+    "q2_filter_project",
+    "q3_top_revenue_orders",
+    "q4_order_priority_semijoin",
+    "q5_region_revenue",
+    "q6_selective_agg",
+    "q7_anti_join",
+    "q8_window_topn_per_group",
+    "q9_running_total",
+    "q10_rollup",
+    "q11_cube",
+    "q12_setops",
+    "q13_distinct_agg",
+    "q14_scalar_gauntlet",
+    "q15_conditional_agg",
+    "q16_having",
+    "q17_multisort_limit",
+    "q18_outer_join",
+    "q19_cross_join",
+    "q20_window_suite",
+    "q21_json_extract",
+    "q22_null_ordering",
+    "q23_pivot",
+    "q24_multiset_ops",
+    "q25_array_agg",
+    "q43_market_share",
+    "q44_order_count_distribution",
+    "q45_small_quantity_revenue",
+    "q46_bulk_widget_suppliers",
+    # --- events / tables ----------------------------------------------
+    "events_tumbling_1h",
+    "table_expectations",
+    # --- dedup / BPE / ANN gates --------------------------------------
+    "dedup_minhash_pr_gate",
+    "dedup_ngram_jaccard",
+    "ann_ivf_indexed_gate",
+    "bpe_learn_merges",
+    "bpe_encode",
+    "bpe_encode_gate",
+    "bpe_first_merge_gate",
+    # --- multimodal real-decoder rows ---------------------------------
+    "multimodal_meta",
+    "multimodal_decode_real",
+    "multimodal_audio_real",
+    # --- 6 padding rows: oldest (r11) expensive/headline rows
+    # --- (displaced by any source-changed re-greens at round close) ---
+    "entity_golden_records",
+    "basket_rules",
+    "graph_triangles",
+    "hybrid_search_rrf",
+    "incremental_mv_refresh",
+    "text_bm25",
 ]
 
 

@@ -23,6 +23,40 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 4
 
 
+# Java 17's G1 can throw a SPURIOUS OutOfMemoryError when an
+# allocation keeps losing the race against JNI critical sections
+# (GCLocker starvation, JDK-8192647 lineage): the default
+# GCLockerRetryAllocationCount=2 gives up after two retries even for
+# a 5-WORD allocation. Long sessions mixing Arrow/Parquet native
+# access with a busy heap hit it under load — the r13 sf10 audit died
+# twice around query ~73 with "Retried waiting for GCLocker too often
+# allocating 5 words" immediately before the OOM, on a heap that two
+# r12 audits had proven sufficient. Raising the retry count is the
+# documented mitigation; result- and plan-neutral.
+#
+# JDK 22 removed the GCLocker needs-gc path (and with it this
+# diagnostic flag), and an unrecognized -XX option aborts JVM startup,
+# so IgnoreUnrecognizedVMOptions leads the group: on JDK >= 22 the
+# obsolete flag is skipped instead of killing every session.
+_GCLOCKER_JAVA_OPTS = (
+    "-XX:+IgnoreUnrecognizedVMOptions"
+    " -XX:+UnlockDiagnosticVMOptions"
+    " -XX:GCLockerRetryAllocationCount=64"
+)
+
+
+def _driver_java_options() -> str:
+    """Driver JVM options: an operator-supplied base (the
+    SPARK_GRAFT_DRIVER_JAVA_OPTS env var, mirroring how
+    SPARK_GRAFT_DRIVER_MEM overrides driver memory) with the GCLocker
+    mitigation appended — setting extraJavaOptions unconditionally
+    would clobber site-specific driver flags."""
+    base = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "").strip()
+    if base:
+        return f"{base} {_GCLOCKER_JAVA_OPTS}"
+    return _GCLOCKER_JAVA_OPTS
+
+
 def get_spark(
     app_name: str = "smrf-spark",
     cpus: int | None = None,
@@ -57,22 +91,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Java 17's G1 can throw a SPURIOUS OutOfMemoryError when an
-        # allocation keeps losing the race against JNI critical
-        # sections (GCLocker starvation, JDK-8192647 lineage): the
-        # default GCLockerRetryAllocationCount=2 gives up after two
-        # retries even for a 5-WORD allocation. Long sessions mixing
-        # Arrow/Parquet native access with a busy heap hit it under
-        # load — the r13 sf10 audit died twice around query ~73 with
-        # "Retried waiting for GCLocker too often allocating 5 words"
-        # immediately before the OOM, on a heap that two r12 audits
-        # had proven sufficient. Raising the retry count is the
-        # documented mitigation (JDK 22 removed the GCLocker
-        # needs-gc path entirely); result- and plan-neutral.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
-        )
+        # GCLocker-starvation mitigation + operator base opts; see
+        # _driver_java_options / _GCLOCKER_JAVA_OPTS above.
+        .config("spark.driver.extraJavaOptions", _driver_java_options())
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

@@ -160,6 +160,38 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
     )
 
 
+def test_hygiene_family_plans_do_not_grow(spark, sf_dir):
+    """The five shared-hygiene-frame consumers are CACHE_DEPENDENT, so
+    the whole-set canary above skips them — this family canary (r13
+    ADVICE) restores their coverage under a CONTROLLED memo state:
+    release the hygiene memo, build the shared frame fresh, fingerprint
+    its plan, materialize, fingerprint each consumer post-cache, and
+    pin no-growth vs tests/PLAN_BASELINE_HYGIENE.json (regenerated by
+    the same scripts/gen_plan_baseline.py run as the main baseline)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import hygiene_plan_fingerprints
+
+    with open(
+        os.path.join(os.path.dirname(__file__), "PLAN_BASELINE_HYGIENE.json")
+    ) as f:
+        baseline = json.load(f)
+    got = hygiene_plan_fingerprints(spark, sf_dir)
+    assert set(got) == set(baseline), (sorted(got), sorted(baseline))
+    grew = {}
+    for name, fp0 in baseline.items():
+        for k in ("shuffles", "broadcasts", "scans"):
+            if got[name][k] > fp0[k]:
+                grew[(name, k)] = {"baseline": fp0[k], "now": got[name][k]}
+    assert not grew, (
+        f"hygiene family plan fingerprints grew: {grew} — if intentional, "
+        "regenerate via scripts/gen_plan_baseline.py"
+    )
+
+
 def test_disjunctive_predicate_pushes_or_to_both_scans(spark, sf_dir):
     """TPC-H Q19 shape: the per-table relaxation of the OR-of-ANDs
     must reach BOTH parquet scans as a pushed Or(...) filter, and the

@@ -14,68 +14,67 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Round-13 check window (the last vintage-rotation round, staged at
-# r12 close in ROADMAP.md "Round 13 staging"): the 3-row r12 deferred
-# tail first (ann_ivf_topk / approx_distinct — rows-only by design,
-# hash-gated twins r12-fresh — and multimodal_decode, frozen code with
-# r11/r12-fresh siblings), then all 42 r9-vintage rows (hygiene family
-# leading: it is the round's staged perf item and in-window by vintage
-# alone). Round-13 re-green enumeration: the one behavior change is
-# the shared hygiene verdict frame, whose five consumers are all
-# in-window by vintage — zero displacement, so the 5 slack slots stay
-# r10-vintage padding. After this round no latest row is older
-# than r10.
-_ROUND13_MUST_CHECK = [
-    "ann_ivf_topk",
-    "approx_distinct",
-    "multimodal_decode",
-    "pipeline_hygiene",
-    "text_repetition_filter",
-    "pipeline_chunked_corpus",
-    "text_decontaminate",
-    "streaming_hygiene_live",
-    "streaming_decontaminate_live",
-    "streaming_enrich_live",
-    "streaming_ingest_pipeline_live",
-    "streaming_session_live",
-    "streaming_sliding_live",
-    "streaming_stateful_totals_live",
-    "ann_ivf_ndcg_gate",
-    "ann_quantized_gate",
-    "corpus_health_report",
-    "curriculum_schedule",
-    "customer_rfm_segments",
-    "dedup_winnow",
-    "embedding_quantize",
-    "events_cohort_retention",
-    "events_hourly_seasonality",
-    "events_outlier_zscore",
-    "events_range_join_bucketed",
-    "events_session_stats",
-    "events_state_intervals",
-    "events_transition_matrix",
-    "events_trend_slope",
-    "fuzzy_match_parts",
-    "multimodal_frame_sample",
-    "part_monthly_demand_features",
-    "q38_disjunctive_predicate",
-    "q39_nation_volume",
-    "q40_window_distribution",
-    "q41_top_supplier",
-    "q42_product_profit",
-    "simjoin_prefix_filter",
-    "table_profile",
-    "table_skew_report",
-    "text_bm25_indexed",
-    "text_chunk",
-    "text_pii_scrub",
-    "text_pmi_pairs",
-    "text_quality_classifier",
-    "q1_pricing_summary",
-    "q47_reorder_streaks",
-    "graph_pagerank",
-    "dedup_incremental",
-    "asof_join_events",
+# Round-14 check window (the first pure-maintenance round; staged at
+# r13 close in ROADMAP.md "Round 14 window staging"): the 44 remaining
+# r10-vintage rows — reference workloads, the TPC-H-style relational
+# block, the dedup/BPE/ANN gates, the multimodal real-decoder rows —
+# plus 6 padding slots filled with the oldest (r11-vintage)
+# expensive/headline rows. Round-14 re-green enumeration: the round's
+# source changes are session.py JVM-options plumbing (result- and
+# plan-neutral infra, byte-identical plan-baseline regen) and the
+# hygiene plan-canary additions in bench/scripts/tests (no engine
+# query path touched) — zero displacement, the staged rotation stands.
+_ROUND14_MUST_CHECK = [
+    "wordcount",
+    "wordset",
+    "wordset_regex",
+    "grouped_avg",
+    "q2_filter_project",
+    "q3_top_revenue_orders",
+    "q4_order_priority_semijoin",
+    "q5_region_revenue",
+    "q6_selective_agg",
+    "q7_anti_join",
+    "q8_window_topn_per_group",
+    "q9_running_total",
+    "q10_rollup",
+    "q11_cube",
+    "q12_setops",
+    "q13_distinct_agg",
+    "q14_scalar_gauntlet",
+    "q15_conditional_agg",
+    "q16_having",
+    "q17_multisort_limit",
+    "q18_outer_join",
+    "q19_cross_join",
+    "q20_window_suite",
+    "q21_json_extract",
+    "q22_null_ordering",
+    "q23_pivot",
+    "q24_multiset_ops",
+    "q25_array_agg",
+    "q43_market_share",
+    "q44_order_count_distribution",
+    "q45_small_quantity_revenue",
+    "q46_bulk_widget_suppliers",
+    "events_tumbling_1h",
+    "table_expectations",
+    "dedup_minhash_pr_gate",
+    "dedup_ngram_jaccard",
+    "ann_ivf_indexed_gate",
+    "bpe_learn_merges",
+    "bpe_encode",
+    "bpe_encode_gate",
+    "bpe_first_merge_gate",
+    "multimodal_meta",
+    "multimodal_decode_real",
+    "multimodal_audio_real",
+    "entity_golden_records",
+    "basket_rules",
+    "graph_triangles",
+    "hybrid_search_rrf",
+    "incremental_mv_refresh",
+    "text_bm25",
 ]
 
 
@@ -92,7 +91,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND13_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND14_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"

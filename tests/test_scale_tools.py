@@ -1403,10 +1403,36 @@ def test_gclocker_retry_flag_reaches_the_jvm(spark):
     audits died twice on a proven-sufficient heap, denied a FIVE-WORD
     allocation, before session.py raised the count to 64. If the flag
     silently drops out of the session config, long Arrow-heavy
-    sessions regress to random OOMs, so pin it here."""
+    sessions regress to random OOMs, so pin it here. JDK 22 removed
+    the diagnostic flag, so IgnoreUnrecognizedVMOptions must reach the
+    JVM alongside it (an unrecognized -XX option otherwise aborts
+    startup after a Java upgrade) — pin both."""
     jvm = spark.sparkContext._jvm
     args = list(
         jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
         .getInputArguments()
     )
     assert any("GCLockerRetryAllocationCount=64" in a for a in args), args
+    assert any("+IgnoreUnrecognizedVMOptions" in a for a in args), args
+
+
+def test_driver_java_options_env_base(monkeypatch):
+    """The operator-supplied SPARK_GRAFT_DRIVER_JAVA_OPTS base must be
+    preserved (not clobbered) ahead of the GCLocker mitigation, and an
+    unset/blank env must yield exactly the mitigation flags with
+    IgnoreUnrecognizedVMOptions leading (so a JDK >= 22 JVM skips the
+    removed diagnostic flag instead of refusing to start)."""
+    from simplemapreduceframework_spark.session import _driver_java_options
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", raising=False)
+    bare = _driver_java_options()
+    assert bare.startswith("-XX:+IgnoreUnrecognizedVMOptions")
+    assert "GCLockerRetryAllocationCount=64" in bare
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Duser.flag=1")
+    merged = _driver_java_options()
+    assert merged.startswith("-Duser.flag=1 ")
+    assert merged.endswith(bare)
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", "   ")
+    assert _driver_java_options() == bare
