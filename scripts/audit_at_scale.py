@@ -190,6 +190,17 @@ def summarize_existing() -> None:
             "scaling_sf10_simjoin_r13.json",
             "sf1 -> sf10",
         ),
+        # r14 repeat of the simjoin second decade: the full-set r14
+        # decade run drew warm 0.95 (above the r13 0.74-0.87 band);
+        # the immediate single-query repeat drew 0.80 (inside it) —
+        # consistent with the r13 diagnosis that the stock number is
+        # session-to-session sf10 memory pressure, not candidate
+        # growth (bigmem control 0.58).
+        (
+            "sf1_to_sf10_simjoin_r14",
+            "scaling_sf10_simjoin_r14.json",
+            "sf1 -> sf10",
+        ),
         # r13: decade witness for the NEW shared hygiene verdict
         # frame (_hygiene_verdicts_shared). exponent_cold covers the
         # one-per-session frame build (the corpus verdict pass);
