@@ -245,49 +245,134 @@ CACHE_DEPENDENT = {
     "corpus_health_report",
 }
 
-# The five consumers of the shared hygiene verdict frame
-# (_hygiene_verdicts_shared, operators/llmfilters.py) — CACHE_DEPENDENT
-# members, so the whole-set no-growth canary skips them; the
-# family-specific canary below covers them instead.
-HYGIENE_FAMILY = (
-    "text_repetition_filter",
-    "text_decontaminate",
-    "pipeline_hygiene",
-    "pipeline_chunked_corpus",
-    "corpus_health_report",
+# Every CACHE_DEPENDENT query assigned to exactly ONE memo family for
+# the controlled-memo-state plan canary (r14 ADVICE generalized the
+# r13 hygiene-only canary): "frames" names the session-shared persisted
+# builders ((module, function), each (spark, sf_dir) -> DataFrame) to
+# build+materialize IN ORDER before fingerprinting the family's
+# consumers, reproducing the warm serving state the bench measures.
+# Families whose consumers persist only internal per-query frames
+# (built at plan-construction time, deterministic under a clean slate)
+# list no shared builders.
+MEMO_FAMILIES: dict[str, dict] = {
+    # _hygiene_verdicts_shared (operators/llmfilters.py): the one
+    # persisted corpus-verdict pass behind the hygiene tier.
+    "hygiene": {
+        "frames": [("operators.llmfilters", "_hygiene_verdicts_shared")],
+        "consumers": (
+            "text_repetition_filter",
+            "text_decontaminate",
+            "pipeline_hygiene",
+            "pipeline_chunked_corpus",
+            "corpus_health_report",
+        ),
+    },
+    # _bm25_pivot_shared (operators/retrieval.py): the one persisted
+    # corpus pivot behind the BM25 tier; hybrid_search_rrf's lexical
+    # leg serves from it too (its dense leg builds with_norm inline,
+    # deterministic under the clean slate).
+    "bm25": {
+        "frames": [("operators.retrieval", "_bm25_pivot_shared")],
+        "consumers": ("text_bm25", "retrieval_eval_bm25", "hybrid_search_rrf"),
+    },
+    # The basket tier's three persisted intermediates (operators/
+    # graph.py), in dependency order: per-order part arrays, item
+    # supports, co-purchase pair counts. graph_triangles additionally
+    # memoizes its oriented-edge frame inside its own construction.
+    "basket": {
+        "frames": [
+            ("operators.graph", "_baskets"),
+            ("operators.graph", "_item_supports"),
+            ("operators.graph", "_pair_counts"),
+        ],
+        "consumers": ("basket_part_pairs", "basket_rules", "graph_triangles"),
+    },
+    # _shingles (operators/dedup.py): the persisted (doc_id, shingle)
+    # index every near-dup path reads. The pair-list memos
+    # (minhash_pairs, ngram_jaccard_pairs, simjoin_docarr) build during
+    # their consumers' plan construction — deterministic because the
+    # consumer ORDER below is fixed and the slate starts clean.
+    "shingle": {
+        "frames": [("operators.dedup", "_shingles")],
+        "consumers": (
+            "dedup_ngram_jaccard",
+            "dedup_minhash_lsh",
+            "dedup_minhash_pr_gate",
+            "simjoin_prefix_filter",
+        ),
+    },
+    # _ivf_scored (operators/similarity.py): the persisted IVF
+    # candidate/score frame (with_norm embeddings + trained centroids),
+    # i.e. the warm persisted-index serving state.
+    "ivf": {
+        "frames": [("operators.similarity", "_ivf_scored")],
+        "consumers": ("ann_cosine_topk", "ann_lsh_bucketed"),
+    },
+    # Queries whose persisted frames are private to their own plan
+    # (funnel stage frames, the expectations report's shared lineitem
+    # aggregate, q47's successor temp view): nothing to pre-build —
+    # the clean slate alone makes their fingerprints deterministic.
+    "selfcontained": {
+        "frames": [],
+        "consumers": ("events_funnel", "table_expectations", "q47_reorder_streaks"),
+    },
+}
+
+# The family partition must cover CACHE_DEPENDENT exactly (r14 ADVICE:
+# a consumer added to CACHE_DEPENDENT alone would silently lose plan
+# coverage; one added to a family alone would record an unstable
+# fingerprint in the MAIN baseline). Disjointness keeps each query's
+# canary state unambiguous.
+_FAMILY_CONSUMERS = [n for f in MEMO_FAMILIES.values() for n in f["consumers"]]
+assert set(_FAMILY_CONSUMERS) == CACHE_DEPENDENT, (
+    sorted(set(_FAMILY_CONSUMERS) ^ CACHE_DEPENDENT)
 )
+assert len(_FAMILY_CONSUMERS) == len(CACHE_DEPENDENT), sorted(_FAMILY_CONSUMERS)
 
 
-def hygiene_plan_fingerprints(spark, sf_dir: str) -> dict[str, dict[str, int]]:
-    """Plan-regression canary for the shared-hygiene-frame family
-    (r13 ADVICE): joining CACHE_DEPENDENT removed the five consumers
-    from the whole-set no-growth canary, which would let a future plan
-    regression in pipeline_hygiene / text_decontaminate / etc. go
-    undetected. Fingerprint them under a CONTROLLED memo state
-    instead: release the hygiene memo, build the shared frame fresh
-    (its own pre-materialization fingerprint IS the frame's plan —
-    the explode+groupBy token pass plus the n-gram inverted-index
-    join), materialize it, then fingerprint each consumer post-cache.
-    Materializing first matters: corpus_health_report references the
-    frame several times, and an UNmaterialized InMemoryRelation
-    stringifies its whole child plan at every reference (33 shuffles
-    counted where 8 execute). This protocol is deterministic where the
-    ad-hoc test/bench orderings CACHE_DEPENDENT guards against are
-    not; scripts/gen_plan_baseline.py records it in
-    tests/PLAN_BASELINE_HYGIENE.json and tests/test_plans.py pins
-    no-growth."""
+def family_plan_fingerprints(spark, sf_dir: str, family: str) -> dict[str, dict[str, int]]:
+    """Plan-regression canary for one shared-memo family (r13 ADVICE
+    built the hygiene instance; r14 ADVICE generalized it): the
+    CACHE_DEPENDENT queries are excluded from the whole-set no-growth
+    canary because CacheManager substitutes whichever session-shared
+    fragment materialized first into their plans, so their ad-hoc
+    fingerprints are order-dependent. Fingerprint them under a
+    CONTROLLED memo state instead:
+
+    1. clean slate — drop EVERY session memo entry and unpersist every
+       cached fragment, so no other family's persisted frame can be
+       substituted into these plans (this also closes the r14 ADVICE
+       flake risk: previously only the family's own memo was released,
+       leaving e.g. a persisted BM25 pivot free to leak into hygiene
+       fingerprints under unlucky test orderings);
+    2. build each shared frame in dependency order, fingerprinting it
+       pre-materialization (that IS the frame's own plan), then
+       materialize it — an UNmaterialized InMemoryRelation stringifies
+       its whole child plan at every reference (corpus_health_report
+       counted 33 phantom shuffles where 8 execute);
+    3. fingerprint each consumer post-cache, in fixed order (consumers
+       that memoize further private frames during construction stay
+       deterministic because the slate and the order are fixed).
+
+    scripts/gen_plan_baseline.py records every family in
+    tests/PLAN_BASELINE_FAMILIES.json; tests/test_plans.py pins
+    no-growth per family."""
+    from importlib import import_module
+
     from simplemapreduceframework_spark import registry
-    from simplemapreduceframework_spark.operators.llmfilters import (
-        _hygiene_verdicts_shared,
-        release_hygiene_cache,
-    )
+    from simplemapreduceframework_spark.session_memo import session_memo
 
+    spec = MEMO_FAMILIES[family]
     registry.load_all()
-    release_hygiene_cache(spark)
-    frame = _hygiene_verdicts_shared(spark, sf_dir)
-    out = {"_hygiene_verdicts_shared": plan_fingerprint(frame)}
-    frame.count()
-    for name in HYGIENE_FAMILY:
+    session_memo(spark).clear()
+    spark.catalog.clearCache()
+    out: dict[str, dict[str, int]] = {}
+    for mod_name, fn_name in spec["frames"]:
+        mod = import_module(f"simplemapreduceframework_spark.{mod_name}")
+        frame = getattr(mod, fn_name)(spark, sf_dir)
+        out[fn_name] = plan_fingerprint(frame)
+        frame.count()
+    for name in spec["consumers"]:
         out[name] = plan_fingerprint(registry.QUERIES[name](spark, sf_dir))
     return out
 

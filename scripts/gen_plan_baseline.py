@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import (
     CACHE_DEPENDENT,
     HEADLINE,
-    hygiene_plan_fingerprints,
+    MEMO_FAMILIES,
+    family_plan_fingerprints,
     plan_fingerprint,
 )
 from simplemapreduceframework_spark import get_spark, registry
@@ -32,7 +33,7 @@ OUT = os.path.join(
     "tests",
     "PLAN_BASELINE.json",
 )
-OUT_HYGIENE = os.path.join(os.path.dirname(OUT), "PLAN_BASELINE_HYGIENE.json")
+OUT_FAMILIES = os.path.join(os.path.dirname(OUT), "PLAN_BASELINE_FAMILIES.json")
 
 
 def main() -> None:
@@ -51,15 +52,20 @@ def main() -> None:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"wrote {len(out)} fingerprints to {OUT}")
-    # the hygiene family is CACHE_DEPENDENT (excluded above), but its
-    # controlled-memo-state protocol is deterministic — record the
-    # shared frame's own plan plus each consumer's post-cache plan so
-    # the family keeps a regression canary (r13 ADVICE)
-    hyg = hygiene_plan_fingerprints(spark, SF_DIR)
-    with open(OUT_HYGIENE, "w") as f:
-        json.dump(hyg, f, indent=1, sort_keys=True)
+    # the CACHE_DEPENDENT queries are excluded above, but each memo
+    # family's controlled-memo-state protocol is deterministic — record
+    # every shared frame's own plan plus each consumer's post-cache
+    # plan so the whole cache-dependent set keeps a regression canary
+    # (r13 ADVICE built the hygiene instance; r14 ADVICE generalized)
+    fams = {
+        family: family_plan_fingerprints(spark, SF_DIR, family)
+        for family in sorted(MEMO_FAMILIES)
+    }
+    with open(OUT_FAMILIES, "w") as f:
+        json.dump(fams, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"wrote {len(hyg)} fingerprints to {OUT_HYGIENE}")
+    n = sum(len(v) for v in fams.values())
+    print(f"wrote {n} fingerprints ({len(fams)} families) to {OUT_FAMILIES}")
 
 
 if __name__ == "__main__":

@@ -75,76 +75,80 @@ def load_all() -> None:
 # previous BENCH commit and enumerate EVERY query whose executed code
 # path changed — that enumerated set outranks vintage rotation in this
 # head; comment-only / test-only / docs diffs do not displace rows.
-# Round 14 is the first pure-maintenance round (vintage debt retired
-# at r13 close: no latest row is older than r10). Per ROADMAP.md
-# "Round 14 window staging", with no query-source changes the cheapest
-# way to keep every record fresh is rotating the 44 remaining
-# r10-vintage rows through; the 6 slack slots pad with the oldest
-# (r11-vintage) expensive/headline rows. Round-14 re-green
+# Round 15 continues pure maintenance. Per ROADMAP.md "Round 15
+# window staging", the oldest records are the 44 remaining r11-vintage
+# rows (the 50 r11 rows minus the 6 padded through r14), so rotate
+# them; the 6 slack slots pad with the oldest (r12-vintage)
+# expensive/headline rows (the dedup/pipeline tier). Round-15 re-green
 # enumeration (from the diff): the round's source changes are
-# session.py (driver JVM options plumbing — result- and plan-neutral
-# infra, byte-identical plan-baseline regen, same disposition as the
-# r13 GCLocker landing) and bench/test/script plan-canary additions
-# (no engine query path touched) — zero query displacement, so the
-# staged rotation stands in full.
+# session.py (_driver_java_options override semantics — a site base
+# pinning GCLockerRetryAllocationCount now wins outright; result- and
+# plan-neutral infra, byte-identical plan-baseline regen) and the
+# bench/scripts/tests plan-canary generalization (MEMO_FAMILIES,
+# family_plan_fingerprints — no engine query path touched) — zero
+# query displacement, so the staged rotation stands in full.
 CHECK_PRIORITY: list[str] = [
-    # --- 44 r10-vintage rows: reference workloads first --------------
-    "wordcount",
-    "wordset",
-    "wordset_regex",
-    "grouped_avg",
-    # --- relational / TPC-H-style rows -------------------------------
-    "q2_filter_project",
-    "q3_top_revenue_orders",
-    "q4_order_priority_semijoin",
-    "q5_region_revenue",
-    "q6_selective_agg",
-    "q7_anti_join",
-    "q8_window_topn_per_group",
-    "q9_running_total",
-    "q10_rollup",
-    "q11_cube",
-    "q12_setops",
-    "q13_distinct_agg",
-    "q14_scalar_gauntlet",
-    "q15_conditional_agg",
-    "q16_having",
-    "q17_multisort_limit",
-    "q18_outer_join",
-    "q19_cross_join",
-    "q20_window_suite",
-    "q21_json_extract",
-    "q22_null_ordering",
-    "q23_pivot",
-    "q24_multiset_ops",
-    "q25_array_agg",
-    "q43_market_share",
-    "q44_order_count_distribution",
-    "q45_small_quantity_revenue",
-    "q46_bulk_widget_suppliers",
-    # --- events / tables ----------------------------------------------
-    "events_tumbling_1h",
-    "table_expectations",
-    # --- dedup / BPE / ANN gates --------------------------------------
-    "dedup_minhash_pr_gate",
-    "dedup_ngram_jaccard",
-    "ann_ivf_indexed_gate",
-    "bpe_learn_merges",
-    "bpe_encode",
-    "bpe_encode_gate",
-    "bpe_first_merge_gate",
-    # --- multimodal real-decoder rows ---------------------------------
-    "multimodal_meta",
-    "multimodal_decode_real",
-    "multimodal_audio_real",
-    # --- 6 padding rows: oldest (r11) expensive/headline rows
+    # --- 44 r11-vintage rows: relational / SQL-API block first -------
+    "q26_sql_api",
+    "q27_promo_revenue",
+    "q28_hierarchical_rollup",
+    "q29_large_orders",
+    "q35_grouping_sets",
+    "q36_lateral_topn",
+    "q37_range_frame_window",
+    # --- events / time-series tier ------------------------------------
+    "events_attribution",
+    "events_capped_contributions",
+    "events_dedup",
+    "events_funnel",
+    "events_outlier_mad",
+    "events_resample_ffill",
+    "experiment_readout",
+    # --- stats / sampling / percentiles --------------------------------
+    "approx_percentiles_gate",
+    "exact_percentiles",
+    "stats_exact_moments",
+    "sample_weighted_bottomk",
+    # --- dedup / similarity / retrieval tier ---------------------------
+    "ann_cosine_topk",
+    "basket_part_pairs",
+    "corpus_snapshot_diff",
+    "dedup_canonical",
+    "dedup_exact",
+    "dedup_substring",
+    "doc_similarity_sparse",
+    "embedding_pca_gate",
+    "retrieval_eval_bm25",
+    "text_bm25_batch",
+    # --- graph / training-data tier ------------------------------------
+    "graph_pagerank_dangling",
+    "split_leakage_safe",
+    "train_negative_sampling",
+    # --- privacy triad --------------------------------------------------
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    # --- text / tokenizer tier ------------------------------------------
+    "text_normalize_unicode",
+    "tokenizer_fertility",
+    # --- multimodal codec rows ------------------------------------------
+    "multimodal_audio_adpcm",
+    "multimodal_audio_flac",
+    "multimodal_decode_color",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    # --- streaming twins -------------------------------------------------
+    "streaming_capped_contrib_live",
+    "streaming_mv_refresh_live",
+    "streaming_normalize_live",
+    # --- 6 padding rows: oldest (r12) expensive/headline rows
     # --- (displaced by any source-changed re-greens at round close) ---
-    "entity_golden_records",
-    "basket_rules",
-    "graph_triangles",
-    "hybrid_search_rrf",
-    "incremental_mv_refresh",
-    "text_bm25",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_lsh_bucketed",
+    "pipeline_clean_corpus",
+    "pipeline_prepare_training_data",
 ]
 
 

@@ -50,11 +50,19 @@ def _driver_java_options() -> str:
     SPARK_GRAFT_DRIVER_JAVA_OPTS env var, mirroring how
     SPARK_GRAFT_DRIVER_MEM overrides driver memory) with the GCLocker
     mitigation appended — setting extraJavaOptions unconditionally
-    would clobber site-specific driver flags."""
+    would clobber site-specific driver flags.
+
+    A base that already pins GCLockerRetryAllocationCount wins
+    outright (r14 ADVICE: appending the repo's =64 after it would
+    silently override the site value, JVM last-occurrence semantics) —
+    in that case the base must carry its own Unlock/Ignore guards,
+    since UnlockDiagnosticVMOptions only unlocks flags that follow it."""
     base = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "").strip()
-    if base:
-        return f"{base} {_GCLOCKER_JAVA_OPTS}"
-    return _GCLOCKER_JAVA_OPTS
+    if not base:
+        return _GCLOCKER_JAVA_OPTS
+    if "GCLockerRetryAllocationCount" in base:
+        return base
+    return f"{base} {_GCLOCKER_JAVA_OPTS}"
 
 
 def get_spark(

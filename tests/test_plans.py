@@ -5,6 +5,8 @@ this is Catalyst's job — these tests pin that it actually happens)."""
 
 from __future__ import annotations
 
+import pytest
+
 from simplemapreduceframework_spark import registry
 from simplemapreduceframework_spark.plans import (
     explain_str,
@@ -160,26 +162,42 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
     )
 
 
-def test_hygiene_family_plans_do_not_grow(spark, sf_dir):
-    """The five shared-hygiene-frame consumers are CACHE_DEPENDENT, so
-    the whole-set canary above skips them — this family canary (r13
-    ADVICE) restores their coverage under a CONTROLLED memo state:
-    release the hygiene memo, build the shared frame fresh, fingerprint
-    its plan, materialize, fingerprint each consumer post-cache, and
-    pin no-growth vs tests/PLAN_BASELINE_HYGIENE.json (regenerated by
-    the same scripts/gen_plan_baseline.py run as the main baseline)."""
+def _memo_family_names():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import MEMO_FAMILIES
+
+    return sorted(MEMO_FAMILIES)
+
+
+@pytest.mark.parametrize("family", _memo_family_names())
+def test_memo_family_plans_do_not_grow(spark, sf_dir, family):
+    """Every CACHE_DEPENDENT query is skipped by the whole-set canary
+    above, so each memo family gets its own canary under a CONTROLLED
+    memo state (r13 ADVICE built the hygiene instance; r14 ADVICE
+    generalized it to all six families): clean the whole session slate
+    (memo + CacheManager — so no OTHER family's persisted fragment can
+    leak into these plans under unlucky test orderings), build the
+    family's shared frames in order, fingerprint each pre-
+    materialization, materialize, fingerprint each consumer post-cache,
+    and pin no-growth vs tests/PLAN_BASELINE_FAMILIES.json (regenerated
+    by the same scripts/gen_plan_baseline.py run as the main baseline).
+    The family partition itself is asserted == CACHE_DEPENDENT at
+    bench.py import time."""
     import json
     import os
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import hygiene_plan_fingerprints
+    from bench import family_plan_fingerprints
 
     with open(
-        os.path.join(os.path.dirname(__file__), "PLAN_BASELINE_HYGIENE.json")
+        os.path.join(os.path.dirname(__file__), "PLAN_BASELINE_FAMILIES.json")
     ) as f:
-        baseline = json.load(f)
-    got = hygiene_plan_fingerprints(spark, sf_dir)
+        baseline = json.load(f)[family]
+    got = family_plan_fingerprints(spark, sf_dir, family)
     assert set(got) == set(baseline), (sorted(got), sorted(baseline))
     grew = {}
     for name, fp0 in baseline.items():
@@ -187,7 +205,7 @@ def test_hygiene_family_plans_do_not_grow(spark, sf_dir):
             if got[name][k] > fp0[k]:
                 grew[(name, k)] = {"baseline": fp0[k], "now": got[name][k]}
     assert not grew, (
-        f"hygiene family plan fingerprints grew: {grew} — if intentional, "
+        f"{family} family plan fingerprints grew: {grew} — if intentional, "
         "regenerate via scripts/gen_plan_baseline.py"
     )
 

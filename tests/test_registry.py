@@ -14,67 +14,70 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Round-14 check window (the first pure-maintenance round; staged at
-# r13 close in ROADMAP.md "Round 14 window staging"): the 44 remaining
-# r10-vintage rows — reference workloads, the TPC-H-style relational
-# block, the dedup/BPE/ANN gates, the multimodal real-decoder rows —
-# plus 6 padding slots filled with the oldest (r11-vintage)
-# expensive/headline rows. Round-14 re-green enumeration: the round's
-# source changes are session.py JVM-options plumbing (result- and
-# plan-neutral infra, byte-identical plan-baseline regen) and the
-# hygiene plan-canary additions in bench/scripts/tests (no engine
-# query path touched) — zero displacement, the staged rotation stands.
-_ROUND14_MUST_CHECK = [
-    "wordcount",
-    "wordset",
-    "wordset_regex",
-    "grouped_avg",
-    "q2_filter_project",
-    "q3_top_revenue_orders",
-    "q4_order_priority_semijoin",
-    "q5_region_revenue",
-    "q6_selective_agg",
-    "q7_anti_join",
-    "q8_window_topn_per_group",
-    "q9_running_total",
-    "q10_rollup",
-    "q11_cube",
-    "q12_setops",
-    "q13_distinct_agg",
-    "q14_scalar_gauntlet",
-    "q15_conditional_agg",
-    "q16_having",
-    "q17_multisort_limit",
-    "q18_outer_join",
-    "q19_cross_join",
-    "q20_window_suite",
-    "q21_json_extract",
-    "q22_null_ordering",
-    "q23_pivot",
-    "q24_multiset_ops",
-    "q25_array_agg",
-    "q43_market_share",
-    "q44_order_count_distribution",
-    "q45_small_quantity_revenue",
-    "q46_bulk_widget_suppliers",
-    "events_tumbling_1h",
-    "table_expectations",
-    "dedup_minhash_pr_gate",
-    "dedup_ngram_jaccard",
-    "ann_ivf_indexed_gate",
-    "bpe_learn_merges",
-    "bpe_encode",
-    "bpe_encode_gate",
-    "bpe_first_merge_gate",
-    "multimodal_meta",
-    "multimodal_decode_real",
-    "multimodal_audio_real",
-    "entity_golden_records",
-    "basket_rules",
-    "graph_triangles",
-    "hybrid_search_rrf",
-    "incremental_mv_refresh",
-    "text_bm25",
+# Round-15 check window (pure maintenance continues; staged at r14
+# close in ROADMAP.md "Round 15 window staging"): the 44 remaining
+# r11-vintage rows — the SQL-API relational block, the events/
+# time-series tier, stats gates, the dedup/similarity/retrieval tier,
+# graph/training-data, the privacy triad, text/tokenizer, the
+# multimodal codec rows, and the streaming twins — plus 6 padding
+# slots filled with the oldest (r12-vintage) expensive/headline
+# dedup/pipeline rows. Round-15 re-green enumeration: the round's
+# source changes are session.py _driver_java_options override
+# semantics (result- and plan-neutral infra, byte-identical
+# plan-baseline regen) and the plan-canary generalization in
+# bench/scripts/tests (no engine query path touched) — zero
+# displacement, the staged rotation stands.
+_ROUND15_MUST_CHECK = [
+    "q26_sql_api",
+    "q27_promo_revenue",
+    "q28_hierarchical_rollup",
+    "q29_large_orders",
+    "q35_grouping_sets",
+    "q36_lateral_topn",
+    "q37_range_frame_window",
+    "events_attribution",
+    "events_capped_contributions",
+    "events_dedup",
+    "events_funnel",
+    "events_outlier_mad",
+    "events_resample_ffill",
+    "experiment_readout",
+    "approx_percentiles_gate",
+    "exact_percentiles",
+    "stats_exact_moments",
+    "sample_weighted_bottomk",
+    "ann_cosine_topk",
+    "basket_part_pairs",
+    "corpus_snapshot_diff",
+    "dedup_canonical",
+    "dedup_exact",
+    "dedup_substring",
+    "doc_similarity_sparse",
+    "embedding_pca_gate",
+    "retrieval_eval_bm25",
+    "text_bm25_batch",
+    "graph_pagerank_dangling",
+    "split_leakage_safe",
+    "train_negative_sampling",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "text_normalize_unicode",
+    "tokenizer_fertility",
+    "multimodal_audio_adpcm",
+    "multimodal_audio_flac",
+    "multimodal_decode_color",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "streaming_capped_contrib_live",
+    "streaming_mv_refresh_live",
+    "streaming_normalize_live",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_lsh_bucketed",
+    "pipeline_clean_corpus",
+    "pipeline_prepare_training_data",
 ]
 
 
@@ -91,7 +94,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND14_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND15_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"

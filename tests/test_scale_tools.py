@@ -1436,3 +1436,14 @@ def test_driver_java_options_env_base(monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", "   ")
     assert _driver_java_options() == bare
+
+    # A base that pins its own GCLockerRetryAllocationCount wins
+    # outright (r15, closing r14 ADVICE): the repo must not append a
+    # second =64 that would override the site value via JVM
+    # last-occurrence semantics. Such a base owns its guard flags too.
+    site = (
+        "-XX:+IgnoreUnrecognizedVMOptions -XX:+UnlockDiagnosticVMOptions"
+        " -XX:GCLockerRetryAllocationCount=128"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", site)
+    assert _driver_java_options() == site
