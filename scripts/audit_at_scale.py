@@ -201,6 +201,16 @@ def summarize_existing() -> None:
             "scaling_sf10_simjoin_r14.json",
             "sf1 -> sf10",
         ),
+        # r15 repeat of the simjoin second decade: the full-set r15
+        # decade run drew warm 0.93; the immediate single-query
+        # repeat drew 0.72 (below the r13 0.74-0.87 band's floor) —
+        # the same-code spread 0.72-0.93 again matches the
+        # memory-pressure diagnosis (bigmem control 0.58).
+        (
+            "sf1_to_sf10_simjoin_r15",
+            "scaling_sf10_simjoin_r15.json",
+            "sf1 -> sf10",
+        ),
         # r13: decade witness for the NEW shared hygiene verdict
         # frame (_hygiene_verdicts_shared). exponent_cold covers the
         # one-per-session frame build (the corpus verdict pass);
