@@ -322,12 +322,20 @@ MEMO_FAMILIES: dict[str, dict] = {
 # a consumer added to CACHE_DEPENDENT alone would silently lose plan
 # coverage; one added to a family alone would record an unstable
 # fingerprint in the MAIN baseline). Disjointness keeps each query's
-# canary state unambiguous.
+# canary state unambiguous. Explicit raises, not asserts (r15 ADVICE:
+# `python -O` strips asserts, silently voiding the invariant); also
+# duplicated as a unit test in tests/test_plans.py.
 _FAMILY_CONSUMERS = [n for f in MEMO_FAMILIES.values() for n in f["consumers"]]
-assert set(_FAMILY_CONSUMERS) == CACHE_DEPENDENT, (
-    sorted(set(_FAMILY_CONSUMERS) ^ CACHE_DEPENDENT)
-)
-assert len(_FAMILY_CONSUMERS) == len(CACHE_DEPENDENT), sorted(_FAMILY_CONSUMERS)
+if set(_FAMILY_CONSUMERS) != CACHE_DEPENDENT:
+    raise RuntimeError(
+        "bench.MEMO_FAMILIES must partition CACHE_DEPENDENT exactly; "
+        f"symmetric difference: {sorted(set(_FAMILY_CONSUMERS) ^ CACHE_DEPENDENT)}"
+    )
+if len(_FAMILY_CONSUMERS) != len(set(_FAMILY_CONSUMERS)):
+    raise RuntimeError(
+        "bench.MEMO_FAMILIES consumers overlap across families: "
+        f"{sorted(n for n in set(_FAMILY_CONSUMERS) if _FAMILY_CONSUMERS.count(n) > 1)}"
+    )
 
 
 def family_plan_fingerprints(spark, sf_dir: str, family: str) -> dict[str, dict[str, int]]:

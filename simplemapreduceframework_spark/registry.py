@@ -75,80 +75,82 @@ def load_all() -> None:
 # previous BENCH commit and enumerate EVERY query whose executed code
 # path changed — that enumerated set outranks vintage rotation in this
 # head; comment-only / test-only / docs diffs do not displace rows.
-# Round 15 continues pure maintenance. Per ROADMAP.md "Round 15
-# window staging", the oldest records are the 44 remaining r11-vintage
-# rows (the 50 r11 rows minus the 6 padded through r14), so rotate
-# them; the 6 slack slots pad with the oldest (r12-vintage)
-# expensive/headline rows (the dedup/pipeline tier). Round-15 re-green
-# enumeration (from the diff): the round's source changes are
-# session.py (_driver_java_options override semantics — a site base
-# pinning GCLockerRetryAllocationCount now wins outright; result- and
-# plan-neutral infra, byte-identical plan-baseline regen) and the
-# bench/scripts/tests plan-canary generalization (MEMO_FAMILIES,
-# family_plan_fingerprints — no engine query path touched) — zero
-# query displacement, so the staged rotation stands in full.
+# Round 16 continues pure maintenance. Per ROADMAP.md "Round 16
+# window staging", the oldest records are the 44 remaining r12-vintage
+# rows (the 50 r12 rows minus the 6 padded in r15), so rotate them;
+# the 6 slack slots pad with the oldest (r13-vintage)
+# expensive/headline rows (the recursive-CTE / pagerank / simjoin /
+# profiling / hygiene tier). Round-16 re-green enumeration (from the
+# diff): the round's source changes close the three r15 ADVICE items —
+# session.py (_driver_java_options now matches the actual
+# -XX:GCLockerRetryAllocationCount= flag token, not a loose substring;
+# result- and plan-neutral infra), bench.py (the MEMO_FAMILIES
+# partition invariant raises explicitly instead of asserting), and
+# tests/conftest (guarded collection-time path setup) — no engine
+# query path touched, zero query displacement, so the staged rotation
+# stands in full.
 CHECK_PRIORITY: list[str] = [
-    # --- 44 r11-vintage rows: relational / SQL-API block first -------
-    "q26_sql_api",
-    "q27_promo_revenue",
-    "q28_hierarchical_rollup",
-    "q29_large_orders",
-    "q35_grouping_sets",
-    "q36_lateral_topn",
-    "q37_range_frame_window",
-    # --- events / time-series tier ------------------------------------
-    "events_attribution",
-    "events_capped_contributions",
-    "events_dedup",
-    "events_funnel",
-    "events_outlier_mad",
-    "events_resample_ffill",
-    "experiment_readout",
-    # --- stats / sampling / percentiles --------------------------------
-    "approx_percentiles_gate",
-    "exact_percentiles",
-    "stats_exact_moments",
-    "sample_weighted_bottomk",
-    # --- dedup / similarity / retrieval tier ---------------------------
-    "ann_cosine_topk",
-    "basket_part_pairs",
-    "corpus_snapshot_diff",
-    "dedup_canonical",
-    "dedup_exact",
-    "dedup_substring",
-    "doc_similarity_sparse",
-    "embedding_pca_gate",
-    "retrieval_eval_bm25",
-    "text_bm25_batch",
-    # --- graph / training-data tier ------------------------------------
-    "graph_pagerank_dangling",
-    "split_leakage_safe",
-    "train_negative_sampling",
-    # --- privacy triad --------------------------------------------------
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "privacy_t_closeness",
-    # --- text / tokenizer tier ------------------------------------------
-    "text_normalize_unicode",
-    "tokenizer_fertility",
+    # --- 44 r12-vintage rows: sketch / approx-gate tier first ---------
+    "ann_ivf_recall_gate",
+    "ann_search_ivf_gate",
+    "approx_distinct_gate",
+    "bloom_semi_filter",
+    "cms_heavy_hitters",
+    "histogram_equi_depth",
+    "stats_numeric",
+    # --- reference-compat tier ------------------------------------------
+    "mr_grouped_avg_compat",
+    "mr_pickle_compat",
+    "mr_wordcount_compat",
+    # --- relational block -------------------------------------------------
+    "q30_min_cost_supplier",
+    "q31_important_stock",
+    "q32_suppliers_who_kept_waiting",
+    "q33_global_sales_opportunity",
+    "q34_event_funnel",
+    "skewed_agg_salted",
+    # --- events / streaming tier -------------------------------------------
+    "events_range_join",
+    "events_session_10m",
+    "events_sliding_1h_30m",
+    "events_stream_join_live",
+    "streaming_dedup_live",
+    "streaming_tumbling_live",
+    # --- sampling / training-assembly tier ----------------------------------
+    "corpus_mix_weighted",
+    "corpus_shuffle_shard",
+    "pack_sequences",
+    "sample_bottomk",
+    "sample_stratified_bottomk",
+    "split_train_test",
+    # --- dedup tier -----------------------------------------------------------
+    "dedup_embedding_cosine",
+    "dedup_substring_hashed",
+    # --- text-analysis tier -----------------------------------------------
+    "text_fingerprint",
+    "text_lang_id",
+    "text_lm_coverage",
+    "text_quality_score",
+    "text_token_ids",
+    "text_token_stats",
+    "text_vocab",
+    "text_winnow_fingerprints",
+    # --- UDF / UDAF / UDTF tier ---------------------------------------------
+    "udaf_grouped_sum",
+    "udf_scalar_disc_price",
+    "udtf_tokenize",
     # --- multimodal codec rows ------------------------------------------
-    "multimodal_audio_adpcm",
-    "multimodal_audio_flac",
-    "multimodal_decode_color",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    # --- streaming twins -------------------------------------------------
-    "streaming_capped_contrib_live",
-    "streaming_mv_refresh_live",
-    "streaming_normalize_live",
-    # --- 6 padding rows: oldest (r12) expensive/headline rows
+    "multimodal_decode_lossless",
+    "multimodal_decode_progressive",
+    "multimodal_decode_subsampled",
+    # --- 6 padding rows: oldest (r13) expensive/headline rows
     # --- (displaced by any source-changed re-greens at round close) ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "ann_lsh_bucketed",
-    "pipeline_clean_corpus",
-    "pipeline_prepare_training_data",
+    "q47_reorder_streaks",
+    "graph_pagerank",
+    "simjoin_prefix_filter",
+    "table_profile",
+    "corpus_health_report",
+    "pipeline_hygiene",
 ]
 
 

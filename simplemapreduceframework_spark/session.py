@@ -56,11 +56,18 @@ def _driver_java_options() -> str:
     outright (r14 ADVICE: appending the repo's =64 after it would
     silently override the site value, JVM last-occurrence semantics) —
     in that case the base must carry its own Unlock/Ignore guards,
-    since UnlockDiagnosticVMOptions only unlocks flags that follow it."""
+    since UnlockDiagnosticVMOptions only unlocks flags that follow it.
+    "Pins" means an actual ``-XX:GCLockerRetryAllocationCount=`` flag
+    token (r15 ADVICE: a loose substring match let a base that merely
+    MENTIONS the name — e.g. inside a -D system-property value —
+    silently suppress the OOM mitigation)."""
     base = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "").strip()
     if not base:
         return _GCLOCKER_JAVA_OPTS
-    if "GCLockerRetryAllocationCount" in base:
+    if any(
+        tok.startswith("-XX:GCLockerRetryAllocationCount=")
+        for tok in base.split()
+    ):
         return base
     return f"{base} {_GCLOCKER_JAVA_OPTS}"
 

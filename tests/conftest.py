@@ -1,6 +1,17 @@
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
+
+# Repo root on sys.path ONCE (guarded), so tests importing repo-root
+# modules (bench, scripts helpers) don't each insert their own copy —
+# r15 ADVICE: an unguarded collection-time insert accumulated
+# duplicate path entries under repeated collection.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from simplemapreduceframework_spark import get_spark
 from simplemapreduceframework_spark.testing import duckdb_connection

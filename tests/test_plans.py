@@ -163,12 +163,22 @@ def test_plan_fingerprints_do_not_grow(spark, sf_dir):
 
 
 def _memo_family_names():
+    """Collection-time parametrization source. Path setup lives in
+    conftest.py (guarded, once — r15 ADVICE: the unguarded insert here
+    accumulated duplicate sys.path entries under repeated collection).
+    A bench import error must not abort collection of the whole module
+    — return a sentinel so the failure surfaces at RUN time, inside
+    the parametrized test's own bench import, with the real traceback."""
     import os
     import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import MEMO_FAMILIES
-
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    try:
+        from bench import MEMO_FAMILIES
+    except Exception:
+        return ["__bench_import_failed__"]
     return sorted(MEMO_FAMILIES)
 
 
@@ -208,6 +218,26 @@ def test_memo_family_plans_do_not_grow(spark, sf_dir, family):
         f"{family} family plan fingerprints grew: {grew} — if intentional, "
         "regenerate via scripts/gen_plan_baseline.py"
     )
+
+
+def test_memo_families_partition_cache_dependent():
+    """Duplicate of bench.py's import-time partition invariant (r15
+    ADVICE: the module-level checks there are the primary guard — now
+    explicit raises, not asserts — but a `python -O`-style stripped or
+    refactored-away guard must still fail THIS test): MEMO_FAMILIES'
+    consumers must cover CACHE_DEPENDENT exactly, with no query in two
+    families. Also pins that collection produced real family params,
+    not the bench-import-failure sentinel."""
+    from bench import CACHE_DEPENDENT, MEMO_FAMILIES
+
+    consumers = [n for f in MEMO_FAMILIES.values() for n in f["consumers"]]
+    assert set(consumers) == CACHE_DEPENDENT, sorted(
+        set(consumers) ^ CACHE_DEPENDENT
+    )
+    assert len(consumers) == len(set(consumers)), sorted(
+        n for n in set(consumers) if consumers.count(n) > 1
+    )
+    assert _memo_family_names() == sorted(MEMO_FAMILIES)
 
 
 def test_disjunctive_predicate_pushes_or_to_both_scans(spark, sf_dir):

@@ -14,70 +14,70 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Round-15 check window (pure maintenance continues; staged at r14
-# close in ROADMAP.md "Round 15 window staging"): the 44 remaining
-# r11-vintage rows — the SQL-API relational block, the events/
-# time-series tier, stats gates, the dedup/similarity/retrieval tier,
-# graph/training-data, the privacy triad, text/tokenizer, the
-# multimodal codec rows, and the streaming twins — plus 6 padding
-# slots filled with the oldest (r12-vintage) expensive/headline
-# dedup/pipeline rows. Round-15 re-green enumeration: the round's
-# source changes are session.py _driver_java_options override
-# semantics (result- and plan-neutral infra, byte-identical
-# plan-baseline regen) and the plan-canary generalization in
-# bench/scripts/tests (no engine query path touched) — zero
+# Round-16 check window (pure maintenance continues; staged at r15
+# close in ROADMAP.md "Round 16 window staging"): the 44 remaining
+# r12-vintage rows — the sketch/approx-gate tier, the reference-compat
+# trio, the q30-q34 relational block, events/streaming, sampling/
+# training-assembly, the two remaining dedup rows, the text-analysis
+# tier, the UDF/UDAF/UDTF trio, and the three remaining multimodal
+# codec rows — plus 6 padding slots filled with the oldest
+# (r13-vintage) expensive/headline rows (recursive CTE, pagerank,
+# simjoin, profiling, hygiene). Round-16 re-green enumeration: the
+# round's source changes close the three r15 ADVICE items (session.py
+# flag-form match, bench.py explicit partition raises, tests/conftest
+# guarded path setup) — no engine query path touched, zero
 # displacement, the staged rotation stands.
-_ROUND15_MUST_CHECK = [
-    "q26_sql_api",
-    "q27_promo_revenue",
-    "q28_hierarchical_rollup",
-    "q29_large_orders",
-    "q35_grouping_sets",
-    "q36_lateral_topn",
-    "q37_range_frame_window",
-    "events_attribution",
-    "events_capped_contributions",
-    "events_dedup",
-    "events_funnel",
-    "events_outlier_mad",
-    "events_resample_ffill",
-    "experiment_readout",
-    "approx_percentiles_gate",
-    "exact_percentiles",
-    "stats_exact_moments",
-    "sample_weighted_bottomk",
-    "ann_cosine_topk",
-    "basket_part_pairs",
-    "corpus_snapshot_diff",
-    "dedup_canonical",
-    "dedup_exact",
-    "dedup_substring",
-    "doc_similarity_sparse",
-    "embedding_pca_gate",
-    "retrieval_eval_bm25",
-    "text_bm25_batch",
-    "graph_pagerank_dangling",
-    "split_leakage_safe",
-    "train_negative_sampling",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "privacy_t_closeness",
-    "text_normalize_unicode",
-    "tokenizer_fertility",
-    "multimodal_audio_adpcm",
-    "multimodal_audio_flac",
-    "multimodal_decode_color",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    "streaming_capped_contrib_live",
-    "streaming_mv_refresh_live",
-    "streaming_normalize_live",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "ann_lsh_bucketed",
-    "pipeline_clean_corpus",
-    "pipeline_prepare_training_data",
+_ROUND16_MUST_CHECK = [
+    "ann_ivf_recall_gate",
+    "ann_search_ivf_gate",
+    "approx_distinct_gate",
+    "bloom_semi_filter",
+    "cms_heavy_hitters",
+    "histogram_equi_depth",
+    "stats_numeric",
+    "mr_grouped_avg_compat",
+    "mr_pickle_compat",
+    "mr_wordcount_compat",
+    "q30_min_cost_supplier",
+    "q31_important_stock",
+    "q32_suppliers_who_kept_waiting",
+    "q33_global_sales_opportunity",
+    "q34_event_funnel",
+    "skewed_agg_salted",
+    "events_range_join",
+    "events_session_10m",
+    "events_sliding_1h_30m",
+    "events_stream_join_live",
+    "streaming_dedup_live",
+    "streaming_tumbling_live",
+    "corpus_mix_weighted",
+    "corpus_shuffle_shard",
+    "pack_sequences",
+    "sample_bottomk",
+    "sample_stratified_bottomk",
+    "split_train_test",
+    "dedup_embedding_cosine",
+    "dedup_substring_hashed",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_lm_coverage",
+    "text_quality_score",
+    "text_token_ids",
+    "text_token_stats",
+    "text_vocab",
+    "text_winnow_fingerprints",
+    "udaf_grouped_sum",
+    "udf_scalar_disc_price",
+    "udtf_tokenize",
+    "multimodal_decode_lossless",
+    "multimodal_decode_progressive",
+    "multimodal_decode_subsampled",
+    "q47_reorder_streaks",
+    "graph_pagerank",
+    "simjoin_prefix_filter",
+    "table_profile",
+    "corpus_health_report",
+    "pipeline_hygiene",
 ]
 
 
@@ -94,7 +94,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND15_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND16_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"

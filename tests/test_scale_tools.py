@@ -1447,3 +1447,14 @@ def test_driver_java_options_env_base(monkeypatch):
     )
     monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", site)
     assert _driver_java_options() == site
+
+    # r16, closing r15 ADVICE: only an actual
+    # -XX:GCLockerRetryAllocationCount= flag token suppresses the
+    # appended mitigation. A base that merely MENTIONS the name (here
+    # inside a -D system-property value) must still get the =64 flag —
+    # the old substring match silently dropped the OOM fix for it.
+    mention = "-Dsite.note=GCLockerRetryAllocationCount_tuning"
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", mention)
+    merged = _driver_java_options()
+    assert merged == f"{mention} {bare}"
+    assert "GCLockerRetryAllocationCount=64" in merged
