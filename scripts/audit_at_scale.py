@@ -211,6 +211,21 @@ def summarize_existing() -> None:
             "scaling_sf10_simjoin_r15.json",
             "sf1 -> sf10",
         ),
+        # r16 repeat of the simjoin second decade: the full-set r16
+        # decade run drew warm 1.08 (the highest draw yet, in a
+        # session whose whole bench/audit profile ran ~1.1-1.3x
+        # slower than r15); the immediate single-query repeat drew
+        # 0.63 — BELOW every prior stock-JVM draw (r15 floor 0.72)
+        # and approaching the bigmem control (0.58). The same-code
+        # same-session spread 0.63-1.08 is the memory-pressure
+        # diagnosis at its widest; the fresh audits' simjoin seconds
+        # (80.6 / 92.2) sit inside the r15 audit spread, so no
+        # candidate-count escalation.
+        (
+            "sf1_to_sf10_simjoin_r16",
+            "scaling_sf10_simjoin_r16.json",
+            "sf1 -> sf10",
+        ),
         # r13: decade witness for the NEW shared hygiene verdict
         # frame (_hygiene_verdicts_shared). exponent_cold covers the
         # one-per-session frame build (the corpus verdict pass);
