@@ -210,8 +210,6 @@ CACHE_DEPENDENT = {
     # the expectations report persists its shared lineitem
     # aggregate (same embedding artifact)
     "table_expectations",
-    # q47 persists its successor list behind a temp view
-    "q47_reorder_streaks",
     # the shared persisted _baskets and _pair_counts frames:
     # InMemoryTableScans embed the original lineitem scan in every
     # consumer pre-materialization (triangles additionally
@@ -310,11 +308,13 @@ MEMO_FAMILIES: dict[str, dict] = {
     },
     # Queries whose persisted frames are private to their own plan
     # (funnel stage frames, the expectations report's shared lineitem
-    # aggregate, q47's successor temp view): nothing to pre-build —
-    # the clean slate alone makes their fingerprints deterministic.
+    # aggregate): nothing to pre-build — the clean slate alone makes
+    # their fingerprints deterministic. (q47 left this set in r17: its
+    # non-recursive window plan persists nothing and fingerprints
+    # deterministically in the MAIN baseline.)
     "selfcontained": {
         "frames": [],
-        "consumers": ("events_funnel", "table_expectations", "q47_reorder_streaks"),
+        "consumers": ("events_funnel", "table_expectations"),
     },
 }
 

@@ -172,6 +172,7 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs plus the two-pass (max-records, min-name) election — a
     different formulation forced to the identical choice.
     """
+    from ..session_memo import session_memo
     from .dedup import connected_components
 
     names = (
@@ -179,13 +180,26 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
     )
-    pairs = fuzzy_match_parts(spark, sf_dir).select("a_name", "b_name")
-    labels = connected_components(
-        names.select(F.col("p_name").alias("id")),
-        pairs.select(
-            F.col("a_name").alias("src"), F.col("b_name").alias("dst")
-        ),
-    ).select(F.col("id").alias("p_name"), F.col("component").alias("entity_id"))
+    # The label frame memoizes per session (r17 — the dedup_clusters
+    # rationale): connected_components does eager driver-side work
+    # during CONSTRUCTION (edge-set checkpoint + the local union-find
+    # collect / per-round loop actions), so re-constructing repeats
+    # that fixed-point computation, not just a plan re-execution.
+    memo = session_memo(spark)
+    key = ("golden_labels", sf_dir)
+    if key in memo:
+        labels = memo[key]
+    else:
+        pairs = fuzzy_match_parts(spark, sf_dir).select("a_name", "b_name")
+        labels = connected_components(
+            names.select(F.col("p_name").alias("id")),
+            pairs.select(
+                F.col("a_name").alias("src"), F.col("b_name").alias("dst")
+            ),
+        ).select(
+            F.col("id").alias("p_name"), F.col("component").alias("entity_id")
+        )
+        memo[key] = labels
     j = labels.join(names, "p_name")
     stats = j.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_names"),

@@ -209,66 +209,65 @@ _Q47_SQL = (
     "WITH RECURSIVE ord AS (" + _Q47_ORD_SQL + "),\n" + _Q47_BODY
 )
 
+# Engine-side non-recursive formulation (r17 optimization): the
+# recursion's continuation condition (next order within 90 days of the
+# current one) is the exact complement of its anchor condition (an
+# order more than 90 days after its predecessor starts a streak), so
+# every filtered order lands in `chain` exactly once and its `len` is
+# its 1-based position inside its streak. That position is pure window
+# arithmetic: mark streak starts, carry the start's row number forward
+# with a running MAX, and len = rn - cur_start + 1. Both window layers
+# share one partition key and ORDER — one exchange, one sort — and the
+# final groupBy reuses the window partitioning, so the whole query is
+# a single shuffle (the recursive plan paid the window exchange + a
+# persisted successor table + one frontier join PER recursion level,
+# ~10 levels at sf0.1: 3.1s -> ~0.4s measured). All-integer streak
+# statistics -> engine-exact vs the unchanged recursive oracle.
+_Q47_FLAT_SQL = """
+WITH ord AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderdate) OVER w AS prev_date,
+           ROW_NUMBER() OVER w AS rn
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+    SELECT o_custkey, rn,
+           MAX(CASE WHEN prev_date IS NULL
+                         OR o_orderdate > prev_date + INTERVAL 90 DAY
+                    THEN rn END)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS cur_start
+    FROM ord
+)
+SELECT o_custkey,
+       CAST(MAX(rn - cur_start + 1) AS BIGINT) AS longest_streak,
+       CAST(COUNT(CASE WHEN rn = cur_start THEN 1 END) AS BIGINT) AS n_streaks,
+       CAST(COUNT(*) AS BIGINT) AS n_chain_rows
+FROM runs
+GROUP BY o_custkey
+"""
+
 
 @query("q47_reorder_streaks", oracle=_Q47_SQL)
 def q47_reorder_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive CTE traversal (Spark 4 WITH RECURSIVE, identical SQL
-    text on DuckDB): per-customer reorder streaks — a streak starts at
-    an order with no predecessor within 90 days and extends while each
-    next order follows within 90 days of the current one. The
-    recursion walks the LEAD-precomputed successor list, so its depth
-    is the longest streak (data-dependent — the capability windows and
-    bounded unrolls cannot express).
+    """Per-customer reorder streaks: a streak starts at an order with
+    no predecessor within 90 days and extends while each next order
+    follows within 90 days of the current one. The DuckDB oracle keeps
+    the recursive-CTE successor walk (the capability this query
+    declares); the engine computes the identical per-order streak
+    positions in ONE window pass (see _Q47_FLAT_SQL) — the r8-r16
+    recursive engine plan re-joined a persisted successor list once
+    per recursion level (depth = the longest streak) and needed the
+    cteRecursionRowLimit valve sized to |orders|; the window form has
+    neither concern and carries one exchange total.
 
-    Shape at scale: the successor list is one window over the orders
-    exchange on o_custkey; each recursion level is an equi-join of the
-    frontier (streak tips, shrinking every level) against the
-    successor table + the standard iterate-until-empty of UNION ALL
-    recursion. Spark inlines a CTE referenced inside the recursion and
-    would re-run the window EVERY level (measured 10s at sf0.1), so
-    the engine persists the successor list behind a temp view and
-    recurses against that — one window, ~10 cheap frontier joins
-    (DuckDB materializes CTEs once, so the single oracle text has no
-    such concern). Streak statistics are pure integers — engine-exact.
-
-    Scale note (caught by the 10x scaling bench, round 8): Spark's
-    recursion safety valve ``spark.sql.cteRecursionRowLimit`` defaults
-    to 1e6 CUMULATIVE rows — but this traversal legitimately emits one
-    chain row per order in a streak, so any fact table past ~1M orders
-    trips it ([RECURSION_ROW_LIMIT_EXCEEDED], a hard error, not a
-    wrong answer). The engine sizes the valve EXPLICITLY from the
-    input: cumulative chain rows are bounded by |orders| (each chain
-    row is a distinct order), so the valve is set to 4x|orders| with a
-    floor of the 1e6 default. The conf is SESSION-WIDE and only ever
-    RAISED, never lowered — later q47 runs against smaller inputs keep
-    the largest valve seen, and an operator that wants the stock
-    safety valve back must reset it explicitly. The real bound on the
-    recursion is structural: every level shrinks the frontier, and
-    total output is exactly the number of orders in streaks.
+    Shape at scale: one hash exchange on o_custkey feeds two stacked
+    window layers sharing the same sort, and the final aggregate
+    reuses the window partitioning (no second exchange). Streak
+    statistics are pure integers — engine-exact.
     """
-    from ..functions.scale import table_rows
-    from ..session_memo import session_memo
-
-    memo = session_memo(spark)
-    key = ("q47", sf_dir)
-    if key in memo:
-        return memo[key]
-    n_orders = table_rows(spark, sf_dir, "orders")
-    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
-    if current != -1:  # -1 = already unlimited; leave it
-        valve = max(current, 1_000_000, 4 * n_orders)
-        # the conf is a 32-bit int; past INT_MAX cumulative rows the
-        # only expressible valve is -1 (unlimited — safe here because
-        # the recursion is structurally bounded by |orders|)
-        spark.conf.set(
-            "spark.sql.cteRecursionRowLimit",
-            str(valve) if valve <= 2_147_483_647 else "-1",
-        )
     register_views(spark, sf_dir)
-    ord_df = spark.sql(_Q47_ORD_SQL).persist()
-    ord_df.createOrReplaceTempView("q47_ord")
-    out = spark.sql(
-        "WITH RECURSIVE ord AS (SELECT * FROM q47_ord),\n" + _Q47_BODY
-    )
-    memo[key] = out
-    return out
+    return spark.sql(_Q47_FLAT_SQL)

@@ -260,28 +260,44 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = (
+    # r17 optimization (guide §2.3 / §8: shuffle scores, not payloads):
+    # score BEFORE deduplicating. The bucket join is a broadcast join,
+    # so scoring runs map-side on its raw output; a pair sharing k<=L
+    # buckets is scored k times, but every copy is the same
+    # deterministic fold, so the first-row dedup keeps an identical
+    # value (hash-verified). The former shape deduped first — which
+    # shuffled BOTH full vectors (~2 KB/row) per candidate into a
+    # SortAggregate (array-typed first() buffers defeat hash agg) and
+    # then paid a second exchange for the ranking window. Now the only
+    # exchange carries (query_id, neighbor_id, cos_sim) scalars, the
+    # dedup is a row_number over (query_id, neighbor_id) inside the
+    # SAME query_id exchange the ranking window needs (subset
+    # partitioning satisfies both windows), and vectors never cross a
+    # shuffle at any scale.
+    scored = (
         F.broadcast(q)
         .join(
             index,
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "qe", "qnrm", "vec_id", "e", "nrm")
-        .dropDuplicates(["query_id", "vec_id"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot_seq(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
     )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot_seq(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
-            "cos_sim"
-        ),
-    )
+    wd = Window.partitionBy("query_id", "neighbor_id").orderBy("cos_sim")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        scored.withColumn("dup", F.row_number().over(wd))
+        .filter(F.col("dup") == 1)
+        .drop("dup")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
     )
 

@@ -141,6 +141,39 @@ def test_connected_components_long_chain(spark):
     assert got[999] == 999  # isolated vertex keeps its own id
 
 
+def test_connected_components_local_and_distributed_paths_agree(
+    spark, monkeypatch
+):
+    """r17: connected_components resolves small edge sets by driver
+    union-find (local path) and falls back to the alternating
+    large-star/small-star loop above _CC_LOCAL_EDGE_LIMIT. Both paths
+    must label identically (component = min vertex id), on long/int
+    AND string vertex ids (the linkage tier clusters names)."""
+    from simplemapreduceframework_spark.operators import dedup
+
+    int_edges = [(1, 2), (2, 3), (10, 11), (5, 5)]
+    int_vertices = [(i,) for i in (1, 2, 3, 5, 10, 11, 99)]
+    str_edges = [("b", "a"), ("b", "c"), ("x", "y")]
+    str_vertices = [("a",), ("b",), ("c",), ("x",), ("y",), ("z",)]
+    for schema_e, schema_v, edges, vertices in (
+        ("src long, dst long", "id long", int_edges, int_vertices),
+        ("src string, dst string", "id string", str_edges, str_vertices),
+    ):
+        ef = spark.createDataFrame(edges, schema_e)
+        vf = spark.createDataFrame(vertices, schema_v)
+        local = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(vf, ef).collect()
+        }
+        monkeypatch.setattr(dedup, "_CC_LOCAL_EDGE_LIMIT", 0)
+        dist = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(vf, ef).collect()
+        }
+        monkeypatch.undo()
+        assert local == dist, (schema_v, local, dist)
+
+
 def test_bloom_semi_filter_no_false_negatives(spark, sf_dir):
     """Bloom pre-filtering must not change join results (no false
     negatives), and must actually prune the probe side."""
@@ -1295,41 +1328,28 @@ def test_broadcast_dim_shuffle_hash_fallback(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_q47_recursion_valve_sized_to_input(spark, sf_dir):
-    """q47 must size spark.sql.cteRecursionRowLimit explicitly from
-    the input (cumulative chain rows are bounded by |orders|): the
-    round-8 scale audit caught the default 1e6 valve erroring past
-    ~1M orders, and nothing but this test would fail if a refactor
-    silently dropped the sizing."""
-    from simplemapreduceframework_spark.functions.scale import table_rows
+def test_q47_single_exchange_no_recursion(spark, sf_dir):
+    """r17 optimization: q47's engine plan is the non-recursive window
+    formulation — exactly ONE shuffle exchange (the o_custkey window
+    exchange, which the final aggregate reuses), no recursion operator,
+    no persisted successor table. The r8-r16 recursive plan needed the
+    cteRecursionRowLimit valve sized to |orders| and one frontier join
+    per recursion level; a regression back to that shape shows up here
+    as extra exchanges or a UnionLoop node. Result equivalence vs the
+    unchanged recursive oracle is pinned by the parity suite."""
     from simplemapreduceframework_spark.operators.relational4 import (
         q47_reorder_streaks,
     )
-    from simplemapreduceframework_spark.session_memo import session_memo
+    from simplemapreduceframework_spark.plans import explain_str
 
-    q47_reorder_streaks(spark, sf_dir)
-    n_orders = table_rows(spark, sf_dir, "orders")
-    valve = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
-    assert valve >= max(1_000_000, 4 * n_orders)
+    df = q47_reorder_streaks(spark, sf_dir)
+    plan = explain_str(df)
+    assert "UnionLoop" not in plan and "CTERelation" not in plan, plan
+    from bench import plan_fingerprint
 
-    # session-wide monotonicity: a later q47 run never LOWERS a valve
-    # another (larger) job already raised (conf is int32 — use a large
-    # in-range value; past INT_MAX the operator sets -1 = unlimited).
-    # Restore the pre-test valve afterwards (mirroring the
-    # autoBroadcastJoinThreshold pattern above) so the raised value
-    # doesn't leak into every later test on the shared session.
-    prev_valve = spark.conf.get("spark.sql.cteRecursionRowLimit")
-    try:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
-        session_memo(spark).pop(("q47", sf_dir), None)
-        q47_reorder_streaks(spark, sf_dir)
-        assert (
-            int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
-            == 2_000_000_000
-        )
-    finally:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", prev_valve)
-        session_memo(spark).pop(("q47", sf_dir), None)
+    fp = plan_fingerprint(df)
+    assert fp["shuffles"] <= 1, fp
+    assert fp["scans"] <= 1, fp
 
 
 def test_broadcast_row_limit_env_override():
