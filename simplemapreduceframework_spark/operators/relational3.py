@@ -424,6 +424,41 @@ FROM dev d JOIN mad a ON a.event_type = d.event_type
 """
 
 
+# Engine-side text (r17): the oracle's `dev` CTE is referenced twice
+# (the MAD aggregate and the final projection) and its own `med` scan
+# makes FOUR fact scans once Spark inlines the CTEs. Folding med into
+# the MAD aggregate (MAX over the per-type-constant med) and
+# recomputing the deviation inline in the final projection drops that
+# to THREE scans: med, the MAD aggregate's deviation pass, and the
+# output pass — each remaining scan does irreducible work (two exact
+# per-type medians need two ordered passes; the per-row verdict needs
+# the rows). All decimal arithmetic is identical expression-for-
+# expression with the oracle, so the hash contract is unchanged.
+_MAD_ENGINE_SQL = """
+WITH med AS (
+    SELECT event_type,
+           CAST(percentile_disc(0.5)
+               WITHIN GROUP (ORDER BY CAST(value AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS med
+    FROM events GROUP BY event_type
+),
+mad AS (
+    SELECT e.event_type,
+           CAST(percentile_disc(0.5) WITHIN GROUP (
+               ORDER BY ABS(CAST(e.value AS DECIMAL(18,2)) - m.med))
+               AS DECIMAL(18,2)) AS mad,
+           MAX(m.med) AS med
+    FROM events e JOIN med m ON m.event_type = e.event_type
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(a.med AS STRING) AS med, CAST(a.mad AS STRING) AS mad,
+       10000 * ABS(CAST(e.value AS DECIMAL(18,2)) - a.med)
+           > 44478 * a.mad AS is_outlier
+FROM events e JOIN mad a ON a.event_type = e.event_type
+"""
+
+
 @query("events_outlier_mad", oracle=_MAD_SQL)
 def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier detection: median absolute deviation
@@ -437,10 +472,13 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups only. The monitoring deployment at 100 TB would swap
     percentile_disc for approx_percentile (the approx_distinct_gate
     pattern) once group cardinality exceeds executor sort memory.
-    Identical SQL text runs on both engines.
+    The engine text folds med into the MAD aggregate so the plan scans
+    the fact table 3x instead of the oracle text's 4x (see
+    _MAD_ENGINE_SQL); every decimal expression is identical, so
+    results hash-match the oracle.
     """
     register_views(spark, sf_dir)
-    return spark.sql(_MAD_SQL)
+    return spark.sql(_MAD_ENGINE_SQL)
 
 
 # Data profiling: per-column statistics as one UNION ALL of per-column
@@ -463,37 +501,68 @@ FROM lineitem"""
 )
 
 
-# r17 optimization: all 4 profiled columns share ONE scan (Expand x5).
-# The r13-r16 value of 2 (2 scans x Expand x3) processed 2N scanned +
-# 6N expanded rows; one batch processes N scanned + 5N expanded rows
-# and drops a whole fact scan + exchange — measured 2.58s -> 2.02s best
-# (hash-identical) at sf0.1, and at 100 TB one pass over the table
-# instead of two is the dominant I/O term. The Expand factor stays
-# bounded at batch+1; a deployment profiling MANY columns would lower
-# the batch size again (or flip to approx_count_distinct, no Expand).
-_PROFILE_GROUP_SIZE = 4
+# r17 optimization, step 2 (step 1 batched all 4 columns into one
+# scan): the batched countDistinct+min/max aggregate compiled to a
+# fact-scale SORT — Catalyst's multi-distinct rewrite groups the
+# Expand output by (value columns, gid), and min/max over the STRING
+# column's immutable buffer pushes the whole partial aggregate from
+# HashAggregate to SortAggregate, i.e. 5N expanded rows sorted before
+# aggregating. The explicit grouping-sets form below keeps the
+# fact-scale pass all-long-buffer (count only -> HashAggregate, no
+# Sort anywhere at fact scale) and computes min/max/distinct on the
+# second-stage input, which is one row per DISTINCT VALUE (min over
+# the distinct values == min over all values): Expand x4 instead of
+# x5, scans unchanged at 1. A deployment profiling MANY columns rides
+# the same dial (Expand factor = column count) or flips to
+# approx_count_distinct (no Expand at all).
 
 
-def _profile_column_group(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Profile ``cols`` in ONE scan: a single aggregate computes every
-    column's stats side by side, and the 1-row result unpivots into one
-    row per column via an explode over literal structs (a projection of
-    the SAME 1-row frame — never a self-union, which Catalyst would
-    inline into a second scan)."""
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+def _profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Profile ``cols`` in ONE scan and NO fact-scale sort: a
+    grouping-sets aggregate (one set per column) counts rows per
+    distinct value — string grouping KEYS hash fine; it is string
+    aggregation BUFFERS that force SortAggregate — then a global
+    aggregate over the distinct-value rows derives each column's
+    stats (n_rows = sum of its set's counts, n_null = the NULL-key
+    count, n_distinct = non-null key count, min/max over the keys on
+    the NATIVE type, stringified after). The 1-row result unpivots
+    into one row per column via an explode over literal structs (a
+    projection of the SAME 1-row frame — never a self-union, which
+    Catalyst would inline into a second scan)."""
+    n = len(cols)
+    sets = (
+        df.groupingSets([[c] for c in cols], *[F.col(c) for c in cols])
+        .agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid"))
+    )
+    # grouping_id bit i (MSB-first over ``cols``) is 0 iff that column
+    # is grouped; each single-column set therefore has all bits set
+    # except its own.
+    gids = {c: (2**n - 1) ^ (1 << (n - 1 - i)) for i, c in enumerate(cols)}
+    aggs = []
     for c in cols:
+        gid = F.col("gid") == gids[c]
         aggs += [
-            F.count(c).alias(f"cnt_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"min_{c}"),
-            F.max(c).cast("string").alias(f"max_{c}"),
+            # coalesce: over an EMPTY table the grouping-sets frame has
+            # zero rows, so every sum is NULL while the oracle's
+            # COUNT(*) arms yield 0 (the documented all-zero identity
+            # row per column)
+            F.coalesce(
+                F.sum(F.when(gid, F.col("cnt"))), F.lit(0)
+            ).alias(f"nr_{c}"),
+            F.coalesce(
+                F.sum(F.when(gid & F.col(c).isNull(), F.col("cnt"))),
+                F.lit(0),
+            ).alias(f"nn_{c}"),
+            F.count(F.when(gid, F.col(c))).alias(f"nd_{c}"),
+            F.min(F.when(gid, F.col(c))).cast("string").alias(f"min_{c}"),
+            F.max(F.when(gid, F.col(c))).cast("string").alias(f"max_{c}"),
         ]
-    one = df.agg(*aggs)
+    one = sets.agg(*aggs)
     structs = [
         F.struct(
             F.lit(c).alias("col_name"),
-            F.col("n_rows").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
+            F.col(f"nr_{c}").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_null"),
             F.col(f"nd_{c}").alias("n_distinct"),
             F.col(f"min_{c}").alias("min_value"),
             F.col(f"max_{c}").alias("max_value"),
@@ -509,31 +578,25 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, exact distinct cardinality, and min/max per profiled column
     — the statistics a catalog (or a CBO) maintains per table.
 
-    All 4 profiled columns share ONE fact scan (_PROFILE_GROUP_SIZE=4,
-    plan-asserted), the 1-row batch aggregate unpivoting into
-    per-column rows via explode. The multi-distinct Expand stays
-    bounded at batch+1 duplications of the scanned rows — the
-    scan-count/Expand-factor trade dial (r17: one scan x Expand x5
-    beat two scans x Expand x3 by ~1.3x, and halves table I/O at
-    100 TB); a run profiling many more columns would re-batch, or flip
-    to approx_count_distinct (no Expand at all) per the
+    All 4 profiled columns share ONE fact scan (plan-asserted) and the
+    fact-scale pass is a pure HashAggregate: an explicit grouping-sets
+    aggregate (one set per column, Expand x4) counts rows per distinct
+    value, and the per-column stats — including min/max, whose string
+    buffers would otherwise force a fact-scale SortAggregate+Sort —
+    are derived from the distinct-value rows in the second stage (see
+    _profile_columns). A run profiling many more columns rides the
+    Expand-factor dial (one replica per column) or flips to
+    approx_count_distinct (no Expand at all) per the
     approx_distinct_gate pattern. The
     oracle keeps the one-arm-per-column UNION ALL form (DuckDB has no
     Expand concern); min/max stringified so heterogeneous column types
     union cleanly — Spark's CAST AS STRING renders dates/decimals
-    identically to DuckDB's AS VARCHAR for these types.
+    identically to DuckDB's AS VARCHAR for these types, and min/max
+    evaluate on the NATIVE type before the cast so numeric columns
+    never compare lexicographically.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    parts = [
-        _profile_column_group(
-            li, _PROFILE_COLS[i : i + _PROFILE_GROUP_SIZE]
-        )
-        for i in range(0, len(_PROFILE_COLS), _PROFILE_GROUP_SIZE)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _profile_columns(li, list(_PROFILE_COLS))
 
 
 _Q39_SQL = """

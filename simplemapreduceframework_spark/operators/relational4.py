@@ -119,6 +119,36 @@ WHERE p.p_brand = 'Brand#13'
 """
 
 
+# Engine-side text (r17): Catalyst decorrelates the scalar AVG into a
+# per-part aggregate over the WHOLE fact table — the optimizer cannot
+# see that only Brand#13 parts ever consume a threshold (guide §8:
+# problem knowledge the optimizer does not have). Joining the filtered
+# part dimension into the aggregate side first (a broadcast, so no
+# extra fact exchange) cuts the avg-side groupBy's input and shuffle
+# to the brand's fraction of the table. INNER join to the aggregate is
+# exact: every probe row's part has at least one lineitem (itself), so
+# the per-part threshold row always exists; AVG over that part's
+# lineitems is over the identical row set (the brand filter prunes
+# PARTS, never a part's lineitems) and the threshold expression is
+# textually the oracle's.
+_Q45_ENGINE_SQL = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                 AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+    SELECT l2.l_partkey, 0.2 * AVG(l2.l_quantity) AS thr
+    FROM lineitem l2
+    JOIN part p2 ON p2.p_partkey = l2.l_partkey
+    WHERE p2.p_brand = 'Brand#13'
+    GROUP BY l2.l_partkey
+) a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < a.thr
+"""
+
+
 @query("q45_small_quantity_revenue", oracle=_Q45_SQL)
 def q45_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar AVG subquery (orders whose
@@ -127,10 +157,13 @@ def q45_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compares an exact integral-sum average.
 
     Shape at scale: the brand filter prunes the probe side before its
-    join; the per-part AVG is one partial-agg groupBy over the fact
-    scan joined back on the part key."""
+    join AND (engine text, r17) the aggregate side before the per-part
+    AVG's groupBy — the avg-side shuffle carries the brand's fraction
+    of the fact table instead of every part's rows (see
+    _Q45_ENGINE_SQL; the oracle keeps the correlated-subquery form and
+    results hash-match)."""
     register_views(spark, sf_dir)
-    return spark.sql(_Q45_SQL)
+    return spark.sql(_Q45_ENGINE_SQL)
 
 
 # Q20 shape: suppliers who shipped a large aggregate quantity of any

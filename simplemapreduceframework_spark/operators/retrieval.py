@@ -413,7 +413,13 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated groupBys (unigrams, bigrams) plus broadcast
     joins of the vocabulary-sized unigram counts back onto the
     min-count-filtered bigram table, finished by a TakeOrdered top-k.
-    Counts are all integers; PMI derives in one identical double
+    The two corpus totals (r17) come from ONE extra explode-free pass:
+    the token count is the array size and the bigram count is
+    max(size - 1, 0), so their shared scan sums two integers per doc
+    instead of re-tokenizing and re-exploding the corpus once per
+    total (the r13-r16 plan paid up to four tokenize+explode scans;
+    now exactly the two irreducible exploded passes plus one cheap
+    one). Counts are all integers; PMI derives in one identical double
     expression per engine with the module's round-4 ln() policy.
     """
     toks = load_table(spark, sf_dir, "documents").select(
@@ -424,7 +430,6 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
-    n_uni = uni.agg(F.sum("n_w").cast("bigint").alias("nu"))
     bi = (
         toks.select(
             F.explode(
@@ -444,7 +449,17 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    n_bi = bi.agg(F.sum("n_ab").cast("bigint").alias("nb"))
+    # corpus totals without another explode: SUM(n_w) over the unigram
+    # table == SUM(size(a)) over docs, and SUM(n_ab) over the bigram
+    # table == SUM(greatest(size(a) - 1, 0)) — exact integer identities
+    # (a NULL token array contributes 0 to both, matching explode
+    # dropping the row)
+    totals = toks.select(
+        F.coalesce(F.size("a"), F.lit(0)).alias("sz")
+    ).agg(
+        F.sum("sz").cast("bigint").alias("nu"),
+        F.sum(F.greatest(F.col("sz") - 1, F.lit(0))).cast("bigint").alias("nb"),
+    )
     u1 = uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_w1"))
     u2 = uni.select(F.col("word").alias("w2"), F.col("n_w").alias("n_w2"))
     pmi = F.round(
@@ -461,8 +476,7 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(n_bi))
-        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(totals))
         .select("w1", "w2", "n_ab", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(_PMI_TOPK)

@@ -260,15 +260,32 @@ def test_disjunctive_predicate_pushes_or_to_both_scans(spark, sf_dir):
 
 def test_table_profile_shares_scans_across_column_batches(spark, sf_dir):
     """All 4 profiled columns must cost ONE fact scan (r17: a single
-    batch aggregate, Expand bounded at batch+1, unpivoted via explode)
-    — never one UNION ALL arm (= one scan) per column, and no return
-    to the r13-r16 two-scan batching."""
+    grouping-sets aggregate, Expand = one replica per column, unpivoted
+    via explode) — never one UNION ALL arm (= one scan) per column,
+    and no return to the r13-r16 two-scan batching."""
     # conftest.py guarantees the repo root is on sys.path (hoisted,
     # guarded insert) — no per-invocation insert here (r16 ADVICE).
     from bench import plan_fingerprint
 
     fp = plan_fingerprint(Q["table_profile"](spark, sf_dir))
     assert fp["scans"] <= 1, fp
+
+
+def test_table_profile_fact_pass_is_hash_aggregated(spark, sf_dir):
+    """The fact-scale pass must stay a HashAggregate: min/max over the
+    STRING column used to ride in the same aggregate as the distinct
+    counts, whose immutable string buffer pushed the whole partial
+    aggregate to SortAggregate — i.e. a SORT of every expanded fact
+    row before aggregating (r17 fix: stats derive from the
+    distinct-value rows in the second stage). A Sort whose child is
+    the Expand node is exactly that regression."""
+    import re
+
+    text = explain_str(Q["table_profile"](spark, sf_dir))
+    assert not re.search(
+        r"Sort \(\d+\)\s*\n\s*\+- Expand", text
+    ), "fact-scale Sort above Expand is back"
+    assert "Expand" in text, text[:500]
 
 
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):

@@ -124,7 +124,8 @@ def test_bench_manifest_matches_headline_order():
     import sys
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, root)
+    if root not in sys.path:  # r16 ADVICE: no duplicate-path build-up
+        sys.path.insert(0, root)
     from bench import HEADLINE
 
     with open(os.path.join(root, "BENCH_MANIFEST.json")) as f:
