@@ -75,82 +75,79 @@ def load_all() -> None:
 # previous BENCH commit and enumerate EVERY query whose executed code
 # path changed — that enumerated set outranks vintage rotation in this
 # head; comment-only / test-only / docs diffs do not displace rows.
-# Round 16 continues pure maintenance. Per ROADMAP.md "Round 16
-# window staging", the oldest records are the 44 remaining r12-vintage
-# rows (the 50 r12 rows minus the 6 padded in r15), so rotate them;
-# the 6 slack slots pad with the oldest (r13-vintage)
-# expensive/headline rows (the recursive-CTE / pagerank / simjoin /
-# profiling / hygiene tier). Round-16 re-green enumeration (from the
-# diff): the round's source changes close the three r15 ADVICE items —
-# session.py (_driver_java_options now matches the actual
-# -XX:GCLockerRetryAllocationCount= flag token, not a loose substring;
-# result- and plan-neutral infra), bench.py (the MEMO_FAMILIES
-# partition invariant raises explicitly instead of asserting), and
-# tests/conftest (guarded collection-time path setup) — no engine
-# query path touched, zero query displacement, so the staged rotation
-# stands in full.
+# Round 17 (optimization round 1): the re-green enumeration rule is
+# supreme, and this round CHANGED query paths. From the operator-source
+# diff since the r16 bench commit: relational4.py (q47 recursion ->
+# window, q45 avg-side prefilter), relational3.py (table_profile
+# grouping-sets, events_outlier_mad 3-scan text, privacy_t_closeness
+# pre-aggregate rollup), relational2.py (q29 single per-order
+# aggregate), retrieval.py (text_pmi_pairs size-derived totals),
+# similarity.py (ann_lsh_bucketed score-before-dedup), dedup.py
+# (connected_components local path -> dedup_clusters, dedup_canonical,
+# split_leakage_safe), linkage.py (entity_golden_records label memo) —
+# 12 queries. session.py additionally flips join strategy
+# (preferSortMergeJoin=false) for the 9 headline queries whose plans
+# carried SortMergeJoin; the 7 of those not already enumerated join
+# the head (conservative: config changed their executed plans). The
+# remaining 31 slots take the staged r13-vintage rotation (ROADMAP.md
+# "Round 17 window staging") in order; the 12 displaced staged rows
+# roll to r18. This head contains TWO rows-only queries from the
+# staged set (ann_ivf_topk, approx_distinct — declared design, green
+# hash-gated twins) => expect 48 hash-green + 2 rows-only rows.
 CHECK_PRIORITY: list[str] = [
-    # --- 44 r12-vintage rows: sketch / approx-gate tier first ---------
-    "ann_ivf_recall_gate",
-    "ann_search_ivf_gate",
-    "approx_distinct_gate",
-    "bloom_semi_filter",
-    "cms_heavy_hitters",
-    "histogram_equi_depth",
-    "stats_numeric",
-    # --- reference-compat tier ------------------------------------------
-    "mr_grouped_avg_compat",
-    "mr_pickle_compat",
-    "mr_wordcount_compat",
-    # --- relational block -------------------------------------------------
-    "q30_min_cost_supplier",
-    "q31_important_stock",
-    "q32_suppliers_who_kept_waiting",
-    "q33_global_sales_opportunity",
-    "q34_event_funnel",
-    "skewed_agg_salted",
-    # --- events / streaming tier -------------------------------------------
-    "events_range_join",
-    "events_session_10m",
-    "events_sliding_1h_30m",
-    "events_stream_join_live",
-    "streaming_dedup_live",
-    "streaming_tumbling_live",
-    # --- sampling / training-assembly tier ----------------------------------
-    "corpus_mix_weighted",
-    "corpus_shuffle_shard",
-    "pack_sequences",
-    "sample_bottomk",
-    "sample_stratified_bottomk",
-    "split_train_test",
-    # --- dedup tier -----------------------------------------------------------
-    "dedup_embedding_cosine",
-    "dedup_substring_hashed",
-    # --- text-analysis tier -----------------------------------------------
-    "text_fingerprint",
-    "text_lang_id",
-    "text_lm_coverage",
-    "text_quality_score",
-    "text_token_ids",
-    "text_token_stats",
-    "text_vocab",
-    "text_winnow_fingerprints",
-    # --- UDF / UDAF / UDTF tier ---------------------------------------------
-    "udaf_grouped_sum",
-    "udf_scalar_disc_price",
-    "udtf_tokenize",
-    # --- multimodal codec rows ------------------------------------------
-    "multimodal_decode_lossless",
-    "multimodal_decode_progressive",
-    "multimodal_decode_subsampled",
-    # --- 6 padding rows: oldest (r13) expensive/headline rows
-    # --- (displaced by any source-changed re-greens at round close) ---
+    # --- r17 re-greens: source-changed query paths ---------------------
     "q47_reorder_streaks",
-    "graph_pagerank",
-    "simjoin_prefix_filter",
     "table_profile",
-    "corpus_health_report",
-    "pipeline_hygiene",
+    "events_outlier_mad",
+    "privacy_t_closeness",
+    "q45_small_quantity_revenue",
+    "q29_large_orders",
+    "text_pmi_pairs",
+    "ann_lsh_bucketed",
+    "dedup_clusters",
+    "dedup_canonical",
+    "split_leakage_safe",
+    "entity_golden_records",
+    # --- r17 re-greens: session-config (SHJ) plan flips ----------------
+    "bpe_encode_gate",
+    "corpus_snapshot_diff",
+    "graph_pagerank",
+    "graph_pagerank_dangling",
+    "hybrid_search_rrf",
+    "q46_bulk_widget_suppliers",
+    "text_lang_id",
+    # --- staged r13-vintage rotation (ROADMAP order, first 31) ---------
+    "ann_ivf_ndcg_gate",
+    "ann_ivf_topk",
+    "ann_quantized_gate",
+    "approx_distinct",
+    "asof_join_events",
+    "curriculum_schedule",
+    "customer_rfm_segments",
+    "dedup_incremental",
+    "dedup_winnow",
+    "embedding_quantize",
+    "events_cohort_retention",
+    "events_hourly_seasonality",
+    "events_outlier_zscore",
+    "events_range_join_bucketed",
+    "events_session_stats",
+    "events_state_intervals",
+    "events_transition_matrix",
+    "events_trend_slope",
+    "fuzzy_match_parts",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "part_monthly_demand_features",
+    "pipeline_chunked_corpus",
+    "q1_pricing_summary",
+    "q38_disjunctive_predicate",
+    "q39_nation_volume",
+    "q40_window_distribution",
+    "q41_top_supplier",
+    "q42_product_profit",
+    "streaming_decontaminate_live",
+    "streaming_enrich_live",
 ]
 
 

@@ -14,70 +14,68 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Round-16 check window (pure maintenance continues; staged at r15
-# close in ROADMAP.md "Round 16 window staging"): the 44 remaining
-# r12-vintage rows — the sketch/approx-gate tier, the reference-compat
-# trio, the q30-q34 relational block, events/streaming, sampling/
-# training-assembly, the two remaining dedup rows, the text-analysis
-# tier, the UDF/UDAF/UDTF trio, and the three remaining multimodal
-# codec rows — plus 6 padding slots filled with the oldest
-# (r13-vintage) expensive/headline rows (recursive CTE, pagerank,
-# simjoin, profiling, hygiene). Round-16 re-green enumeration: the
-# round's source changes close the three r15 ADVICE items (session.py
-# flag-form match, bench.py explicit partition raises, tests/conftest
-# guarded path setup) — no engine query path touched, zero
-# displacement, the staged rotation stands.
-_ROUND16_MUST_CHECK = [
-    "ann_ivf_recall_gate",
-    "ann_search_ivf_gate",
-    "approx_distinct_gate",
-    "bloom_semi_filter",
-    "cms_heavy_hitters",
-    "histogram_equi_depth",
-    "stats_numeric",
-    "mr_grouped_avg_compat",
-    "mr_pickle_compat",
-    "mr_wordcount_compat",
-    "q30_min_cost_supplier",
-    "q31_important_stock",
-    "q32_suppliers_who_kept_waiting",
-    "q33_global_sales_opportunity",
-    "q34_event_funnel",
-    "skewed_agg_salted",
-    "events_range_join",
-    "events_session_10m",
-    "events_sliding_1h_30m",
-    "events_stream_join_live",
-    "streaming_dedup_live",
-    "streaming_tumbling_live",
-    "corpus_mix_weighted",
-    "corpus_shuffle_shard",
-    "pack_sequences",
-    "sample_bottomk",
-    "sample_stratified_bottomk",
-    "split_train_test",
-    "dedup_embedding_cosine",
-    "dedup_substring_hashed",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_lm_coverage",
-    "text_quality_score",
-    "text_token_ids",
-    "text_token_stats",
-    "text_vocab",
-    "text_winnow_fingerprints",
-    "udaf_grouped_sum",
-    "udf_scalar_disc_price",
-    "udtf_tokenize",
-    "multimodal_decode_lossless",
-    "multimodal_decode_progressive",
-    "multimodal_decode_subsampled",
+# Round-17 check window (optimization round 1): the re-green rule is
+# supreme and this round CHANGED query paths — the head leads with the
+# 12 source-changed queries (q47/table_profile/events_outlier_mad/
+# privacy_t_closeness/q45/q29/text_pmi_pairs/ann_lsh_bucketed and the
+# four connected-components/label consumers) plus the 7 queries whose
+# executed join strategy the session-level preferSortMergeJoin=false
+# flip changed. The remaining 31 slots take the staged r13-vintage
+# rotation (ROADMAP.md "Round 17 window staging") in order; the 12
+# displaced staged rows roll to r18. Contains two declared rows-only
+# queries (ann_ivf_topk, approx_distinct): expect 48 hash-green + 2
+# rows-only rows.
+_ROUND17_MUST_CHECK = [
     "q47_reorder_streaks",
-    "graph_pagerank",
-    "simjoin_prefix_filter",
     "table_profile",
-    "corpus_health_report",
-    "pipeline_hygiene",
+    "events_outlier_mad",
+    "privacy_t_closeness",
+    "q45_small_quantity_revenue",
+    "q29_large_orders",
+    "text_pmi_pairs",
+    "ann_lsh_bucketed",
+    "dedup_clusters",
+    "dedup_canonical",
+    "split_leakage_safe",
+    "entity_golden_records",
+    "bpe_encode_gate",
+    "corpus_snapshot_diff",
+    "graph_pagerank",
+    "graph_pagerank_dangling",
+    "hybrid_search_rrf",
+    "q46_bulk_widget_suppliers",
+    "text_lang_id",
+    "ann_ivf_ndcg_gate",
+    "ann_ivf_topk",
+    "ann_quantized_gate",
+    "approx_distinct",
+    "asof_join_events",
+    "curriculum_schedule",
+    "customer_rfm_segments",
+    "dedup_incremental",
+    "dedup_winnow",
+    "embedding_quantize",
+    "events_cohort_retention",
+    "events_hourly_seasonality",
+    "events_outlier_zscore",
+    "events_range_join_bucketed",
+    "events_session_stats",
+    "events_state_intervals",
+    "events_transition_matrix",
+    "events_trend_slope",
+    "fuzzy_match_parts",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "part_monthly_demand_features",
+    "pipeline_chunked_corpus",
+    "q1_pricing_summary",
+    "q38_disjunctive_predicate",
+    "q39_nation_volume",
+    "q40_window_distribution",
+    "q41_top_supplier",
+    "q42_product_profit",
+    "streaming_decontaminate_live",
+    "streaming_enrich_live",
 ]
 
 
@@ -94,7 +92,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND16_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND17_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"
