@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..functions.scale import broadcast_dim, table_rows
+from ..functions.scale import BROADCAST_ROW_LIMIT, broadcast_dim, table_rows
 from ..session_memo import session_memo
 from ..sources import load_table
 
@@ -108,6 +108,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ranks, deg = pagerank_fixed_point(edges, iters=_ITERS)
+    # deg is keyed by supplier, so the supplier table's row count
+    # bounds it (scale.py's derived-frame rule); under budget the
+    # final rank/degree attach is a map-side broadcast instead of the
+    # sort-merge join the planner picked from the cached estimates.
+    deg = broadcast_dim(
+        deg, table_rows(spark, sf_dir, "supplier"), fallback="shuffle_hash"
+    )
     out = ranks.join(deg, ranks.node == deg.s).select(
         F.col("node").alias("s_suppkey"),
         F.col("r").alias("rank_fp"),
@@ -129,11 +136,23 @@ def pagerank_fixed_point(
     """
     # Degree-annotated edges persist ONCE: every iteration re-reads the
     # (s, d, deg) frame from executor storage instead of recomputing
-    # the edge derivation + degree groupBy per unrolled step. Callers
+    # the edge derivation + degree groupBy per unrolled step, and the
+    # persist is CO-PARTITIONED by source so every above-budget
+    # iteration join reuses this one exchange (the 100 TB loop shape:
+    # only the node-sized rank frame moves per iteration). Callers
     # invoking repeatedly should memoize the result (see the
     # session memo) so one persist serves the session.
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "s").select("s", "d", "deg").persist()
+    # deg persists too (node-sized): it seeds rank0, anchors the
+    # caller's final rank/degree attach, and sits in the edge frame's
+    # lineage — unpersisted, every one of those consumers re-derived
+    # the whole edge set from the base tables (a full corpus pass per
+    # execution, visible as a FileScan in the warm plan). Its cache
+    # fills as a side effect of materializing edges_deg below.
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).persist()
+    edges_deg = (
+        edges.join(deg, "s").select("s", "d", "deg").repartition("s").persist()
+    )
+    n_edges = edges_deg.count()  # materializes both persists
     n = edges_deg.select("s").distinct().count()  # graph node count
     if n == 0:
         # empty graph: no nodes, no ranks — return the empty frame with
@@ -146,9 +165,26 @@ def pagerank_fixed_point(
     ranks = deg.select(
         F.col("s").alias("node"), F.lit(_SCALE // n).cast("long").alias("r")
     )
+    # Size-adaptive iteration join, decided from the COUNTED edge
+    # cardinality (not estimates). While the edge frame fits the row
+    # budget both join sides genuinely fit in memory and the planner's
+    # accurate cached statistics pick the best build side unaided (at
+    # sf0.1 it broadcasts the cached edge frame ONCE, reused across
+    # all unrolled iterations). Above budget — the 100 TB regime,
+    # where an edge-side build is an OOM and post-aggregate size
+    # estimates are too unreliable to leave the choice to the planner
+    # — the node-sized rank frame is pinned as the broadcast (or, past
+    # n's own budget, SHUFFLE_HASH) build side against the
+    # co-partitioned persisted edges, which never move again after
+    # their one construction shuffle.
+    edges_fit = n_edges <= BROADCAST_ROW_LIMIT
     for _ in range(iters):
+        right = (
+            ranks if edges_fit
+            else broadcast_dim(ranks, n, fallback="shuffle_hash")
+        )
         contrib = (
-            edges_deg.join(ranks, F.col("s") == F.col("node"))
+            edges_deg.join(right, F.col("s") == F.col("node"))
             .select("d", F.expr("r div deg").alias("c"))
         )
         ranks = contrib.groupBy("d").agg(
@@ -164,20 +200,27 @@ def pagerank_fixed_point(
 
 def _graph_frames(
     edges: DataFrame,
-) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame, int, bool]:
     """Shared setup for the directed PageRank loops: persisted
     out-degrees, degree-annotated edges, node universe (sources UNION
-    destinations), and the collected node count. deg persists because
-    the per-iteration dangling anti-join consumes it directly."""
+    destinations), the collected node count, and the counted
+    edges-fit-the-broadcast-budget flag (see pagerank_fixed_point's
+    size-adaptive join rationale). deg persists because the
+    per-iteration dangling anti-join consumes it directly; the edge
+    frame persists co-partitioned by source so above-budget iteration
+    joins reuse one exchange."""
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).persist()
-    edges_deg = edges.join(deg, "s").select("s", "d", "deg").persist()
+    edges_deg = (
+        edges.join(deg, "s").select("s", "d", "deg").repartition("s").persist()
+    )
     nodes = (
         edges.select(F.col("s").alias("node"))
         .union(edges.select(F.col("d").alias("node")))
         .distinct()
         .persist()
     )
-    return deg, edges_deg, nodes, nodes.count()
+    bc_edges = edges_deg.count() <= BROADCAST_ROW_LIMIT
+    return deg, edges_deg, nodes, nodes.count(), bc_edges
 
 
 def _pagerank_step(
@@ -188,19 +231,33 @@ def _pagerank_step(
     teleport: int,
     n: int,
     dangling: bool = True,
+    bc_edges: bool = True,
 ) -> DataFrame:
     """ONE fixed-point update: contribution join + partial-agg groupBy,
     plus (when dangling) the anti-join mass aggregate broadcast into
     the per-node update — the frame is returned unmaterialized so the
     caller chooses persist (unrolled plan) or localCheckpoint
     (convergence loop)."""
+    # Size-adaptive contribution join, same rationale as
+    # pagerank_fixed_point: within the counted edge budget the planner
+    # picks the build side from accurate cached statistics; beyond it
+    # the node-sized rank frame is the pinned broadcast/SHUFFLE_HASH
+    # build against the co-partitioned persisted edges.
+    right = (
+        ranks if bc_edges
+        else broadcast_dim(ranks, n, fallback="shuffle_hash")
+    )
     contrib = edges_deg.join(
-        ranks, edges_deg.s == ranks.node
+        right, edges_deg.s == ranks.node
     ).select("d", F.expr("r div deg").alias("c"))
     csum = contrib.groupBy("d").agg(F.sum("c").alias("cs"))
     if dangling:
         dang = (
-            ranks.join(deg, ranks.node == deg.s, "left_anti")
+            ranks.join(
+                broadcast_dim(deg, n, fallback="shuffle_hash"),
+                ranks.node == deg.s,
+                "left_anti",
+            )
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
         )
         update = F.expr(
@@ -247,7 +304,7 @@ def pagerank_dangling(
     driver round-trip inside the loop, the whole unroll is one Catalyst
     plan.
     """
-    deg, edges_deg, nodes, n = _graph_frames(edges)
+    deg, edges_deg, nodes, n, bc_edges = _graph_frames(edges)
     if n == 0:
         empty = nodes.select("node", F.lit(0).cast("long").alias("r"))
         return empty, deg
@@ -264,7 +321,8 @@ def pagerank_dangling(
         # one action; frames are node-sized. Callers memoize (see
         # the session memo), so the session holds one chain.
         ranks = _pagerank_step(
-            nodes, edges_deg, deg, ranks.persist(), teleport, n
+            nodes, edges_deg, deg, ranks.persist(), teleport, n,
+            bc_edges=bc_edges,
         )
     return ranks, deg
 
@@ -292,7 +350,7 @@ def pagerank_converged(
     collected scalar per iteration (inherent to any convergence-gated
     loop).
     """
-    deg, edges_deg, nodes, n = _graph_frames(edges)
+    deg, edges_deg, nodes, n, bc_edges = _graph_frames(edges)
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("r")), 0
     teleport = (_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN // n
@@ -302,7 +360,8 @@ def pagerank_converged(
     done = 0
     for i in range(max_iters):
         new_ranks = _pagerank_step(
-            nodes, edges_deg, deg, ranks, teleport, n, dangling
+            nodes, edges_deg, deg, ranks, teleport, n, dangling,
+            bc_edges=bc_edges,
         ).localCheckpoint()
         delta = (
             new_ranks.alias("a")

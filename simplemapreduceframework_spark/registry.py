@@ -91,9 +91,17 @@ def load_all() -> None:
 # the head (conservative: config changed their executed plans). The
 # remaining 31 slots take the staged r13-vintage rotation (ROADMAP.md
 # "Round 17 window staging") in order; the 12 displaced staged rows
-# roll to r18. This head contains TWO rows-only queries from the
-# staged set (ann_ivf_topk, approx_distinct — declared design, green
-# hash-gated twins) => expect 48 hash-green + 2 rows-only rows.
+# roll to r18. Session 2 of the round changed two more operator files
+# — graph.py (pagerank warm-path restructuring; graph_pagerank and
+# graph_pagerank_dangling were already enumerated above) and bpe.py
+# (_train materialization order, whose executed path feeds ALL four
+# bpe queries) — so bpe_first_merge_gate, bpe_learn_merges and
+# bpe_encode join the head and the last 3 staged rows roll to r18
+# with the other displaced rows. This head contains FOUR rows-only
+# queries (ann_ivf_topk, approx_distinct from the staged set;
+# bpe_learn_merges, bpe_encode from the re-green set — declared
+# design, green hash-gated twins) => expect 46 hash-green + 4
+# rows-only rows.
 CHECK_PRIORITY: list[str] = [
     # --- r17 re-greens: source-changed query paths ---------------------
     "q47_reorder_streaks",
@@ -116,7 +124,11 @@ CHECK_PRIORITY: list[str] = [
     "hybrid_search_rrf",
     "q46_bulk_widget_suppliers",
     "text_lang_id",
-    # --- staged r13-vintage rotation (ROADMAP order, first 31) ---------
+    # --- r17 session-2 re-greens: bpe _train path change ---------------
+    "bpe_first_merge_gate",
+    "bpe_learn_merges",
+    "bpe_encode",
+    # --- staged r13-vintage rotation (ROADMAP order, first 28) ---------
     "ann_ivf_ndcg_gate",
     "ann_ivf_topk",
     "ann_quantized_gate",
@@ -145,9 +157,6 @@ CHECK_PRIORITY: list[str] = [
     "q39_nation_volume",
     "q40_window_distribution",
     "q41_top_supplier",
-    "q42_product_profit",
-    "streaming_decontaminate_live",
-    "streaming_enrich_live",
 ]
 
 

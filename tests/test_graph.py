@@ -270,3 +270,35 @@ def test_basket_tier_shares_one_persisted_pair_frame(spark, sf_dir):
 
     memo.pop(key)[1]()
     assert not pairs.storageLevel.useMemory  # release really unpersists
+
+
+def test_pagerank_budget_branches_agree(spark, monkeypatch):
+    """The r17 size-adaptive iteration join: the under-budget plan
+    (planner-chosen build over the cached edge frame) and the
+    above-budget plan (rank side pinned as the broadcast/SHUFFLE_HASH
+    build against the co-partitioned edges) must produce bit-identical
+    fixed-point ranks — the budget flag picks a JOIN STRATEGY, never
+    arithmetic."""
+    from simplemapreduceframework_spark.functions import scale
+    from simplemapreduceframework_spark.operators import graph as g
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    both = [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs]
+    edges = spark.createDataFrame(both, "s long, d long")
+
+    ranks_under, deg_under = pagerank_fixed_point(edges, iters=_ITERS)
+    got_under = {r["node"]: r["r"] for r in ranks_under.collect()}
+
+    # force every guarded site onto its above-budget branch (same
+    # mechanism as the SMRF_BROADCAST_ROW_LIMIT audit override)
+    monkeypatch.setattr(g, "BROADCAST_ROW_LIMIT", 0)
+    monkeypatch.setattr(scale, "BROADCAST_ROW_LIMIT", 0)
+    ranks_over, _ = pagerank_fixed_point(edges, iters=_ITERS)
+    got_over = {r["node"]: r["r"] for r in ranks_over.collect()}
+    assert got_under == got_over == _reference_pagerank(both, _ITERS)
+
+    dranks_over, _ = pagerank_dangling(
+        spark.createDataFrame(pairs, "s long, d long"), iters=_ITERS
+    )
+    got_dangling_over = {r["node"]: r["r"] for r in dranks_over.collect()}
+    assert got_dangling_over == _reference_pagerank_dangling(pairs, _ITERS)

@@ -21,10 +21,12 @@ _DRIVER_BUDGET = 50
 # four connected-components/label consumers) plus the 7 queries whose
 # executed join strategy the session-level preferSortMergeJoin=false
 # flip changed. The remaining 31 slots take the staged r13-vintage
-# rotation (ROADMAP.md "Round 17 window staging") in order; the 12
-# displaced staged rows roll to r18. Contains two declared rows-only
-# queries (ann_ivf_topk, approx_distinct): expect 48 hash-green + 2
-# rows-only rows.
+# rotation (ROADMAP.md "Round 17 window staging") in order. Session 2
+# changed bpe.py's _train path, adding bpe_first_merge_gate /
+# bpe_learn_merges / bpe_encode to the head; 15 displaced staged rows
+# roll to r18 in total. Contains four declared rows-only queries
+# (ann_ivf_topk, approx_distinct, bpe_learn_merges, bpe_encode):
+# expect 46 hash-green + 4 rows-only rows.
 _ROUND17_MUST_CHECK = [
     "q47_reorder_streaks",
     "table_profile",
@@ -45,6 +47,9 @@ _ROUND17_MUST_CHECK = [
     "hybrid_search_rrf",
     "q46_bulk_widget_suppliers",
     "text_lang_id",
+    "bpe_first_merge_gate",
+    "bpe_learn_merges",
+    "bpe_encode",
     "ann_ivf_ndcg_gate",
     "ann_ivf_topk",
     "ann_quantized_gate",
@@ -73,9 +78,6 @@ _ROUND17_MUST_CHECK = [
     "q39_nation_volume",
     "q40_window_distribution",
     "q41_top_supplier",
-    "q42_product_profit",
-    "streaming_decontaminate_live",
-    "streaming_enrich_live",
 ]
 
 
