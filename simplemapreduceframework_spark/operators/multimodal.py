@@ -486,6 +486,12 @@ def make_png(width: int, height: int, fill: int = 0) -> bytes:
     )
 
 
+# memoized LZW base tables (per min_code_size) and the constant
+# 256-entry grayscale color table make_gif always emits
+_LZW_BASE_TABLES: dict[int, list[bytes]] = {}
+_GIF_GRAY_GCT = bytes(v for i in range(256) for v in (i, i, i))
+
+
 def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     """GIF-variant LZW compress (spec appendix F): variable code width
     starting at min_code_size+1, LSB-first bit packing, CLEAR emitted
@@ -495,11 +501,16 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     the decoder's table trails the encoder's by exactly one entry."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    # dictionary keys are (prefix code, next byte) pairs — the classic
+    # exact-equivalent representation of the string table (every table
+    # string is a previously-emitted string plus one byte), avoiding a
+    # bytes concatenation per input byte; emitted codes are identical
+    table: dict[tuple[int, int], int] = {}
     next_code = eoi + 1
     width = min_code_size + 1
 
     out = bytearray()
+    append = out.append
     acc = 0  # bit accumulator, LSB-first
     nbits = 0
 
@@ -508,29 +519,33 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         acc |= code << nbits
         nbits += w
         while nbits >= 8:
-            out.append(acc & 0xFF)
+            append(acc & 0xFF)
             acc >>= 8
             nbits -= 8
 
     emit(clear, width)
-    buf = b""
+    cur = -1  # code of the current prefix; -1 = empty
     for byte in data:
-        nxt = buf + bytes([byte])
-        if nxt in table:
-            buf = nxt
+        if cur < 0:
+            cur = byte  # single bytes are their own codes
             continue
-        emit(table[buf], width)
+        key = (cur, byte)
+        nxt = table.get(key)
+        if nxt is not None:
+            cur = nxt
+            continue
+        emit(cur, width)
         if next_code < 4096:
-            table[nxt] = next_code
+            table[key] = next_code
             next_code += 1
             if next_code > (1 << width) and width < 12:
                 width += 1
-        buf = bytes([byte])
-    if buf:
-        emit(table[buf], width)
+        cur = byte
+    if cur >= 0:
+        emit(cur, width)
     emit(eoi, width)
     if nbits:
-        out.append(acc & 0xFF)
+        append(acc & 0xFF)
     return bytes(out)
 
 
@@ -543,7 +558,15 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
-    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    # contiguous LIST table (codes are assigned densely, so the code's
+    # index IS its slot; clear/eoi hold placeholders) — a fresh base
+    # list copies from a memoized template instead of rebuilding 256
+    # one-byte entries per decode/CLEAR. Decoded bytes identical.
+    base = _LZW_BASE_TABLES.get(min_code_size)
+    if base is None:
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        _LZW_BASE_TABLES[min_code_size] = base
+    table = list(base)
     next_code = eoi + 1
     out = bytearray()
     prev: bytes | None = None
@@ -556,7 +579,7 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
         bitpos += width
         if code == clear:
             width = min_code_size + 1
-            table = {i: bytes([i]) for i in range(clear)}
+            table = list(base)
             next_code = eoi + 1
             prev = None
             continue
@@ -565,14 +588,14 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
         if prev is None:
             entry = table[code]
         else:
-            if code in table:
+            if code < next_code:
                 entry = table[code]
             elif code == next_code:
                 entry = prev + prev[:1]  # the KwKwK self-reference case
             else:
                 raise ValueError(f"corrupt LZW stream: code {code}")
             if next_code < 4096:
-                table[next_code] = prev + entry[:1]
+                table.append(prev + entry[:1])
                 next_code += 1
                 if next_code == (1 << width) and width < 12:
                     width += 1
@@ -610,15 +633,17 @@ def make_gif(
 
     a = fill % 256
     b = (fill * 7 + 13) % 256
-    rows = [
-        bytes(a if (x + y) % 2 == 0 else b for x in range(width))
-        for y in range(height)
-    ]
+    # the checkerboard has period 2 in y: build the two distinct rows
+    # once and alternate (identical bytes to the per-cell genexpr)
+    pair = bytes([a, b] * ((width + 1) // 2))
+    even_row = pair[:width]
+    odd_row = bytes([b, a] * ((width + 1) // 2))[:width]
+    rows = [even_row if y % 2 == 0 else odd_row for y in range(height)]
     if interlace:
         rows = [rows[y] for y in _gif_interlace_order(height)]
     indices = b"".join(rows)
     lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
-    gct = bytes(v for i in range(256) for v in (i, i, i))
+    gct = _GIF_GRAY_GCT
     img_desc = b"\x2c" + struct.pack(
         "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
     )
@@ -761,15 +786,56 @@ def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
+class _JpegHuffTable(dict):
+    """(length, code) -> value decode dict, plus a 256-entry fast
+    lookup: ``lut[next 8 bits] = (value, code length)`` for every code
+    of <= 8 bits (all Annex K DC/AC codes a hot loop actually meets),
+    ``None`` where the prefix belongs to a longer code — the reader
+    then falls back to the exact bit-by-bit walk. Pure per-task-work
+    speedup (guide §1.2 step 2): one table probe replaces up to 8
+    reader calls + dict probes per symbol, decoded values unchanged."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, codes: dict[tuple[int, int], int]) -> None:
+        super().__init__(codes)
+        lut: list[tuple[int, int] | None] = [None] * 256
+        for (length, code), val in codes.items():
+            if length <= 8:
+                lo = code << (8 - length)
+                for k in range(lo, lo + (1 << (8 - length))):
+                    lut[k] = (val, length)
+        self.lut = lut
+
+
+# Decode tables memoize on their DHT spec: a decode pass over a batch
+# of files meets the same few tables (the Annex K set, or one custom
+# table) thousands of times, and building the canonical assignment +
+# LUT per file costs more than the entropy decode it serves. Bounded:
+# cleared when distinct specs exceed a cap nobody hits in practice.
+_JPEG_HUFF_TABLE_CACHE: dict[tuple[bytes, bytes], "_JpegHuffTable"] = {}
+
+
 def _jpeg_huff_decode_table(
     bits: list[int], vals: list[int]
-) -> dict[tuple[int, int], int]:
+) -> "_JpegHuffTable":
     """(length, code) -> value, the decode-side inverse of
-    _jpeg_huff_codes."""
-    return {
-        (length, code): val
-        for val, (code, length) in _jpeg_huff_codes(bits, vals).items()
-    }
+    _jpeg_huff_codes (with the fast-probe LUT attached)."""
+    key = (bytes(bits), bytes(vals))
+    table = _JPEG_HUFF_TABLE_CACHE.get(key)
+    if table is None:
+        if len(_JPEG_HUFF_TABLE_CACHE) >= 64:
+            _JPEG_HUFF_TABLE_CACHE.clear()
+        table = _JpegHuffTable(
+            {
+                (length, code): val
+                for val, (code, length) in _jpeg_huff_codes(
+                    bits, vals
+                ).items()
+            }
+        )
+        _JPEG_HUFF_TABLE_CACHE[key] = table
+    return table
 
 
 def make_jpeg(
@@ -1233,35 +1299,68 @@ def make_jpeg_lossless(
     f = fill % 64
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     scan = bytearray()
+    append = scan.append
     acc = 0
     nbits = 0
-
-    def emit(code: int, n: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << n) | code
-        nbits += n
-        while nbits >= 8:
-            byte = (acc >> (nbits - 8)) & 0xFF
-            scan.append(byte)
-            if byte == 0xFF:
-                scan.append(0)
-            nbits -= 8
-            acc &= (1 << nbits) - 1
-
-    px = [[0] * width for _ in range(height)]
+    # bit emitter and Annex H predictor inlined into the pixel loop
+    # (local ints + flat rows instead of a closure + 2D indexing + the
+    # 8-way predictor list build per pixel); emitted bytes identical,
+    # 0xFF stuffing included (guide §1.2 step 2: per-task work)
+    prev: list[int] = []
     for y in range(height):
+        row = [0] * width
+        ybase = f + 7 * (y % 8)
         for x in range(width):
-            v = f + 3 * (x % 8) + 7 * (y % 8)
-            px[y][x] = v
-            pred = _jpeg_lossless_predict(px, x, y, sel, 8, 0)
+            v = ybase + 3 * (x % 8)
+            row[x] = v
+            if y == 0:
+                pred = 128 if x == 0 else row[x - 1]
+            elif x == 0:
+                pred = prev[0]
+            else:
+                a = row[x - 1]
+                b_ = prev[x]
+                if sel == 1:
+                    pred = a
+                elif sel == 2:
+                    pred = b_
+                elif sel == 3:
+                    pred = prev[x - 1]
+                elif sel == 4:
+                    pred = a + b_ - prev[x - 1]
+                elif sel == 5:
+                    pred = a + ((b_ - prev[x - 1]) >> 1)
+                elif sel == 6:
+                    pred = b_ + ((a - prev[x - 1]) >> 1)
+                else:
+                    pred = (a + b_) >> 1
             diff = (v - pred + 32768) % 65536 - 32768  # mod-2^16 fold
-            s = abs(diff).bit_length()
+            if diff >= 0:
+                s = diff.bit_length()
+                payload = diff
+            else:
+                s = (-diff).bit_length()
+                payload = diff + (1 << s) - 1
             code, ln = dc_codes[s]
-            emit(code, ln)
+            acc = (acc << ln) | code
+            nbits += ln
             if s:
-                emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                acc = (acc << s) | payload
+                nbits += s
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                append(byte)
+                if byte == 0xFF:
+                    append(0)
+            acc &= (1 << nbits) - 1
+        prev = row
     if nbits:
-        emit((1 << (8 - nbits)) - 1, 8 - nbits)
+        # pad the final partial byte with 1-bits
+        byte = ((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+        append(byte)
+        if byte == 0xFF:
+            append(0)
     return b"".join(
         [
             b"\xff\xd8",
@@ -1355,38 +1454,159 @@ def _decode_jpeg_lossless(b: bytes) -> tuple[int, int, int, int]:
         i += 1
     br = _JpegBitReader(bytes(data))
     dcd = huff[(0, dc_id)]
-    px = [[0] * w for _ in range(h)]
+    # Stage 1 — entropy decode every difference in one tight loop with
+    # the reader inlined to local ints (no method calls per symbol):
+    # LUT probe for the size category, slow-walk fallback for >8-bit
+    # codes / the stream tail, then the receive-extend bits. Identical
+    # bit consumption to _JpegBitReader.huff/receive_extend (guide
+    # §1.2 step 2: per-task work; the distributed shape is untouched).
+    n = w * h
+    diffs = [0] * n
+    lut = dcd.lut
+    edata = br.data
+    pos = br.bytepos
+    end = len(edata)
+    acc = br.acc
+    nb = br.nbits
+    for i in range(n):
+        while nb < 8 and pos < end:
+            acc = (acc << 8) | edata[pos]
+            pos += 1
+            nb += 8
+        s = -1
+        if nb >= 8:
+            hit = lut[(acc >> (nb - 8)) & 0xFF]
+            if hit is not None:
+                s, length = hit
+                nb -= length
+                acc &= (1 << nb) - 1
+        if s < 0:  # long code or stream tail: exact bit-by-bit walk
+            code = 0
+            for length in range(1, 17):
+                if nb == 0:
+                    acc = edata[pos]
+                    pos += 1
+                    nb = 8
+                nb -= 1
+                code = (code << 1) | ((acc >> nb) & 1)
+                acc &= (1 << nb) - 1
+                if (length, code) in dcd:
+                    s = dcd[(length, code)]
+                    break
+            else:
+                raise ValueError(
+                    "corrupt JPEG: no Huffman code within 16 bits"
+                )
+        if s:
+            while nb < s:
+                acc = (acc << 8) | edata[pos]
+                pos += 1
+                nb += 8
+            nb -= s
+            v = (acc >> nb) & ((1 << s) - 1)
+            acc &= (1 << nb) - 1
+            diffs[i] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    # Stage 2 — Annex H predictive reconstruction over flat rows with
+    # the predictor inlined (H.1.2.1 boundary rules unchanged).
     total = 0
+    half = 1 << (prec - 1 - pt)
+    prev: list[int] = []
+    i = 0
     for y in range(h):
+        row = [0] * w
         for x in range(w):
-            diff = br.receive_extend(br.huff(dcd))
-            pred = _jpeg_lossless_predict(px, x, y, sel, prec, pt)
-            v = (pred + diff) % 65536
-            px[y][x] = v  # prediction runs in the point-transformed
+            if y == 0:
+                pred = half if x == 0 else row[x - 1]
+            elif x == 0:
+                pred = prev[0]
+            else:
+                a = row[x - 1]
+                bb = prev[x]
+                if sel == 1:
+                    pred = a
+                elif sel == 2:
+                    pred = bb
+                elif sel == 3:
+                    pred = prev[x - 1]
+                elif sel == 4:
+                    pred = a + bb - prev[x - 1]
+                elif sel == 5:
+                    pred = a + ((bb - prev[x - 1]) >> 1)
+                elif sel == 6:
+                    pred = bb + ((a - prev[x - 1]) >> 1)
+                else:
+                    pred = (a + bb) >> 1
+            v = (pred + diffs[i]) % 65536
+            row[x] = v  # prediction runs in the point-transformed
             total += v << pt  # domain; output scales back up (H.2.2)
+            i += 1
+        prev = row
     return w, h, 1, total
 
 
 class _JpegBitReader:
-    """MSB-first bit reader over already-unstuffed entropy bytes."""
+    """MSB-first bit reader over already-unstuffed entropy bytes.
+
+    Accumulator-buffered (refills one byte at a time, exactly as far
+    as a read needs, so end-of-stream behaves bit-for-bit like the old
+    per-bit indexing: an IndexError fires only when a read genuinely
+    crosses the final byte). ``huff`` probes the table's 8-bit LUT
+    first and falls back to the exact per-bit walk for longer codes or
+    a stream tail shorter than 8 bits."""
+
+    __slots__ = ("data", "bytepos", "acc", "nbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0  # bit position
+        self.bytepos = 0  # next unread byte
+        self.acc = 0
+        self.nbits = 0
 
     def bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        b = (byte >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return b
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        nb = self.nbits
+        if nb == 0:
+            self.acc = self.data[self.bytepos]
+            self.bytepos += 1
+            nb = 8
+        nb -= 1
+        v = (self.acc >> nb) & 1
+        self.nbits = nb
+        self.acc &= (1 << nb) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
+    def bits(self, n: int) -> int:
+        nb = self.nbits
+        acc = self.acc
+        while nb < n:
+            acc = (acc << 8) | self.data[self.bytepos]
+            self.bytepos += 1
+            nb += 8
+        nb -= n
+        v = (acc >> nb) & ((1 << n) - 1)
+        self.nbits = nb
+        self.acc = acc & ((1 << nb) - 1)
+        return v
+
+    def huff(self, table: "_JpegHuffTable") -> int:
+        nb = self.nbits
+        acc = self.acc
+        data = self.data
+        pos = self.bytepos
+        end = len(data)
+        while nb < 8 and pos < end:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nb += 8
+        self.acc, self.nbits, self.bytepos = acc, nb, pos
+        if nb >= 8:
+            hit = table.lut[(acc >> (nb - 8)) & 0xFF]
+            if hit is not None:
+                val, length = hit
+                nb -= length
+                self.nbits = nb
+                self.acc = acc & ((1 << nb) - 1)
+                return val
+        # long code (> 8 bits) or stream tail: exact bit-by-bit walk
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.bit()
@@ -1515,9 +1735,16 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, int]:
     vmax = max(c[3] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # zigzag-ordered quantized coefficients, MCU-padded block grid
+    # zigzag-ordered quantized coefficients, MCU-padded block grid.
+    # Plain Python lists, not numpy: the scan loops below touch single
+    # coefficients (c[k] reads/writes) millions of times, where numpy
+    # scalar indexing costs ~10x a list index; the whole grid converts
+    # to one array for the batched reconstruction pass at the end.
     coef = [
-        np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int64)
+        [
+            [[0] * 64 for _ in range(mcux * sh)]
+            for _ in range(mcuy * sv)
+        ]
         for _, _, sh, sv in comps
     ]
     # real (non-dummy) block dims per component, for AC scans
@@ -1561,7 +1788,7 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, int]:
                     br = _JpegBitReader(next(seg_iter))
                     preds = [0] * len(sc_idx)
                 for ci, by, bx, si in unit:
-                    c = coef[ci][by, bx]
+                    c = coef[ci][by][bx]
                     if ah == 0:  # first DC scan: Huffman diffs << Al
                         dcd = tabs[(0, sc_tabs[si][0])]
                         preds[si] += br.receive_extend(br.huff(dcd))
@@ -1583,7 +1810,7 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, int]:
                         br = _JpegBitReader(next(seg_iter))
                         eobrun = 0
                     done += 1
-                    c = coef[ci][by, bx]
+                    c = coef[ci][by][bx]
                     if ah == 0:  # first AC scan
                         if eobrun:
                             eobrun -= 1
@@ -1665,15 +1892,21 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, int]:
     planes = []
     for ci, (cid, qid, sh, sv) in enumerate(comps):
         q = qt[qid]
-        plane = np.zeros((mcuy * sv * 8, mcux * sh * 8), dtype=np.int64)
-        for by in range(coef[ci].shape[0]):
-            for bx in range(coef[ci].shape[1]):
-                F = np.zeros(64, dtype=np.float64)
-                F[zig] = coef[ci][by, bx] * q
-                block = A.T @ F.reshape(8, 8) @ A
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(block) + 128, 0, 255
-                ).astype(np.int64)
+        # batched dequantize + IDCT + level shift + clip over the whole
+        # component grid (the per-8x8-slice matmul/round/clip operands
+        # are identical to the old per-block expressions, so decoded
+        # samples are bit-for-bit unchanged)
+        by_n, bx_n = mcuy * sv, mcux * sh
+        C = np.asarray(coef[ci], dtype=np.int64).reshape(-1, 64)
+        F = np.zeros((C.shape[0], 64), dtype=np.float64)
+        F[:, zig] = C * q
+        blocks = A.T @ F.reshape(-1, 8, 8) @ A
+        px = np.clip(np.round(blocks) + 128, 0, 255).astype(np.int64)
+        plane = (
+            px.reshape(by_n, bx_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_n * 8, bx_n * 8)
+        )
         cw = (w * sh + hmax - 1) // hmax
         ch = (h * sv + vmax - 1) // vmax
         p = plane[:ch, :cw]
@@ -1844,8 +2077,15 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
     A[0, :] /= np.sqrt(2)
     zig = np.array(_JPEG_ZIGZAG)
 
-    def read_block(br, dcd, acd, q, pred):
-        coeffs = np.zeros(64, dtype=np.int64)
+    def read_block(br, dcd, acd, pred):
+        # entropy decode only — plain Python list of 64 coefficients;
+        # dequantize + IDCT run batched over every block of a
+        # component afterwards (one numpy dispatch per PLANE instead
+        # of ~7 tiny-array ops per 8x8 block; the per-slice matmul/
+        # round/clip operands are identical, so decoded samples are
+        # bit-for-bit unchanged — pinned by the closed-form hash gates
+        # and the reference roundtrip sweeps)
+        coeffs = [0] * 64
         pred += br.receive_extend(br.huff(dcd))
         coeffs[0] = pred
         k = 1
@@ -1862,10 +2102,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
                 raise ValueError("corrupt JPEG: AC run past block end")
             coeffs[k] = br.receive_extend(size)
             k += 1
-        F = np.zeros(64, dtype=np.float64)
-        F[zig] = coeffs * q  # dequantize in zigzag order, place raster
-        block = A.T @ F.reshape(8, 8) @ A
-        return pred, np.clip(np.round(block) + 128, 0, 255).astype(np.int64)
+        return pred, coeffs
 
     ncomp = len(comps)
     planes = [
@@ -1880,6 +2117,10 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
     seg_iter = iter(segments)
     br = _JpegBitReader(next(seg_iter))
     preds = [0] * ncomp
+    # per component: entropy-decoded coefficient rows + block origins,
+    # in scan order
+    coeff_rows: list[list[list[int]]] = [[] for _ in comps]
+    origins: list[list[tuple[int, int]]] = [[] for _ in comps]
     while mcus_done < mcux * mcuy:
         if dri and mcus_done and mcus_done % dri == 0:
             br = _JpegBitReader(next(seg_iter))
@@ -1887,15 +2128,28 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int]:
         my, mx = divmod(mcus_done, mcux)
         # T.81 interleave: per MCU each component contributes its
         # full v x h block grid, row-major, before the next component
-        for ci, (dcd, acd, q) in enumerate(tables):
+        for ci, (dcd, acd, _q) in enumerate(tables):
             sh, sv = comps[ci][2], comps[ci][3]
             for byy in range(sv):
                 for bxx in range(sh):
-                    preds[ci], px = read_block(br, dcd, acd, q, preds[ci])
-                    r0 = (my * sv + byy) * 8
-                    c0 = (mx * sh + bxx) * 8
-                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
+                    preds[ci], coeffs = read_block(br, dcd, acd, preds[ci])
+                    coeff_rows[ci].append(coeffs)
+                    origins[ci].append(
+                        ((my * sv + byy) * 8, (mx * sh + bxx) * 8)
+                    )
         mcus_done += 1
+    # batched dequantize + IDCT + level shift + clip, one pass per
+    # component plane (operands per 8x8 slice identical to the old
+    # per-block expressions)
+    for ci, (_dcd, _acd, q) in enumerate(tables):
+        C = np.asarray(coeff_rows[ci], dtype=np.int64)
+        F = np.zeros((C.shape[0], 64), dtype=np.float64)
+        F[:, zig] = C * q  # dequantize in zigzag order, place raster
+        blocks = A.T @ F.reshape(-1, 8, 8) @ A
+        px = np.clip(np.round(blocks) + 128, 0, 255).astype(np.int64)
+        plane = planes[ci]
+        for bi, (r0, c0) in enumerate(origins[ci]):
+            plane[r0 : r0 + 8, c0 : c0 + 8] = px[bi]
     # crop each component to its true sample grid, then upsample by
     # pixel replication (the libjpeg non-fancy upsampler) to full res
     full = []
@@ -1991,6 +2245,36 @@ def _ima_adpcm_step(pred: int, index: int, nib: int) -> tuple[int, int]:
     return pred, index
 
 
+# Per-(index, nibble) transition tables — the state machine's delta
+# and next-index depend ONLY on (index, nibble), so both tabulate
+# exactly (89 x 16 ints each, built once from _ima_adpcm_step itself
+# at import; guide §1.2 step 2). _SIGNED_DELTA folds the nibble's sign
+# bit in; clamping pred stays in the loop (it depends on pred).
+def _build_ima_tables() -> tuple[list[list[int]], list[list[int]]]:
+    sdelta = []
+    newidx = []
+    for index in range(89):
+        drow = []
+        irow = []
+        step = _IMA_STEPS[index]
+        for nib in range(16):
+            delta = step >> 3
+            if nib & 1:
+                delta += step >> 2
+            if nib & 2:
+                delta += step >> 1
+            if nib & 4:
+                delta += step
+            drow.append(-delta if nib & 8 else delta)
+            irow.append(max(0, min(88, index + _IMA_INDEX[nib & 7])))
+        sdelta.append(drow)
+        newidx.append(irow)
+    return sdelta, newidx
+
+
+_IMA_SIGNED_DELTA, _IMA_NEW_INDEX = _build_ima_tables()
+
+
 def _decode_ima_adpcm(
     data: bytes, block_align: int, n_samples: int
 ) -> tuple[int, int, int]:
@@ -2006,8 +2290,15 @@ def _decode_ima_adpcm(
     pad nibble is never consumed."""
     import struct
 
+    # inner loop runs the tabulated transition (one delta add + two
+    # table rows per sample instead of the bit-test function call);
+    # peak tracks via running min/max, |.| folded once at the end —
+    # per-sample outputs identical to _ima_adpcm_step by construction
+    sdelta = _IMA_SIGNED_DELTA
+    newidx = _IMA_NEW_INDEX
     total = 0
-    peak = 0
+    minp = 0
+    maxp = 0
     out = 0
     pos = 0
     while out < n_samples and pos < len(data):
@@ -2018,40 +2309,80 @@ def _decode_ima_adpcm(
         (pred,) = struct.unpack_from("<h", block, 0)
         index = max(0, min(88, block[2]))
         total += pred
-        peak = max(peak, abs(pred))
+        if pred > maxp:
+            maxp = pred
+        elif pred < minp:
+            minp = pred
         out += 1
+        drow = sdelta[index]
+        irow = newidx[index]
         for byte in block[4:]:
             for nib in (byte & 0xF, byte >> 4):  # low nibble FIRST
                 if out >= n_samples:
-                    return out, total, peak
-                pred, index = _ima_adpcm_step(pred, index, nib)
+                    return out, total, max(maxp, -minp)
+                pred += drow[nib]
+                if pred > 32767:
+                    pred = 32767
+                elif pred < -32768:
+                    pred = -32768
+                index = irow[nib]
+                drow = sdelta[index]
+                irow = newidx[index]
                 total += pred
-                peak = max(peak, abs(pred))
+                if pred > maxp:
+                    maxp = pred
+                elif pred < minp:
+                    minp = pred
                 out += 1
-    return out, total, peak
+    return out, total, max(maxp, -minp)
 
 
-def _crc8_flac(data: bytes) -> int:
-    """CRC-8 with polynomial 0x07 (FLAC frame-header CRC)."""
-    crc = 0
-    for byte in data:
-        crc ^= byte
+def _build_crc_tables() -> tuple[list[int], list[int]]:
+    """256-entry byte-advance tables for the two FLAC CRCs (built once
+    at import by running the reference bit loop on every byte value —
+    the table-driven form is the standard algebraic identity, outputs
+    unchanged)."""
+    t8 = []
+    for byte in range(256):
+        crc = byte
         for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
-
-
-def _crc16_flac(data: bytes) -> int:
-    """CRC-16 with polynomial 0x8005 (FLAC frame-footer CRC)."""
-    crc = 0
-    for byte in data:
-        crc ^= byte << 8
+            crc = (
+                ((crc << 1) ^ 0x07) & 0xFF
+                if crc & 0x80
+                else (crc << 1) & 0xFF
+            )
+        t8.append(crc)
+    t16 = []
+    for byte in range(256):
+        crc = byte << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ 0x8005) & 0xFFFF
                 if crc & 0x8000
                 else (crc << 1) & 0xFFFF
             )
+        t16.append(crc)
+    return t8, t16
+
+
+_CRC8_FLAC_TABLE, _CRC16_FLAC_TABLE = _build_crc_tables()
+
+
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8 with polynomial 0x07 (FLAC frame-header CRC)."""
+    crc = 0
+    table = _CRC8_FLAC_TABLE
+    for byte in data:
+        crc = table[crc ^ byte]
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16 with polynomial 0x8005 (FLAC frame-footer CRC)."""
+    crc = 0
+    table = _CRC16_FLAC_TABLE
+    for byte in data:
+        crc = ((crc << 8) & 0xFF00) ^ table[(crc >> 8) ^ byte]
     return crc
 
 
@@ -2078,6 +2409,29 @@ class _FlacBitReader:
     def signed(self, n: int) -> int:
         v = self.bits(n)
         return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        """Count zero bits up to and consuming the terminating 1 bit —
+        the Rice quotient. Scans a whole accumulator refill per step
+        via bit_length instead of one bit per call; consumed bits (and
+        end-of-data IndexError behavior) identical to the per-bit
+        loop."""
+        q = 0
+        while True:
+            if self.n == 0:
+                self.acc = self.data[self.pos]
+                self.pos += 1
+                self.n = 8
+            acc = self.acc
+            if acc == 0:
+                q += self.n
+                self.n = 0
+                continue
+            bl = acc.bit_length()
+            q += self.n - bl
+            self.n = bl - 1
+            self.acc = acc & ((1 << (bl - 1)) - 1)
+            return q
 
     def align(self) -> None:
         self.n = 0
@@ -2112,9 +2466,7 @@ def _flac_rice_residuals(
                 out.append(br.signed(width) if width else 0)
             continue
         for _ in range(count):
-            q = 0
-            while br.bits(1) == 0:
-                q += 1
+            q = br.unary()
             v = (q << param) | (br.bits(param) if param else 0)
             out.append((v >> 1) ^ -(v & 1))  # zigzag unfold
     return out
@@ -2254,17 +2606,39 @@ def decode_flac(b: bytes) -> tuple[int, int, int, int, int]:
             elif sub_type == 1:  # VERBATIM
                 samples = [br.signed(eff) for _ in range(n)]
             elif 8 <= sub_type <= 12:  # FIXED predictor, order 0..4
+                # each order's recurrence unrolled (identical integer
+                # arithmetic to the _FLAC_FIXED_COEFS dot product,
+                # without a genexpr + zip per sample)
                 order = sub_type - 8
                 samples = [br.signed(eff) for _ in range(order)]
-                coefs = _FLAC_FIXED_COEFS[order]
-                for e in _flac_rice_residuals(br, n, order):
-                    samples.append(
-                        e
-                        + sum(
-                            c * samples[-1 - i]
-                            for i, c in enumerate(coefs)
-                        )
+                res = _flac_rice_residuals(br, n, order)
+                if order == 0:
+                    samples = res
+                elif order == 1:
+                    s1 = samples[-1]
+                    for e in res:
+                        s1 = e + s1
+                        samples.append(s1)
+                elif order == 2:
+                    s2, s1 = samples[-2], samples[-1]
+                    for e in res:
+                        v = e + 2 * s1 - s2
+                        samples.append(v)
+                        s2, s1 = s1, v
+                elif order == 3:
+                    s3, s2, s1 = samples[-3], samples[-2], samples[-1]
+                    for e in res:
+                        v = e + 3 * s1 - 3 * s2 + s3
+                        samples.append(v)
+                        s3, s2, s1 = s2, s1, v
+                else:
+                    s4, s3, s2, s1 = (
+                        samples[-4], samples[-3], samples[-2], samples[-1]
                     )
+                    for e in res:
+                        v = e + 4 * s1 - 6 * s2 + 4 * s3 - s4
+                        samples.append(v)
+                        s4, s3, s2, s1 = s3, s2, s1, v
             elif sub_type >= 32:  # LPC, order 1..32
                 order = sub_type - 31
                 samples = [br.signed(eff) for _ in range(order)]
@@ -2299,9 +2673,9 @@ def decode_flac(b: bytes) -> tuple[int, int, int, int, int]:
                 right.append((m2 - s_) >> 1)
             chans = [left, right]
         for samples in chans:
-            for v in samples:
-                sample_sum += v
-                peak = max(peak, abs(v))
+            if samples:
+                sample_sum += sum(samples)
+                peak = max(peak, max(samples), -min(samples))
         br.align()
         (want_crc,) = struct.unpack_from(">H", b, br.pos)
         if _crc16_flac(b[frame_start : br.pos]) != want_crc:
