@@ -159,6 +159,66 @@ HEADLINE = [
 ]
 
 
+# Priority order for the NAMED per-query entries on the stdout JSON
+# line (r18, VERDICT item 1): the driver's per-query/scaling
+# comparison joins on names in the line's `queries` dict, but the
+# capture window is the last ~2000 BYTES of output (measured: every
+# BENCH_r*.json tail is exactly 2000 chars, and round 6's 74-name
+# full dict overflowed it and parsed as null) while the 108 names
+# alone are 2026 bytes — a COMPLETE name->sec dict can never fit. So
+# the line carries the full anonymous centisecond array (t_cs, manifest
+# order, as since r7) PLUS a name->seconds dict for as many of the
+# historically most expensive queries as fit a hard byte budget.
+# Order: descending r17 driver cost (BENCH_r17.json t_cs joined
+# through BENCH_MANIFEST.json), committed so both CPU runs of a round
+# name the same queries; HEADLINE additions not listed here join at
+# the end.
+LINE_PRIORITY = [
+    "graph_pagerank", "dedup_simhash", "customer_rfm_segments",
+    "streaming_capped_contrib_live", "bpe_encode_gate", "text_lang_id",
+    "graph_pagerank_dangling", "simjoin_prefix_filter", "table_profile",
+    "events_attribution", "q3_top_revenue_orders", "events_outlier_mad",
+    "q29_large_orders", "privacy_t_closeness", "events_state_intervals",
+    "dedup_substring", "multimodal_decode_lossless",
+    "events_cohort_retention", "q1_pricing_summary", "table_expectations",
+    "bloom_semi_filter", "q45_small_quantity_revenue", "ann_lsh_bucketed",
+    "events_resample_ffill", "events_tumbling_1h", "privacy_l_diversity",
+    "text_winnow_fingerprints", "text_pmi_pairs", "q5_region_revenue",
+    "events_transition_matrix", "experiment_readout", "retrieval_eval_bm25",
+    "hybrid_search_rrf", "q13_distinct_agg", "entity_golden_records",
+    "text_bm25_indexed", "asof_join_events", "q28_hierarchical_rollup",
+    "dedup_substring_hashed", "events_session_10m",
+    "approx_percentiles_gate", "embedding_pca_gate",
+    "q46_bulk_widget_suppliers", "q39_nation_volume", "q27_promo_revenue",
+    "dedup_embedding_cosine", "q47_reorder_streaks", "text_quality_score",
+    "multimodal_decode_subsampled", "text_quality_classifier",
+    "stats_exact_moments", "q43_market_share", "q26_sql_api",
+    "ann_cosine_topk", "q20_window_suite", "dedup_canonical",
+    "multimodal_decode_color", "q44_order_count_distribution", "q23_pivot",
+    "events_capped_contributions", "multimodal_audio_flac",
+    "dedup_minhash_pr_gate", "q8_window_topn_per_group",
+    "streaming_normalize_live", "multimodal_decode_progressive",
+    "incremental_mv_refresh", "multimodal_audio_adpcm",
+    "multimodal_decode_gif", "multimodal_decode_jpeg", "fuzzy_match_parts",
+    "corpus_snapshot_diff", "graph_triangles", "basket_rules",
+    "mr_wordcount_compat", "pipeline_hygiene", "basket_part_pairs",
+    "grouped_avg", "privacy_k_anonymity", "text_bm25_batch",
+    "curriculum_schedule", "events_range_join_bucketed", "text_vocab",
+    "dedup_incremental", "events_range_join", "multimodal_decode_real",
+    "multimodal_frame_sample", "split_leakage_safe", "q6_selective_agg",
+    "text_normalize_unicode", "multimodal_audio_real", "q17_multisort_limit",
+    "dedup_exact", "exact_percentiles", "text_pii_scrub",
+    "tokenizer_fertility", "embedding_quantize", "udtf_tokenize",
+    "wordcount", "train_negative_sampling", "events_funnel", "text_bm25",
+    "q21_json_extract", "sample_weighted_bottomk", "dedup_minhash_lsh",
+    "text_decontaminate", "text_repetition_filter", "dedup_ngram_jaccard",
+    "doc_similarity_sparse",
+]
+# budget for the WHOLE stdout line, bytes — the driver keeps the last
+# 2000 bytes of output; leave margin for value-width drift run to run
+LINE_BYTE_BUDGET = 1880
+
+
 def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -241,6 +301,12 @@ CACHE_DEPENDENT = {
     "pipeline_hygiene",
     "pipeline_chunked_corpus",
     "corpus_health_report",
+    # r18: the connected-components label frames persist (dedup.py
+    # dedup_clusters, linkage.py _golden_labels) — their consumers'
+    # plans show InMemoryTableScans post-materialization
+    "dedup_canonical",
+    "split_leakage_safe",
+    "entity_golden_records",
 }
 
 # Every CACHE_DEPENDENT query assigned to exactly ONE memo family for
@@ -315,6 +381,21 @@ MEMO_FAMILIES: dict[str, dict] = {
     "selfcontained": {
         "frames": [],
         "consumers": ("events_funnel", "table_expectations"),
+    },
+    # The two persisted connected-components label frames (r18): the
+    # doc-cluster labels behind the dedup tail and the entity labels
+    # behind golden-record election. dedup_clusters is itself the
+    # builder of the first (registered query; memoized + persisted).
+    "cclabels": {
+        "frames": [
+            ("operators.dedup", "dedup_clusters"),
+            ("operators.linkage", "_golden_labels"),
+        ],
+        "consumers": (
+            "dedup_canonical",
+            "split_leakage_safe",
+            "entity_golden_records",
+        ),
     },
 }
 
@@ -524,43 +605,70 @@ def main() -> None:
     print(f"[bench] full per-query record -> {full_path}", file=sys.stderr)
 
     t_cs = [int(round(timings[name] * 100)) for name in HEADLINE]
-    line = json.dumps(
-        {
-            "metric": "headline_query_set_seconds",
-            "value": total,
-            "unit": "sec",
-            # per-query best timings, centiseconds, ordered exactly as
-            # the committed BENCH_MANIFEST.json "order" list
-            "queries": "BENCH_MANIFEST.json",
-            "t_cs": t_cs,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "cpus": int(
-                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
-            ),
-            "n_queries": len(timings),
-            "runs_per_query": 3,
-            # r5 policy change: the timed window includes DataFrame
-            # construction (eager driver-side work some queries do
-            # while building), so r5+ numbers are not directly
-            # comparable to r1-r4, which timed execution only.
-            "includes_construction": True,
-            "cold_seconds": round(sum(cold.values()), 3),
-            "median_seconds": round(sum(medians.values()), 3),
-        },
-        separators=(",", ":"),
-        # raise on NaN/Infinity instead of emitting them: default
-        # json.dumps serializes both and loads parses them back, so
-        # the old round-trip check passed in exactly the failure case
-        # it documented (advisor r6)
-        allow_nan=False,
-    )
+
+    def build_line(named: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_query_set_seconds",
+                "value": total,
+                "unit": "sec",
+                # name -> best seconds for the LINE_PRIORITY prefix
+                # that fits the byte budget (r18: restores the
+                # driver's per-query join; a COMPLETE dict cannot fit
+                # the 2000-byte capture window — see LINE_PRIORITY)
+                "queries": named,
+                "n_named": len(named),
+                # per-query best timings for ALL queries, centiseconds,
+                # ordered exactly as the committed BENCH_MANIFEST.json
+                # "order" list (the full record, as since r7)
+                "manifest": "BENCH_MANIFEST.json",
+                "t_cs": t_cs,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+                ),
+                "n_queries": len(timings),
+                "runs_per_query": 3,
+                # r5 policy change: the timed window includes DataFrame
+                # construction (eager driver-side work some queries do
+                # while building), so r5+ numbers are not directly
+                # comparable to r1-r4, which timed execution only.
+                "includes_construction": True,
+                "cold_seconds": round(sum(cold.values()), 3),
+                "median_seconds": round(sum(medians.values()), 3),
+            },
+            separators=(",", ":"),
+            # raise on NaN/Infinity instead of emitting them: default
+            # json.dumps serializes both and loads parses them back, so
+            # the old round-trip check passed in exactly the failure
+            # case it documented (advisor r6)
+            allow_nan=False,
+        )
+
+    # fill the named dict by committed priority until the WHOLE line
+    # would cross the byte budget (greedy, deterministic order; both
+    # CPU runs of a round therefore name the same top queries modulo
+    # one boundary entry of value-width drift)
+    priority = LINE_PRIORITY + [
+        n for n in HEADLINE if n not in set(LINE_PRIORITY)
+    ]
+    named: dict[str, float] = {}
+    for name in priority:
+        if name not in timings:
+            continue
+        named[name] = round(timings[name], 2)
+        if len(build_line(named)) > LINE_BYTE_BUDGET:
+            del named[name]
+            break
+    line = build_line(named)
     # Self-check before emitting: the line must JSON-round-trip, be a
-    # single physical line, and stay well under the driver's bounded
-    # tail capture (~2.4 KB observed in round 6; budget half of it).
+    # single physical line, and fit the driver's bounded tail capture
+    # (exactly 2000 bytes in every committed BENCH_r*.json; the budget
+    # leaves margin for the trailing newline and value-width drift).
     parsed = json.loads(line)
     if "\n" in line or len(parsed["t_cs"]) != len(HEADLINE):
         raise RuntimeError("bench line malformed: not one JSON line")
-    if len(line) > 1200:
+    if len(line) > LINE_BYTE_BUDGET:
         raise RuntimeError(
             f"bench line too long for the driver tail capture: "
             f"{len(line)} bytes"

@@ -845,9 +845,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("id")),
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
     )
+    # persisted, not just memoized (r18 — closing the r17 warm-path
+    # regression): the local union-find branch returns a frame whose
+    # every execution re-scans the doc table and rebuilds the
+    # label-map broadcast, and three downstream queries
+    # (dedup_canonical, split_leakage_safe, this one) each execute it
+    # per run. One doc-sized cache entry serves them all — the same
+    # house pattern as the shingle index and entity_golden_records.
     out = labels.select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
+    ).persist()
     memo[key] = out
     return out
 

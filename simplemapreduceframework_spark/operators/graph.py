@@ -153,7 +153,12 @@ def pagerank_fixed_point(
         edges.join(deg, "s").select("s", "d", "deg").repartition("s").persist()
     )
     n_edges = edges_deg.count()  # materializes both persists
-    n = edges_deg.select("s").distinct().count()  # graph node count
+    # node count = deg's row count (one row per distinct source, and
+    # every node of this undirected-contract graph is a source): reads
+    # the just-materialized node-sized cache instead of running a
+    # fact-scale distinct+shuffle job per cold construction (r18,
+    # ADVICE item)
+    n = deg.count()
     if n == 0:
         # empty graph: no nodes, no ranks — return the empty frame with
         # the contract schema instead of dividing the teleport by zero

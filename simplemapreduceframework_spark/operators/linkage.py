@@ -136,6 +136,43 @@ rep AS (
 """
 
 
+def _golden_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (p_name, entity_id) label frame behind
+    entity_golden_records — memoized per session AND persisted (r17
+    memo; r18 persist): connected_components does eager driver-side
+    work during CONSTRUCTION (edge-set checkpoint + the local
+    union-find collect / per-round loop actions), so re-constructing
+    repeats the whole fixed-point computation, and without the persist
+    every EXECUTION re-scans the name domain and rebroadcasts the
+    label map (entity_golden_records consumes the frame twice per
+    run). Extracted as a named builder so the plan canary's memo-family
+    protocol (bench.MEMO_FAMILIES) can build it under a controlled
+    slate."""
+    from ..session_memo import session_memo
+    from .dedup import connected_components
+
+    memo = session_memo(spark)
+    key = ("golden_labels", sf_dir)
+    if key in memo:
+        return memo[key]
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    )
+    pairs = fuzzy_match_parts(spark, sf_dir).select("a_name", "b_name")
+    labels = connected_components(
+        names.select(F.col("p_name").alias("id")),
+        pairs.select(
+            F.col("a_name").alias("src"), F.col("b_name").alias("dst")
+        ),
+    ).select(
+        F.col("id").alias("p_name"), F.col("component").alias("entity_id")
+    ).persist()
+    memo[key] = labels
+    return labels
+
+
 @query(
     "entity_golden_records",
     oracle=f"""
@@ -172,34 +209,12 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs plus the two-pass (max-records, min-name) election — a
     different formulation forced to the identical choice.
     """
-    from ..session_memo import session_memo
-    from .dedup import connected_components
-
     names = (
         load_table(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
     )
-    # The label frame memoizes per session (r17 — the dedup_clusters
-    # rationale): connected_components does eager driver-side work
-    # during CONSTRUCTION (edge-set checkpoint + the local union-find
-    # collect / per-round loop actions), so re-constructing repeats
-    # that fixed-point computation, not just a plan re-execution.
-    memo = session_memo(spark)
-    key = ("golden_labels", sf_dir)
-    if key in memo:
-        labels = memo[key]
-    else:
-        pairs = fuzzy_match_parts(spark, sf_dir).select("a_name", "b_name")
-        labels = connected_components(
-            names.select(F.col("p_name").alias("id")),
-            pairs.select(
-                F.col("a_name").alias("src"), F.col("b_name").alias("dst")
-            ),
-        ).select(
-            F.col("id").alias("p_name"), F.col("component").alias("entity_id")
-        )
-        memo[key] = labels
+    labels = _golden_labels(spark, sf_dir)
     j = labels.join(names, "p_name")
     stats = j.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_names"),

@@ -520,7 +520,15 @@ def ann_search_ivf(
     if nprobe is None:
         nprobe = ivf_nprobe_for(cells)
     C = _kmeans_centroids(emb, cells, iters)
-    emb.unpersist()  # persist served the Lloyd iterations; done now
+    # emb stays persisted: the returned frame's lineage reads it on
+    # EVERY execution (the index projection below), so the old
+    # post-training unpersist made each search action re-derive the
+    # norm-annotated corpus from the base table — the same
+    # eviction-order class as the r17 BPE fix (guide §5). The cache
+    # entry is shared by logical plan, so repeated calls over the same
+    # corpus reuse one entry rather than accreting copies; at cluster
+    # scale this IS the documented "index computed once and persisted"
+    # lifecycle (build_ann_index is the durable variant).
     assign = _make_assign_udf(C)
     index = emb.select("vec_id", "e", "nrm", assign(F.col("e")).alias("cell"))
     probe = _make_probe_udf(C, nprobe)

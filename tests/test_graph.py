@@ -302,3 +302,13 @@ def test_pagerank_budget_branches_agree(spark, monkeypatch):
     )
     got_dangling_over = {r["node"]: r["r"] for r in dranks_over.collect()}
     assert got_dangling_over == _reference_pagerank_dangling(pairs, _ITERS)
+
+    # middle branch (r18, ADVICE): edge count above the budget but the
+    # node count inside it — broadcast_dim pins F.broadcast(ranks) as
+    # the build side (not the SHUFFLE_HASH fallback the limit-0 leg
+    # exercises); ranks must still be bit-identical
+    monkeypatch.setattr(g, "BROADCAST_ROW_LIMIT", 5)
+    monkeypatch.setattr(scale, "BROADCAST_ROW_LIMIT", 5)
+    ranks_mid, _ = pagerank_fixed_point(edges, iters=_ITERS)
+    got_mid = {r["node"]: r["r"] for r in ranks_mid.collect()}
+    assert got_mid == got_under

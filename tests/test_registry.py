@@ -135,7 +135,17 @@ def test_bench_manifest_matches_headline_order():
     # every headline query is a registered query
     missing = [q for q in HEADLINE if q not in registry.QUERIES]
     assert not missing, missing
-    # the emitted line must stay far below the driver's tail capture
-    # (~2.4 KB observed in round 6): worst-case 6 bytes per timing
-    # (5-digit centiseconds + comma) + ~400 bytes of metadata
-    assert 6 * len(HEADLINE) + 400 < 1200
+    # the emitted line must stay below the driver's tail capture
+    # (exactly 2000 bytes in every committed BENCH_r*.json). The r18
+    # line = t_cs array (worst-case 6 bytes per timing) + ~450 bytes
+    # of metadata + the LINE_PRIORITY named dict, which bench.py
+    # self-sizes under LINE_BYTE_BUDGET — pin the floor leaves room
+    # for at least 25 named entries, and the budget under the capture.
+    from bench import LINE_BYTE_BUDGET, LINE_PRIORITY
+
+    assert LINE_BYTE_BUDGET <= 1900
+    fixed = 6 * len(HEADLINE) + 450
+    head_cost = sum(len(n) + 9 for n in LINE_PRIORITY[:25])
+    assert fixed + head_cost < LINE_BYTE_BUDGET
+    # the priority list names real headline queries, exactly once each
+    assert sorted(LINE_PRIORITY) == sorted(HEADLINE)
