@@ -75,88 +75,83 @@ def load_all() -> None:
 # previous BENCH commit and enumerate EVERY query whose executed code
 # path changed — that enumerated set outranks vintage rotation in this
 # head; comment-only / test-only / docs diffs do not displace rows.
-# Round 17 (optimization round 1): the re-green enumeration rule is
+# Round 18 (optimization round 2): the re-green enumeration rule is
 # supreme, and this round CHANGED query paths. From the operator-source
-# diff since the r16 bench commit: relational4.py (q47 recursion ->
-# window, q45 avg-side prefilter), relational3.py (table_profile
-# grouping-sets, events_outlier_mad 3-scan text, privacy_t_closeness
-# pre-aggregate rollup), relational2.py (q29 single per-order
-# aggregate), retrieval.py (text_pmi_pairs size-derived totals),
-# similarity.py (ann_lsh_bucketed score-before-dedup), dedup.py
-# (connected_components local path -> dedup_clusters, dedup_canonical,
-# split_leakage_safe), linkage.py (entity_golden_records label memo) —
-# 12 queries. session.py additionally flips join strategy
-# (preferSortMergeJoin=false) for the 9 headline queries whose plans
-# carried SortMergeJoin; the 7 of those not already enumerated join
-# the head (conservative: config changed their executed plans). The
-# remaining 31 slots take the staged r13-vintage rotation (ROADMAP.md
-# "Round 17 window staging") in order; the 12 displaced staged rows
-# roll to r18. Session 2 of the round changed two more operator files
-# — graph.py (pagerank warm-path restructuring; graph_pagerank and
-# graph_pagerank_dangling were already enumerated above) and bpe.py
-# (_train materialization order, whose executed path feeds ALL four
-# bpe queries) — so bpe_first_merge_gate, bpe_learn_merges and
-# bpe_encode join the head and the last 3 staged rows roll to r18
-# with the other displaced rows. This head contains FOUR rows-only
-# queries (ann_ivf_topk, approx_distinct from the staged set;
-# bpe_learn_merges, bpe_encode from the re-green set — declared
-# design, green hash-gated twins) => expect 46 hash-green + 4
-# rows-only rows.
+# diff since the r17 bench commit: multimodal.py (codec inner-loop
+# rewrites — JPEG bit reader/LUT + batched IDCT, lossless encode/decode
+# inlining, ADPCM transition tables, FLAC CRC tables/unary/fixed
+# recurrences, GIF LZW restructuring; every decode output verified
+# value-equal against the old implementation, but the executed code
+# changed, so the 9 codec-path queries re-green), dedup.py + linkage.py
+# (persisted CC label frames -> dedup_clusters, dedup_canonical,
+# split_leakage_safe, entity_golden_records), similarity.py
+# (ann_search_ivf keeps the corpus persisted -> ann_search_ivf_gate),
+# graph.py (pagerank_fixed_point counts nodes from the deg cache ->
+# graph_pagerank) — 15 queries. Then the 15 rows displaced from the
+# r17 window (ROADMAP.md "Round 18 window staging"), then the 20
+# oldest remaining rows (last green r14, alphabetical). Zero rows-only
+# queries in this head => expect 50 hash-green rows.
 CHECK_PRIORITY: list[str] = [
-    # --- r17 re-greens: source-changed query paths ---------------------
-    "q47_reorder_streaks",
-    "table_profile",
-    "events_outlier_mad",
-    "privacy_t_closeness",
-    "q45_small_quantity_revenue",
-    "q29_large_orders",
-    "text_pmi_pairs",
-    "ann_lsh_bucketed",
+    # --- r18 re-greens: codec inner-loop rewrites (multimodal.py; every
+    # decode output re-verified value-equal, but the executed code
+    # changed so the re-green rule applies) -----------------------------
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_color",
+    "multimodal_decode_subsampled",
+    "multimodal_decode_progressive",
+    "multimodal_decode_lossless",
+    "multimodal_audio_adpcm",
+    "multimodal_audio_flac",
+    "multimodal_audio_real",
+    # --- r18 re-greens: persisted CC label frames (dedup.py,
+    # linkage.py), the ann_search_ivf eviction-order fix
+    # (similarity.py), and pagerank's deg-cache node count (graph.py) --
     "dedup_clusters",
     "dedup_canonical",
     "split_leakage_safe",
     "entity_golden_records",
-    # --- r17 re-greens: session-config (SHJ) plan flips ----------------
-    "bpe_encode_gate",
-    "corpus_snapshot_diff",
+    "ann_search_ivf_gate",
     "graph_pagerank",
-    "graph_pagerank_dangling",
-    "hybrid_search_rrf",
-    "q46_bulk_widget_suppliers",
-    "text_lang_id",
-    # --- r17 session-2 re-greens: bpe _train path change ---------------
-    "bpe_first_merge_gate",
-    "bpe_learn_merges",
-    "bpe_encode",
-    # --- staged r13-vintage rotation (ROADMAP order, first 28) ---------
-    "ann_ivf_ndcg_gate",
-    "ann_ivf_topk",
-    "ann_quantized_gate",
-    "approx_distinct",
-    "asof_join_events",
-    "curriculum_schedule",
-    "customer_rfm_segments",
-    "dedup_incremental",
-    "dedup_winnow",
-    "embedding_quantize",
-    "events_cohort_retention",
-    "events_hourly_seasonality",
-    "events_outlier_zscore",
-    "events_range_join_bucketed",
-    "events_session_stats",
-    "events_state_intervals",
-    "events_transition_matrix",
-    "events_trend_slope",
-    "fuzzy_match_parts",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "part_monthly_demand_features",
-    "pipeline_chunked_corpus",
-    "q1_pricing_summary",
-    "q38_disjunctive_predicate",
-    "q39_nation_volume",
-    "q40_window_distribution",
-    "q41_top_supplier",
+    # --- staged rotation: the 15 rows displaced from the r17 window
+    # (ROADMAP.md "Round 18 window staging") ----------------------------
+    "streaming_hygiene_live",
+    "streaming_ingest_pipeline_live",
+    "streaming_session_live",
+    "streaming_sliding_live",
+    "streaming_stateful_totals_live",
+    "table_skew_report",
+    "text_bm25_indexed",
+    "text_chunk",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "text_quality_classifier",
+    "text_repetition_filter",
+    "q42_product_profit",
+    "streaming_decontaminate_live",
+    "streaming_enrich_live",
+    # --- staged rotation: the 20 oldest remaining rows (last green r14,
+    # alphabetical) -----------------------------------------------------
+    "ann_ivf_indexed_gate",
+    "basket_rules",
+    "dedup_minhash_pr_gate",
+    "dedup_ngram_jaccard",
+    "events_tumbling_1h",
+    "graph_triangles",
+    "grouped_avg",
+    "incremental_mv_refresh",
+    "multimodal_decode_real",
+    "multimodal_meta",
+    "q10_rollup",
+    "q11_cube",
+    "q12_setops",
+    "q13_distinct_agg",
+    "q14_scalar_gauntlet",
+    "q15_conditional_agg",
+    "q16_having",
+    "q17_multisort_limit",
+    "q18_outer_join",
+    "q19_cross_join",
 ]
 
 

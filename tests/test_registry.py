@@ -14,70 +14,68 @@ registry.load_all()
 # round). New queries listed beyond this index never get a row.
 _DRIVER_BUDGET = 50
 
-# Round-17 check window (optimization round 1): the re-green rule is
-# supreme and this round CHANGED query paths — the head leads with the
-# 12 source-changed queries (q47/table_profile/events_outlier_mad/
-# privacy_t_closeness/q45/q29/text_pmi_pairs/ann_lsh_bucketed and the
-# four connected-components/label consumers) plus the 7 queries whose
-# executed join strategy the session-level preferSortMergeJoin=false
-# flip changed. The remaining 31 slots take the staged r13-vintage
-# rotation (ROADMAP.md "Round 17 window staging") in order. Session 2
-# changed bpe.py's _train path, adding bpe_first_merge_gate /
-# bpe_learn_merges / bpe_encode to the head; 15 displaced staged rows
-# roll to r18 in total. Contains four declared rows-only queries
-# (ann_ivf_topk, approx_distinct, bpe_learn_merges, bpe_encode):
-# expect 46 hash-green + 4 rows-only rows.
-_ROUND17_MUST_CHECK = [
-    "q47_reorder_streaks",
-    "table_profile",
-    "events_outlier_mad",
-    "privacy_t_closeness",
-    "q45_small_quantity_revenue",
-    "q29_large_orders",
-    "text_pmi_pairs",
-    "ann_lsh_bucketed",
+# Round-18 check window (optimization round 2): the re-green rule is
+# supreme — the head leads with the 15 queries whose executed code
+# path changed this round (the 9 multimodal codec queries whose
+# inner loops were rewritten — decode outputs verified value-equal,
+# but the executed code changed; the 3 persisted-CC-label consumers
+# plus dedup_clusters; the ann_search_ivf eviction-order fix's gate;
+# and graph_pagerank, whose construction now counts nodes from the
+# deg cache). Next come the 15 rows displaced from the r17 window
+# (ROADMAP.md "Round 18 window staging"), then the 20 oldest
+# remaining rows (last green r14, alphabetical). Zero rows-only
+# queries in this head: expect 50 hash-green rows.
+_ROUND18_MUST_CHECK = [
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_color",
+    "multimodal_decode_subsampled",
+    "multimodal_decode_progressive",
+    "multimodal_decode_lossless",
+    "multimodal_audio_adpcm",
+    "multimodal_audio_flac",
+    "multimodal_audio_real",
     "dedup_clusters",
     "dedup_canonical",
     "split_leakage_safe",
     "entity_golden_records",
-    "bpe_encode_gate",
-    "corpus_snapshot_diff",
+    "ann_search_ivf_gate",
     "graph_pagerank",
-    "graph_pagerank_dangling",
-    "hybrid_search_rrf",
-    "q46_bulk_widget_suppliers",
-    "text_lang_id",
-    "bpe_first_merge_gate",
-    "bpe_learn_merges",
-    "bpe_encode",
-    "ann_ivf_ndcg_gate",
-    "ann_ivf_topk",
-    "ann_quantized_gate",
-    "approx_distinct",
-    "asof_join_events",
-    "curriculum_schedule",
-    "customer_rfm_segments",
-    "dedup_incremental",
-    "dedup_winnow",
-    "embedding_quantize",
-    "events_cohort_retention",
-    "events_hourly_seasonality",
-    "events_outlier_zscore",
-    "events_range_join_bucketed",
-    "events_session_stats",
-    "events_state_intervals",
-    "events_transition_matrix",
-    "events_trend_slope",
-    "fuzzy_match_parts",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "part_monthly_demand_features",
-    "pipeline_chunked_corpus",
-    "q1_pricing_summary",
-    "q38_disjunctive_predicate",
-    "q39_nation_volume",
-    "q40_window_distribution",
-    "q41_top_supplier",
+    "streaming_hygiene_live",
+    "streaming_ingest_pipeline_live",
+    "streaming_session_live",
+    "streaming_sliding_live",
+    "streaming_stateful_totals_live",
+    "table_skew_report",
+    "text_bm25_indexed",
+    "text_chunk",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "text_quality_classifier",
+    "text_repetition_filter",
+    "q42_product_profit",
+    "streaming_decontaminate_live",
+    "streaming_enrich_live",
+    "ann_ivf_indexed_gate",
+    "basket_rules",
+    "dedup_minhash_pr_gate",
+    "dedup_ngram_jaccard",
+    "events_tumbling_1h",
+    "graph_triangles",
+    "grouped_avg",
+    "incremental_mv_refresh",
+    "multimodal_decode_real",
+    "multimodal_meta",
+    "q10_rollup",
+    "q11_cube",
+    "q12_setops",
+    "q13_distinct_agg",
+    "q14_scalar_gauntlet",
+    "q15_conditional_agg",
+    "q16_having",
+    "q17_multisort_limit",
+    "q18_outer_join",
+    "q19_cross_join",
 ]
 
 
@@ -94,7 +92,7 @@ def test_priority_entries_exist_and_are_unique():
 
 def test_new_queries_sit_inside_the_driver_budget():
     window = registry.CHECK_PRIORITY[:_DRIVER_BUDGET]
-    out = [q for q in _ROUND17_MUST_CHECK if q not in window]
+    out = [q for q in _ROUND18_MUST_CHECK if q not in window]
     assert not out, (
         f"new queries outside the driver's {_DRIVER_BUDGET}-query check "
         f"window (would never get a CORRECTNESS row): {out}"
